@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{Parse, Score}
+
+/**
+ * Ports the reference's behavioral assertions (SURVEY.md §5.1,
+ * `LogProcessorServiceTest.java` / `MLServiceClientTest.java`) to the
+ * column expressions.
+ */
+class ParseSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val t0 = Timestamp.from(java.time.Instant.parse("2024-06-01T00:00:00Z"))
+
+  private def one(text: String): (Option[Int], String) = {
+    val df = Seq(text).toDF("m")
+      .select(length(Parse.truncateMessage($"m")).as("len"),
+        Parse.truncateMessage($"m").as("out"))
+    val r = df.collect()(0)
+    (Option(r.get(0)).map(_.asInstanceOf[Int]), r.getString(1))
+  }
+
+  test("G3: 15000-char message truncates to exactly 10015 chars ending '... [truncated]'") {
+    // LogProcessorServiceTest.java:119-145
+    val (len, out) = one("x" * 15000)
+    assert(len.contains(10015))
+    assert(out.endsWith("... [truncated]"))
+    assert(out.startsWith("x" * 100))
+  }
+
+  test("G3: 10000-char message is NOT truncated (boundary inclusive)") {
+    val (len, out) = one("y" * 10000)
+    assert(len.contains(10000) && !out.endsWith("[truncated]"))
+  }
+
+  test("G3: truncation is idempotent on already-truncated output") {
+    val first = one("z" * 12000)._2
+    assert(one(first)._2 == first) // 10015 > 10000 would re-truncate if buggy; it must not change
+  }
+
+  test("G2: level uppercased, null stays null") {
+    // LogProcessorServiceTest.java:103-117, :387-405
+    val r = Seq(Some("error"), Some("WaRn"), None).toDF("level")
+      .select(Parse.normalizeLevel($"level")).as[Option[String]].collect()
+    assert(r.toSeq == Seq(Some("ERROR"), Some("WARN"), None))
+  }
+
+  test("G4: null/empty environment -> unknown; non-empty passes through") {
+    // LogProcessorServiceTest.java:147-164
+    val r = Seq(Some(""), None, Some("prod")).toDF("env")
+      .select(Parse.normalizeEnvironment($"env")).as[String].collect()
+    assert(r.toSeq == Seq("unknown", "unknown", "prod"))
+  }
+
+  test("G1: null timestamp defaults to job start") {
+    val r = Seq((1, Option.empty[Timestamp]), (2, Some(Timestamp.valueOf("2020-01-01 00:00:00"))))
+      .toDF("i", "ts")
+      .select(Parse.normalizeTimestamp($"ts", t0)).as[Timestamp].collect()
+    assert(r(0) == t0 && r(1) == Timestamp.valueOf("2020-01-01 00:00:00"))
+  }
+
+  test("G8-G10 enrich flags match reference keyword semantics") {
+    // LogProcessorServiceTest.java:167-190, :536-553 ("connect" variant)
+    val cases = Seq(
+      ("NullPointerException thrown", true, false, false),
+      ("an ERROR occurred", true, false, false),
+      ("request timeout", false, true, false),
+      ("connection pool empty", false, false, true),
+      ("cannot connect to db", false, false, true),
+      ("operation timed out", false, false, false), // "timed out" is NOT G9
+      ("all good", false, false, false))
+    val df = cases.map(_._1).toDF("m").select($"m",
+      Parse.hasException($"m").as("e"),
+      Parse.hasTimeout($"m").as("t"),
+      Parse.hasConnection($"m").as("c"))
+    val got = df.collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(got.toSeq == cases)
+  }
+
+  test("G11/G9 divergence: ML hasTimeout includes 'timed out'") {
+    // MLServiceClient.java:50 vs LogProcessorService.java:29
+    val df = Seq("operation timed out", "a timeout", "fine").toDF("m")
+      .select(Parse.hasTimeout($"m").as("g9"), Score.featHasTimeout($"m").as("g11"))
+    val got = df.collect().map(r => (r.getBoolean(0), r.getBoolean(1))).toSeq
+    assert(got == Seq((false, true), (true, true), (false, false)))
+  }
+
+  test("G12: hasConnectionError is conjunctive") {
+    // MLServiceClientTest.java:36-105
+    val cases = Seq(
+      ("connection refused", true), ("connection failed", true),
+      ("connection reset by peer", true), ("connection established", false),
+      ("refused to comply", false), ("db connect failed", false)) // needs "connection"
+    val got = cases.map(_._1).toDF("m")
+      .select(Score.featHasConnectionError($"m")).as[Boolean].collect()
+    assert(got.toSeq == cases.map(_._2))
+  }
+
+  test("severity router is total and disjoint, null message -> INFO") {
+    val df = Seq(Some("fatal error"), Some("timeout"), Some("connect"), Some("ok"), None)
+      .toDF("m").select(Parse.severity($"m").as("s"))
+    assert(df.as[String].collect().toSeq == Seq("ERROR", "WARN", "WARN", "INFO", "INFO"))
+  }
+
+  test("parse_ok gate: bad urls and null text rejected") {
+    val df = Seq(("https://a.com/x", Some("t")), ("not-a-url", Some("t")),
+      ("https://a.com/y", None), ("ftp://a.com/z", Some("t")))
+      .toDF("url", "text")
+      .select(Parse.parseOk($"url", $"text"))
+    assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false))
+  }
+}

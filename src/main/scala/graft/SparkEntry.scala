@@ -1,13 +1,733 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/**
+ * Driver contract — one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the training-data operators from the builder brief),
+ * each with a DuckDB oracle over the same parquet tables.
+ *
+ * Carrier mapping (FIXTURES.md §5): `events` plays the log stream
+ * (event_type→level, user_id→service, props→message payload), `documents`
+ * plays the pages table, `embeddings` carries the similarity operators.
+ *
+ * Determinism rules for oracle parity: every result is deterministically
+ * ordered; doubles are rounded or produced from exact decimal sums;
+ * int-typed Spark expressions are cast to long to match DuckDB's bigint.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ---- shared column recipes (must stay in lock-step with the SQL below) --
+
+  /** events → log level (D-row carrier mapping). */
+  private val level: Column =
+    when(col("event_type") === "error", "ERROR")
+      .when(col("event_type") === "click", "WARN")
+      .otherwise("INFO")
+
+  /** events → service name. */
+  private val service: Column =
+    concat(lit("svc-"), (col("user_id") % 10).cast("string"))
+
+  private val levelSql =
+    "CASE WHEN event_type='error' THEN 'ERROR' WHEN event_type='click' THEN 'WARN' ELSE 'INFO' END"
+  private val serviceSql = "'svc-' || (user_id % 10)"
+
+  /**
+   * events → synthetic log message. Plants the reference's trigger
+   * keywords at data-driven rates, including the G9/G11 "timed out"
+   * divergence ('view' rows) and the full multi-failure combo
+   * ('error' + value>150 → score ≥ 0.85 → the H3 alert path).
+   */
+  private val synthMsg: Column =
+    when(col("event_type") === "error" && col("value") > 150,
+      concat(lit("fatal error: connection reset by peer after timeout "), col("props")))
+      .when(col("event_type") === "error",
+        concat(lit("unhandled exception in handler "), col("props")))
+      .when(col("event_type") === "view" && col("value") > 100,
+        concat(lit("connection pool saturated "), col("props")))
+      .when(col("event_type") === "view",
+        concat(lit("render timed out after 2s "), col("props")))
+      .otherwise(concat(col("event_type"), lit(" ok "), col("props")))
+
+  private val synthMsgSql =
+    """CASE WHEN event_type='error' AND value>150 THEN 'fatal error: connection reset by peer after timeout ' || props
+      |     WHEN event_type='error' THEN 'unhandled exception in handler ' || props
+      |     WHEN event_type='view' AND value>100 THEN 'connection pool saturated ' || props
+      |     WHEN event_type='view' THEN 'render timed out after 2s ' || props
+      |     ELSE event_type || ' ok ' || props END""".stripMargin.replace("\n", " ")
+
+  /** Exact sum of a double column: via DECIMAL(18,2), back to double. */
+  private def exactSum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---- flagship -----------------------------------------------------------
+
+  /** Flagship: full parse→enrich→score pipeline on synthetic pages. */
+  def entry(spark: SparkSession): DataFrame = {
+    val pages = Synth.pages(spark, 2000, parts = 4)
+    Pipeline.transform(pages, Synth.domainReputation(spark), Synth.langMeta(spark))
+      .filter(col("parse_ok"))
+      .groupBy(col("severity"))
+      .agg(count(lit(1)).as("doc_count"),
+        count(when(col("is_anomaly"), 1)).as("anomaly_count"),
+        count(when(col("alert"), 1)).as("alert_count"))
+      .orderBy("severity")
+  }
+
+  // ---- the operator queries ----------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // F1+F2 — dashboard metrics, one conditional-aggregate pass
+    "q_counts_conditional" -> ((s, dir) =>
+      Analytics.dashboardMetrics(t(s, dir, "events").select(level.as("level")))),
+
+    // D2 — term equality filter
+    "q_filter_eq" -> ((s, dir) =>
+      t(s, dir, "events").filter(col("event_type") === "error")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .orderBy("event_id")),
+
+    // D3+D4 — terms-in-set filters
+    "q_filter_in" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type").isin("error", "signup") &&
+          col("user_id").isin(1L, 2L, 3L, 5L, 8L))
+        .select(col("event_id"), col("event_type"), col("user_id"))
+        .orderBy("event_id")),
+
+    // D5 — timestamp range (one- and two-sided)
+    "q_ts_range" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") >= lit(Timestamp.valueOf("2024-01-05 00:00:00")) &&
+          col("ts") <= lit(Timestamp.valueOf("2024-01-12 00:00:00")))
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy("event_id")),
+
+    // E1 — tokenized text match (ES match recast)
+    "q_text_match" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Analytics.textMatch(col("text"), "spark window"))
+        .select(col("doc_id")).orderBy("doc_id")),
+
+    // F3 — gap-filled 1h date histogram, minDocCount(0)
+    "q_date_histogram" -> ((s, dir) =>
+      Analytics.logVolume(t(s, dir, "events"), "ts")),
+
+    // F4 — terms agg + percentage (window total)
+    "q_level_distribution" -> ((s, dir) =>
+      Analytics.levelDistribution(t(s, dir, "events").select(level.as("level")))),
+
+    // F5 — top-k terms agg with deterministic tiebreak
+    "q_topk_services" -> ((s, dir) =>
+      Analytics.topServices(t(s, dir, "events").select(service.as("service")), 5)),
+
+    // I5 — distinct + sort
+    "q_distinct_sorted" -> ((s, dir) =>
+      Analytics.serviceNames(t(s, dir, "events").select(service.as("service")))),
+
+    // I1+I2 — dynamic sort + offset/limit pagination
+    "q_pagination" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .offset(40).limit(20)),
+
+    // I1 — sort by arbitrary field
+    "q_sort_dynamic" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"), col("value"))
+        .orderBy(col("value").desc, col("event_id").asc).limit(50)),
+
+    // I3 — export cap (top-N by timestamp desc)
+    "q_export_cap" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"), col("ts"))
+        .orderBy(col("ts").desc, col("event_id").desc).limit(100)),
+
+    // G1-G4 — normalization bundle
+    "q_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Parse.normalizeLevel(col("lang")).as("level_norm"),
+        Parse.truncateMessage(col("text")).as("message"),
+        Parse.normalizeEnvironment(col("source")).as("environment"))
+        .orderBy("doc_id")),
+
+    // G7-G10 — enrichment flags
+    "q_enrich_flags" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("message_length"),
+        Parse.hasException(col("text")).as("has_exception"),
+        Parse.hasTimeout(col("text")).as("has_timeout"),
+        Parse.hasConnection(col("text")).as("has_connection"))
+        .orderBy("doc_id")),
+
+    // C3+G11-G13 — ML feature extraction (note G11 "timed out" divergence)
+    "q_ml_features" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        Score.featMessageLength(synthMsg).cast("long").as("message_length"),
+        Score.featLevel(level).as("level"),
+        Score.featService(service).as("service"),
+        Score.featHasException(synthMsg).as("has_exception"),
+        Score.featHasTimeout(synthMsg).as("has_timeout"),
+        Score.featHasConnectionError(synthMsg).as("has_connection_error"))
+        .orderBy("event_id")),
+
+    // H1 — deterministic anomaly scorer
+    "q_anomaly_score" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        Score.anomalyScore(synthMsg, level).as("anomaly_score"))
+        .withColumn("is_anomaly", Score.isAnomaly(col("anomaly_score")))
+        .withColumn("confidence", Score.confidence(col("anomaly_score")))
+        .orderBy("event_id")),
+
+    // H3 — high-confidence alert gate (exclusive 0.7 boundary)
+    "q_alert_gate" -> ((s, dir) =>
+      t(s, dir, "events").select(
+        col("event_id"),
+        Score.anomalyScore(synthMsg, level).as("anomaly_score"))
+        .withColumn("confidence", Score.confidence(col("anomaly_score")))
+        .filter(Score.alertGate(Score.isAnomaly(col("anomaly_score")), col("confidence")))
+        .select(col("event_id"), col("anomaly_score"), col("confidence"))
+        .orderBy("event_id")),
+
+    // G14 — features JSON serialization
+    "q_features_json" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Score.featuresJson(col("text"), upper(col("lang")), col("source")).as("features"))
+        .orderBy("doc_id")),
+
+    // D7+I4 — anomaly-repository predicates + ordering
+    "q_anomaly_recent" -> ((s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "error" &&
+          col("ts") > lit(Timestamp.valueOf("2024-01-15 00:00:00")) &&
+          col("value") > 50)
+        .select(col("event_id"), col("ts"), col("value"))
+        .orderBy(col("value").desc, col("event_id"))),
+
+    // G18+F7 — severity router + per-sink counts
+    "q_severity_route" -> ((s, dir) =>
+      t(s, dir, "events").select(Parse.severity(synthMsg).as("severity"))
+        .groupBy("severity").agg(count(lit(1)).as("doc_count"))
+        .orderBy("severity")),
+
+    // I7 — broadcast enrich join chain (events→customer→nation→region)
+    "q_enrich_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      e.join(broadcast(c), e("user_id") === c("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("cnt"), exactSum(col("value")).as("total_value"))
+        .orderBy("r_name")
+    }),
+
+    // headline agg — TPC-H Q1 shape on lineitem
+    "q_tpch_q1" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          exactSum(col("l_quantity")).as("sum_qty"),
+          exactSum(col("l_extendedprice")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", round(col("sum_qty") / col("count_order"), 4))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // join + top-k — TPC-H Q3 shape
+    "q_join_topk" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .filter(col("o_orderstatus") =!= "F")
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // window functions — running aggregates per key
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        sum(col("value").cast("decimal(18,2)"))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_value"))
+        .orderBy("event_id")
+    }),
+
+    // I6 — union (set op)
+    "q_union" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      e.filter(col("event_type") === "error")
+        .agg(count(lit(1)).as("cnt")).select(lit("err").as("tag"), col("cnt"))
+        .union(e.filter(col("event_type") === "signup")
+          .agg(count(lit(1)).as("cnt")).select(lit("sig").as("tag"), col("cnt")))
+        .orderBy("tag")
+    }),
+
+    // G15 — RFC-4180 CSV field escaping as data
+    "q_csv_escape" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("text").rlike("[,\"\n\r]"),
+          concat(lit("\""), regexp_replace(col("text"), "\"", "\"\""), lit("\"")))
+          .otherwise(col("text")).as("csv_field"))
+        .orderBy("doc_id")),
+
+    // ---- training-data operators ----------------------------------------
+
+    // dedup: exact content-hash
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("content_hash")),
+
+    // dedup: MinHash+LSH candidate pairs over trigram shingles
+    "q_dedup_minhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = filter(split(lower(col("text")), "\\W+"), x => x =!= "")
+      val sh = when(size(toks) >= 3,
+        transform(sequence(lit(0), size(toks) - 3),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
+        .otherwise(array().cast("array<string>"))
+      val sig = transform(sequence(lit(0), lit(7)),
+        i => array_min(transform(sh, g => md5(concat(g, lit(":"), i.cast("string"))))))
+      val buckets = docs.filter(size(sh) >= 1)
+        .select(col("doc_id"), posexplode(
+          transform(sequence(lit(0), lit(3)),
+            b => md5(concat_ws("|", slice(sig, b * 2 + 1, lit(2)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+      val l = buckets.select(col("band"), col("band_key"), col("doc_id").as("id1"))
+      val r = buckets.select(col("band"), col("band_key"), col("doc_id").as("id2"))
+      l.join(r, Seq("band", "band_key")).filter(col("id1") < col("id2"))
+        .select("id1", "id2").distinct().orderBy("id1", "id2")
+    }),
+
+    // dedup: 16-bit SimHash signature
+    "q_dedup_simhash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+        .orderBy("doc_id")),
+
+    // dedup: n-gram Jaccard near-dup pairs (blocked by source)
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        "source", n = 3, threshold = 0.2)
+        .orderBy("id1", "id2")),
+
+    // dedup: embedding-cosine near-dup pairs (blocked by label)
+    "q_dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val l = e.select(col("label").as("blk"), col("vec_id").as("id1"), col("v").as("v1"))
+      val r = e.select(col("label").as("blk"), col("vec_id").as("id2"), col("v").as("v2"))
+      l.join(r, Seq("blk")).filter(col("id1") < col("id2"))
+        .withColumn("cos_sim", round(Similarity.cosine(col("v1"), col("v2")), 4))
+        .filter(col("cos_sim") >= 0.40)
+        .select(col("id1"), col("id2"), col("cos_sim"))
+        .orderBy("id1", "id2")
+    }),
+
+    // similarity: brute-force cosine top-k vs query vector (vec_id=0)
+    "q_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // similarity: sign-LSH bucketed ANN top-k (the scale path)
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("v").as("qv"), Similarity.signBucket(col("v"), 4).as("qb"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .filter(Similarity.signBucket(col("v"), 4) === col("qb"))
+        .select(col("vec_id"),
+          round(Similarity.cosine(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // text: heuristic language ID
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // text: quality scoring (length/punct/stopword ratios)
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+
+    // text: token counting (whitespace + BPE-ish pre-tokenization)
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    // text: document fingerprint (normalized content hash)
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // multimodal: binary column metadata (decode plumbing is mapPartitions;
+    // the SQL-visible part is length + content hash over the blob)
+    "q_multimodal_meta" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"),
+        sha2(col("text").cast("binary"), 256).as("sha256"))
+        .orderBy("doc_id"))
+  )
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  private val shinglesCte =
+    """WITH tokf AS (
+      |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, source, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p FROM tokf),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, source, g FROM (
+      |    SELECT doc_id, source, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS g
+      |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p))
+      |  WHERE g IS NOT NULL)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q_counts_conditional" ->
+      s"""WITH logs AS (SELECT $levelSql AS level FROM events)
+         |SELECT count(*) AS total_logs,
+         |       count(CASE WHEN level='ERROR' THEN 1 END) AS error_count,
+         |       count(CASE WHEN level='WARN' THEN 1 END) AS warning_count,
+         |       round(count(*) / (24.0*60.0), 4) AS logs_per_minute,
+         |       CASE WHEN count(*)=0 THEN 0.0
+         |            ELSE round(count(CASE WHEN level='ERROR' THEN 1 END)*100.0/count(*), 4) END AS error_rate
+         |FROM logs""".stripMargin,
+
+    "q_filter_eq" ->
+      "SELECT event_id, ts, user_id, value FROM events WHERE event_type='error' ORDER BY event_id",
+
+    "q_filter_in" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |WHERE event_type IN ('error','signup') AND user_id IN (1,2,3,5,8)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_ts_range" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-12 00:00:00'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_text_match" ->
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(lower(text), '\b(spark|window)\b')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_date_histogram" ->
+      """WITH counts AS (
+        |  SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt FROM events GROUP BY 1),
+        |bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM counts),
+        |hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM bounds WHERE lo IS NOT NULL)
+        |SELECT h.bucket AS bucket, coalesce(c.cnt, 0) AS cnt
+        |FROM hours h LEFT JOIN counts c USING (bucket) ORDER BY bucket""".stripMargin,
+
+    "q_level_distribution" ->
+      s"""WITH logs AS (SELECT $levelSql AS level FROM events),
+         |g AS (SELECT level, count(*) AS cnt FROM logs GROUP BY 1)
+         |SELECT level, cnt, round(cnt*100.0 / sum(cnt) OVER (), 4) AS percentage
+         |FROM g ORDER BY cnt DESC, level""".stripMargin,
+
+    "q_topk_services" ->
+      s"""SELECT $serviceSql AS service, count(*) AS cnt FROM events
+         |GROUP BY 1 ORDER BY cnt DESC, service ASC LIMIT 5""".stripMargin,
+
+    "q_distinct_sorted" ->
+      s"SELECT DISTINCT $serviceSql AS service FROM events ORDER BY service",
+
+    "q_pagination" ->
+      """SELECT event_id, ts, event_type FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 20 OFFSET 40""".stripMargin,
+
+    "q_sort_dynamic" ->
+      "SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 50",
+
+    "q_export_cap" ->
+      "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 100",
+
+    "q_normalize" ->
+      """SELECT doc_id,
+        |       upper(lang) AS level_norm,
+        |       CASE WHEN length(text) > 10000
+        |            THEN substr(text, 1, 10000) || '... [truncated]' ELSE text END AS message,
+        |       CASE WHEN source IS NULL OR source = '' THEN 'unknown' ELSE source END AS environment
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_enrich_flags" ->
+      """SELECT doc_id, length(text) AS message_length,
+        |       (lower(text) LIKE '%exception%' OR lower(text) LIKE '%error%') AS has_exception,
+        |       (lower(text) LIKE '%timeout%') AS has_timeout,
+        |       (lower(text) LIKE '%connection%' OR lower(text) LIKE '%connect%') AS has_connection
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ml_features" ->
+      s"""WITH m AS (SELECT event_id, $synthMsgSql AS msg, $levelSql AS level, $serviceSql AS service FROM events)
+         |SELECT event_id,
+         |       length(msg) AS message_length,
+         |       level, service,
+         |       (lower(msg) LIKE '%exception%' OR lower(msg) LIKE '%error%') AS has_exception,
+         |       (lower(msg) LIKE '%timeout%' OR lower(msg) LIKE '%timed out%') AS has_timeout,
+         |       (lower(msg) LIKE '%connection%' AND (lower(msg) LIKE '%refused%' OR lower(msg) LIKE '%failed%' OR lower(msg) LIKE '%reset%')) AS has_connection_error
+         |FROM m ORDER BY event_id""".stripMargin,
+
+    "q_anomaly_score" -> scoreSql(filterAlerts = false),
+    "q_alert_gate" -> scoreSql(filterAlerts = true),
+
+    "q_features_json" ->
+      """SELECT doc_id,
+        |  '{"messageLength":' || length(text)
+        |  || ',"level":"' || coalesce(upper(lang), 'null')
+        |  || '","service":"' || coalesce(source, 'null')
+        |  || '","hasException":' || (CASE WHEN lower(text) LIKE '%exception%' OR lower(text) LIKE '%error%' THEN 'true' ELSE 'false' END)
+        |  || ',"hasTimeout":' || (CASE WHEN lower(text) LIKE '%timeout%' THEN 'true' ELSE 'false' END)
+        |  || ',"hasConnection":' || (CASE WHEN lower(text) LIKE '%connection%' OR lower(text) LIKE '%connect%' THEN 'true' ELSE 'false' END)
+        |  || '}' AS features
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_anomaly_recent" ->
+      """SELECT event_id, ts, value FROM events
+        |WHERE event_type='error' AND ts > TIMESTAMP '2024-01-15 00:00:00' AND value > 50
+        |ORDER BY value DESC, event_id""".stripMargin,
+
+    "q_severity_route" ->
+      s"""WITH m AS (SELECT $synthMsgSql AS msg FROM events),
+         |s AS (SELECT CASE WHEN lower(msg) LIKE '%exception%' OR lower(msg) LIKE '%error%' THEN 'ERROR'
+         |                  WHEN lower(msg) LIKE '%timeout%' OR lower(msg) LIKE '%connection%' OR lower(msg) LIKE '%connect%' THEN 'WARN'
+         |                  ELSE 'INFO' END AS severity FROM m)
+         |SELECT severity, count(*) AS doc_count FROM s GROUP BY 1 ORDER BY severity""".stripMargin,
+
+    "q_enrich_join" ->
+      """SELECT r_name, count(*) AS cnt,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_tpch_q1" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |         count(*) AS count_order
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, count_order,
+        |       round(sum_qty / count_order, 4) AS avg_qty
+        |FROM g ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_topk" ->
+      """SELECT o_orderkey,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |       row_number() OVER w AS rn,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_union" ->
+      """SELECT * FROM (
+        |  SELECT 'err' AS tag, count(*) AS cnt FROM events WHERE event_type='error'
+        |  UNION ALL
+        |  SELECT 'sig' AS tag, count(*) AS cnt FROM events WHERE event_type='signup')
+        |ORDER BY tag""".stripMargin,
+
+    "q_csv_escape" ->
+      """SELECT doc_id,
+        |       CASE WHEN regexp_matches(text, '[,"\n\r]')
+        |            THEN '"' || replace(text, '"', '""') || '"' ELSE text END AS csv_field
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$shinglesCte,
+         |mh AS (
+         |  SELECT doc_id, i, min(md5(g || ':' || i)) AS mh
+         |  FROM sh CROSS JOIN range(0, 8) t(i) GROUP BY doc_id, i),
+         |bk AS (
+         |  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS band_key
+         |  FROM mh GROUP BY doc_id, i // 2)
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |bits AS (
+        |  SELECT doc_id, j,
+        |         CASE WHEN 2 * count(CASE WHEN substr(md5(tok), j, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 END) > count(*)
+        |              THEN '1' ELSE '0' END AS bit
+        |  FROM tok CROSS JOIN range(1, 17) t(j) GROUP BY doc_id, j)
+        |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""$shinglesCte,
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, round(shared / (s1.sz + s2.sz - shared), 4) AS jaccard
+         |FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
+         |WHERE round(shared / (s1.sz + s2.sz - shared), 4) >= 0.2
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |FROM e, q WHERE e.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |FROM e, q
+        |WHERE e.vec_id <> 0
+        |  AND (e.v[1] > 0) = (q.qv[1] > 0) AND (e.v[2] > 0) = (q.qv[2] > 0)
+        |  AND (e.v[3] > 0) = (q.qv[3] > 0) AND (e.v[4] > 0) = (q.qv[4] > 0)
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |  CASE WHEN text IS NULL THEN 'und'
+        |       WHEN ' '||lower(text)||' ' LIKE '% the %' OR ' '||lower(text)||' ' LIKE '% and %' OR ' '||lower(text)||' ' LIKE '% of %' OR ' '||lower(text)||' ' LIKE '% with %' THEN 'en'
+        |       WHEN ' '||lower(text)||' ' LIKE '% der %' OR ' '||lower(text)||' ' LIKE '% die %' OR ' '||lower(text)||' ' LIKE '% und %' OR ' '||lower(text)||' ' LIKE '% nicht %' THEN 'de'
+        |       WHEN ' '||lower(text)||' ' LIKE '% le %' OR ' '||lower(text)||' ' LIKE '% la %' OR ' '||lower(text)||' ' LIKE '% les %' OR ' '||lower(text)||' ' LIKE '% est %' THEN 'fr'
+        |       WHEN ' '||lower(text)||' ' LIKE '% el %' OR ' '||lower(text)||' ' LIKE '% los %' OR ' '||lower(text)||' ' LIKE '% las %' OR ' '||lower(text)||' ' LIKE '% es %' THEN 'es'
+        |       ELSE 'und' END AS lang_pred
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" -> qualitySql,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
+        |       len(list_filter(regexp_split_to_array(text, '\W+'), x -> x <> ''))
+        |         + length(regexp_replace(text, '[\w\s]', '', 'g')) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+
+  /** Shared score computation SQL (H1/H3). */
+  private def scoreSql(filterAlerts: Boolean): String = {
+    val base =
+      s"""WITH m AS (SELECT event_id, $synthMsgSql AS msg, $levelSql AS level FROM events),
+         |sc AS (
+         |  SELECT event_id,
+         |         round(least(1.0,
+         |             0.30 * (CASE WHEN lower(msg) LIKE '%exception%' OR lower(msg) LIKE '%error%' THEN 1.0 ELSE 0.0 END)
+         |           + 0.25 * (CASE WHEN lower(msg) LIKE '%connection%' AND (lower(msg) LIKE '%refused%' OR lower(msg) LIKE '%failed%' OR lower(msg) LIKE '%reset%') THEN 1.0 ELSE 0.0 END)
+         |           + 0.20 * (CASE WHEN lower(msg) LIKE '%timeout%' OR lower(msg) LIKE '%timed out%' THEN 1.0 ELSE 0.0 END)
+         |           + 0.10 * (CASE WHEN level = 'ERROR' THEN 1.0 ELSE 0.0 END)
+         |           + 0.05 * (CASE WHEN level = 'WARN' THEN 1.0 ELSE 0.0 END)
+         |           + 0.10 * least(length(msg) / 10000.0, 1.0)), 4) AS anomaly_score
+         |  FROM m),
+         |c AS (
+         |  SELECT event_id, anomaly_score,
+         |         anomaly_score >= 0.5 AS is_anomaly,
+         |         round(least(abs(anomaly_score - 0.5) * 2.0, 1.0), 4) AS confidence
+         |  FROM sc)""".stripMargin
+    if (filterAlerts)
+      base + "\nSELECT event_id, anomaly_score, confidence FROM c WHERE is_anomaly AND confidence > 0.7 ORDER BY event_id"
+    else
+      base + "\nSELECT event_id, anomaly_score, is_anomaly, confidence FROM c ORDER BY event_id"
+  }
+
+  /**
+   * Quality-score SQL mirroring TextAnalysis exactly, including the
+   * engine-portable floor-based rounding (see TextAnalysis.pround4 —
+   * `round(double)` tie-breaking differs between Spark and DuckDB).
+   */
+  private def qualitySql: String =
+    """WITH b AS (
+      |  SELECT doc_id, text,
+      |         CASE WHEN length(text) = 0 THEN 0.0
+      |              ELSE floor(length(regexp_replace(text, '[\w\s]', '', 'g'))::DOUBLE / length(text) * 10000.0 + 0.5) / 10000.0 END AS punct_ratio,
+      |         len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS ntok,
+      |         len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+      |             x -> x <> '' AND list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x))) AS nstop
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, text, punct_ratio,
+      |         CASE WHEN ntok = 0 THEN 0.0 ELSE floor(nstop::DOUBLE / ntok * 10000.0 + 0.5) / 10000.0 END AS stopword_ratio
+      |  FROM b)
+      |SELECT doc_id, punct_ratio, stopword_ratio,
+      |       CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+      |            ELSE floor((0.4 * least(length(text) / 500.0, 1.0)
+      |                      + 0.3 * (1.0 - punct_ratio)
+      |                      + 0.3 * least(stopword_ratio / 0.4, 1.0)) * 10000.0 + 0.5) / 10000.0 END AS quality
+      |FROM r ORDER BY doc_id""".stripMargin
 }

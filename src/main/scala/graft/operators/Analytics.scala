@@ -1,0 +1,156 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Analytics / search surface (SURVEY.md §2 D, E, F, I; §3.2-3.3) — the
+ * Catalyst recast of the reference's ES query DSL + JPQL endpoints.
+ *
+ * All builders take a logs DataFrame with columns
+ * `(id, ts, level, service, message, ...)` and return a lazy DataFrame —
+ * filters stay declarative so Catalyst pushes them into the parquet scan
+ * (verified in AnalyticsSpec via PushedFilters).
+ */
+object Analytics {
+
+  /**
+   * E1 — ES `match` on message: standard-analyzer-style tokenized OR-match,
+   * case-folded, in boolean (non-scoring) context. The reference only uses
+   * match as a gate + timestamp sort (`ElasticsearchService.java:279-283`),
+   * so boolean semantics suffice (SURVEY.md §2.E divergence note).
+   */
+  def textMatch(message: Column, queryText: String): Column = {
+    val tokens = queryText.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    arrays_overlap(
+      split(lower(message), "\\W+"),
+      array(tokens.map(lit).toIndexedSeq: _*))
+  }
+
+  /**
+   * §3.2 search path — bool{must: match, filter: [levels, services, range]}
+   * + sort + from/size pagination (`ElasticsearchService.java:237-274`).
+   * `hosts` is accepted-and-ignored for fidelity (dead filter D6,
+   * `dto/LogSearchRequest.java:38`).
+   */
+  def searchLogs(logs: DataFrame,
+                 queryText: Option[String] = None,
+                 levels: Seq[String] = Nil,
+                 services: Seq[String] = Nil,
+                 hosts: Seq[String] = Nil, // D6: declared but never applied
+                 start: Option[Timestamp] = None,
+                 end: Option[Timestamp] = None,
+                 sortBy: String = "ts",
+                 ascending: Boolean = false,
+                 page: Int = 0,
+                 size: Int = 20,
+                 tiebreak: String = "id"): DataFrame = {
+    var df = logs
+    queryText.filter(_.nonEmpty).foreach(q => df = df.filter(textMatch(col("message"), q)))
+    if (levels.nonEmpty) df = df.filter(col("level").isin(levels: _*))      // D3
+    if (services.nonEmpty) df = df.filter(col("service").isin(services: _*)) // D4
+    start.foreach(s => df = df.filter(col("ts") >= lit(s)))                  // D5
+    end.foreach(e => df = df.filter(col("ts") <= lit(e)))                    // D5
+    val sortCols =
+      if (ascending) Seq(col(sortBy).asc, col(tiebreak).asc)
+      else Seq(col(sortBy).desc, col(tiebreak).desc) // I1 + deterministic tiebreak
+    // I2 — offset+limit (Spark ≥3.4 planned as GlobalLimit/offset, with
+    // TakeOrderedAndProject for the top-k path)
+    df.orderBy(sortCols: _*).offset(page * size).limit(size)
+  }
+
+  /**
+   * F1+F2 — dashboard metrics in ONE conditional-aggregate pass (the
+   * reference issues 3 sequential count searches,
+   * `ElasticsearchService.java:372-431`; SURVEY.md notes the fusion).
+   * Includes the zero-logs division guard (`:411`,
+   * `ElasticsearchServiceTest.java:415-472`).
+   */
+  def dashboardMetrics(logs: DataFrame): DataFrame =
+    logs.agg(
+      count(lit(1)).as("total_logs"),
+      count(when(col("level") === "ERROR", 1)).as("error_count"),
+      count(when(col("level") === "WARN", 1)).as("warning_count"))
+      .withColumn("logs_per_minute",
+        round(col("total_logs") / (24.0 * 60.0), 4)) // :408 — fixed 24h window
+      .withColumn("error_rate",
+        when(col("total_logs") === 0, 0.0) // zero-division guard :411
+          .otherwise(round(col("error_count") * 100.0 / col("total_logs"), 4)))
+
+  /**
+   * F3 — date histogram, fixed 1-hour buckets, minDocCount(0): empty
+   * buckets between the first and last hour ARE emitted
+   * (`ElasticsearchService.java:436-498`). Gap-fill via
+   * sequence→explode→left-join (SURVEY.md §2.F3). Returns empty for an
+   * empty input (zero-logs guard, `ElasticsearchServiceTest.java:452-472`).
+   */
+  def logVolume(logs: DataFrame, tsCol: String = "ts"): DataFrame = {
+    val counts = logs
+      .groupBy(date_trunc("hour", col(tsCol)).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = counts.agg(min("bucket").as("lo"), max("bucket").as("hi"))
+      .filter(col("lo").isNotNull)
+    val hours = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("bucket"))
+    hours.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  /**
+   * F4 — terms agg over level + percentage of total
+   * (`ElasticsearchService.java:503-567`). Percentage via a single
+   * window-total (no second scan); guard: empty input → empty result.
+   */
+  def levelDistribution(logs: DataFrame): DataFrame =
+    logs.groupBy(col("level")).agg(count(lit(1)).as("cnt"))
+      .withColumn("percentage",
+        round(col("cnt") * 100.0 / sum(col("cnt")).over(Window.partitionBy()), 4))
+      .orderBy(col("cnt").desc, col("level"))
+
+  /**
+   * F5 — top-k services by doc count desc (`ElasticsearchService.java:
+   * 572-626`), deterministic tiebreak on service name; orderBy+limit plans
+   * as TakeOrderedAndProject (top-k pushdown, SURVEY.md §4).
+   */
+  def topServices(logs: DataFrame, k: Int): DataFrame =
+    logs.groupBy(col("service")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("service").asc)
+      .limit(k)
+
+  /**
+   * I5 — distinct sorted service names (controller's topServices(500) →
+   * map → sorted().distinct(), `controller/LogSearchController.java:66-74`).
+   */
+  def serviceNames(logs: DataFrame): DataFrame =
+    logs.select("service").distinct().orderBy("service")
+
+  /**
+   * I3/B5/B6 — export: top-10000 by timestamp desc (cap at
+   * `controller/LogSearchController.java:29`); CSV/JSON serialization is
+   * Spark's writers (identical RFC-4180 quoting — G15).
+   */
+  def exportRows(logs: DataFrame, cap: Int = 10000, tiebreak: String = "id"): DataFrame =
+    logs.orderBy(col("ts").desc, col(tiebreak).desc).limit(cap)
+
+  /** D7/I4/F6 — anomaly queries (`repository/AnomalyDetectionRepository.java:17-53`). */
+  object Anomalies {
+    def recent(anoms: DataFrame, after: Timestamp): DataFrame =
+      anoms.filter(col("detected_at") > lit(after))
+        .orderBy(col("detected_at").desc, col("log_id"))
+
+    def anomalousInRange(anoms: DataFrame, start: Timestamp, end: Timestamp): DataFrame =
+      anoms.filter(col("is_anomaly") && col("detected_at").between(lit(start), lit(end)))
+        .orderBy(col("detected_at").desc, col("log_id"))
+
+    def highConfidence(anoms: DataFrame, threshold: Double): DataFrame =
+      anoms.filter(col("is_anomaly") && col("confidence") > threshold)
+        .orderBy(col("confidence").desc, col("detected_at").desc, col("log_id"))
+
+    def countInRange(anoms: DataFrame, start: Timestamp, end: Timestamp): Long =
+      anoms.filter(col("is_anomaly") && col("detected_at").between(lit(start), lit(end)))
+        .count()
+  }
+}

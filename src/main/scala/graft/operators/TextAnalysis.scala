@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis operators for training-data curation — language ID,
+ * quality scoring, token counting, document fingerprinting. All pure
+ * column expressions (codegen'd, engine-portable for the DuckDB oracles).
+ */
+object TextAnalysis {
+
+  /**
+   * Engine-portable 4-decimal rounding: floor(x·10⁴ + 0.5)/10⁴ as pure IEEE
+   * double ops — bit-identical across engines, unlike `round(double)` whose
+   * tie-breaking differs between Spark (shortest-decimal HALF_UP) and
+   * C-style scaled rounding. Used where nested rounding makes exact-.5
+   * ties common.
+   */
+  def pround4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
+
+  /**
+   * Heuristic language ID: presence of high-frequency function words per
+   * language, first match wins (en → de → fr → es), else "und". A real
+   * n-gram model is a broadcast lookup of n-gram→lang weights; the CASE
+   * cascade here keeps the decision fully declarative and testable.
+   */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), lower(text), lit(" "))
+    def any(words: String*) = words.map(w => t.contains(s" $w ")).reduce(_ || _)
+    when(text.isNull, "und")
+      .when(any("the", "and", "of", "with"), "en")
+      .when(any("der", "die", "und", "nicht"), "de")
+      .when(any("le", "la", "les", "est"), "fr")
+      .when(any("el", "los", "las", "es"), "es")
+      .otherwise("und")
+  }
+
+  /** Whitespace token count (0 for empty/blank). */
+  def tokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => t =!= ""))
+
+  /**
+   * BPE-ish subword-precursor token count: word chunks and single
+   * punctuation marks counted separately (`\w+` | single non-space
+   * non-word), the usual pre-tokenization regex shape.
+   */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => t =!= "" && t =!= " "))
+
+  /** Ratio of non-alphanumeric-non-space chars to length (0 for empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, 0.0).otherwise(
+      pround4(length(regexp_replace(text, "[\\w\\s]", "")).cast("double")
+        / length(text)))
+
+  /** Ratio of tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val stops: Seq[Any] = Seq("the", "a", "an", "and", "or", "of", "to",
+      "in", "is", "it", "that", "for", "on", "with", "as")
+    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    when(size(toks) === 0, 0.0).otherwise(
+      pround4(size(filter(toks, t => t.isin(stops: _*))).cast("double")
+        / size(toks)))
+  }
+
+  /**
+   * Composite quality score ∈ [0,1]: favors mid-length documents with low
+   * punctuation noise and a natural stopword rate — the usual heuristic
+   * pre-filter before model-based quality scoring.
+   *   0.4·min(len/500,1) + 0.3·(1−punctRatio) + 0.3·min(stopRatio/0.4,1)
+   */
+  def qualityScore(text: Column): Column =
+    when(text.isNull || length(text) === 0, 0.0).otherwise(
+      pround4(
+        lit(0.4) * least(length(text) / 500.0, lit(1.0)) +
+        lit(0.3) * (lit(1.0) - punctRatio(text)) +
+        lit(0.3) * least(stopwordRatio(text) / 0.4, lit(1.0))))
+
+  /**
+   * Document fingerprint: md5 of the whitespace-normalized, case-folded
+   * text — the canonical-form content hash used for near-exact dedup
+   * (robust to whitespace/case-only edits).
+   */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+}

@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+/**
+ * Pins the dashboard/search semantics from the reference test suite
+ * (`ElasticsearchServiceTest.java`, SURVEY.md §5.1) plus the physical-plan
+ * properties SURVEY.md §4 requires (pushdown, top-k, broadcast).
+ */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val logs = Seq(
+    ("a1", ts("2024-01-01 00:10:00"), "ERROR", "svc-a", "db connection refused"),
+    ("a2", ts("2024-01-01 00:20:00"), "WARN", "svc-a", "slow request"),
+    ("a3", ts("2024-01-01 03:40:00"), "INFO", "svc-b", "user logged in"),
+    ("a4", ts("2024-01-01 03:50:00"), "ERROR", "svc-b", "timeout while parsing"),
+    ("a5", ts("2024-01-01 03:55:00"), "INFO", "svc-c", "Parsing complete"))
+    .toDF("id", "ts", "level", "service", "message")
+
+  test("F1/F2: dashboard metrics in one pass, with zero-logs guard") {
+    val m = Analytics.dashboardMetrics(logs).collect()(0)
+    assert(m.getAs[Long]("total_logs") == 5)
+    assert(m.getAs[Long]("error_count") == 2)
+    assert(m.getAs[Long]("warning_count") == 1)
+    assert(m.getAs[Double]("error_rate") == 40.0)
+    // zero-logs division guard (ElasticsearchServiceTest.java:415-472)
+    val z = Analytics.dashboardMetrics(logs.filter($"level" === "NOPE")).collect()(0)
+    assert(z.getAs[Long]("total_logs") == 0 && z.getAs[Double]("error_rate") == 0.0)
+  }
+
+  test("F3: date histogram emits empty buckets (minDocCount 0)") {
+    val v = Analytics.logVolume(logs).as[(Timestamp, Long)].collect()
+    assert(v.length == 4) // 00h .. 03h inclusive
+    assert(v.map(_._2).toSeq == Seq(2L, 0L, 0L, 3L)) // 01h,02h gap-filled
+    // empty input -> empty output, no crash
+    assert(Analytics.logVolume(logs.filter($"level" === "NOPE")).count() == 0)
+  }
+
+  test("F4: level distribution percentages") {
+    val d = Analytics.levelDistribution(logs)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(d == Seq(("ERROR", 2L, 40.0), ("INFO", 2L, 40.0), ("WARN", 1L, 20.0)))
+  }
+
+  test("F5: top-k services deterministic on count ties") {
+    val t = Analytics.topServices(logs, 2).as[(String, Long)].collect().toSeq
+    assert(t == Seq(("svc-a", 2L), ("svc-b", 2L))) // tie broken by name
+  }
+
+  test("E1: tokenized match is case-folded, whole-word, OR-of-terms") {
+    val hits = logs.filter(Analytics.textMatch($"message", "PARSING user"))
+      .select("id").as[String].collect().toSet
+    assert(hits == Set("a3", "a4", "a5")) // "parsing" matches both cases; no substring hits
+    val none = logs.filter(Analytics.textMatch($"message", "parse")) // not a token
+      .count()
+    assert(none == 0)
+  }
+
+  test("I1/I2: search pagination is deterministic and offset-correct") {
+    val all = Analytics.searchLogs(logs, size = 5).select("id").as[String].collect().toSeq
+    assert(all == Seq("a5", "a4", "a3", "a2", "a1")) // ts desc default
+    val page1 = Analytics.searchLogs(logs, page = 1, size = 2)
+      .select("id").as[String].collect().toSeq
+    assert(page1 == Seq("a3", "a2"))
+    // filters compose (levels + range + text)
+    val filtered = Analytics.searchLogs(logs,
+      queryText = Some("connection timeout parsing"),
+      levels = Seq("ERROR"),
+      start = Some(ts("2024-01-01 00:00:00")), end = Some(ts("2024-01-01 23:00:00")))
+      .select("id").as[String].collect().toSeq
+    assert(filtered == Seq("a4", "a1"))
+    // D6: hosts param is accepted and IGNORED (reference dead filter)
+    val withHosts = Analytics.searchLogs(logs, hosts = Seq("nope"), size = 5).count()
+    assert(withHosts == 5)
+  }
+
+  test("plan: filters push to parquet scan; top-k plans TakeOrderedAndProject") {
+    val dir = tmpDir("push")
+    logs.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter($"level" === "ERROR" && $"ts" >= ts("2024-01-01 00:00:00"))
+      .select("id", "ts")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(level), IsNotNull(ts), EqualTo(level,ERROR)"),
+      s"filters must reach the scan:\n$scan")
+    assert(scan.contains("ReadSchema: struct<id:string,ts:timestamp"),
+      "column pruning must reach the scan")
+    val topk = Analytics.topServices(spark.read.parquet(dir), 3)
+      .queryExecution.executedPlan.toString
+    assert(topk.contains("TakeOrderedAndProject"), s"top-k pushdown missing:\n$topk")
+  }
+
+  test("B5/B6: export cap + CSV round-trip with RFC-4180 quoting") {
+    val dir = tmpDir("csv")
+    val tricky = Seq(("x1", "plain"), ("x2", "a,b"), ("x3", "say \"hi\""), ("x4", "line\nbreak"))
+      .toDF("id", "message")
+    Analytics.exportRows(tricky.withColumn("ts", lit(ts("2024-01-01 00:00:00"))), cap = 3)
+    tricky.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = spark.read.option("header", "true").option("multiLine", "true").csv(dir)
+      .orderBy("id").as[(String, String)].collect().toSeq
+    assert(back == Seq(("x1", "plain"), ("x2", "a,b"), ("x3", "say \"hi\""), ("x4", "line\nbreak")))
+  }
+
+  test("D7: anomaly repository predicates") {
+    val anoms = Seq(
+      ("l1", 0.9, true, 0.8, ts("2024-01-01 01:00:00")),
+      ("l2", 0.6, true, 0.7, ts("2024-01-01 02:00:00")), // 0.7 NOT > 0.7
+      ("l3", 0.2, false, 0.9, ts("2024-01-01 03:00:00")))
+      .toDF("log_id", "anomaly_score", "is_anomaly", "confidence", "detected_at")
+    assert(Analytics.Anomalies.highConfidence(anoms, 0.7)
+      .select("log_id").as[String].collect().toSeq == Seq("l1"))
+    assert(Analytics.Anomalies.recent(anoms, ts("2024-01-01 01:30:00")).count() == 2)
+    assert(Analytics.Anomalies.countInRange(anoms,
+      ts("2024-01-01 00:00:00"), ts("2024-01-01 02:30:00")) == 2)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // corpus with planted exact dup (d1/d2), near-dup (d3/d4), and unrelated docs
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank", "s1"),
+    (3L, "a fast crimson fox jumps over the lazy dog near the river bank today", "s1"),
+    (4L, "a fast crimson fox jumps over the lazy dog near the river bank tonight", "s1"),
+    (5L, "completely different content about database query optimization techniques", "s1"),
+    (6L, "yet another unrelated text concerning distributed stream processing", "s2"))
+    .toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical content, keeps min id") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .filter($"dup_count" > 1).as[(String, Long, Long)].collect()
+    assert(r.length == 1 && r(0)._2 == 1L && r(0)._3 == 2L)
+  }
+
+  test("minhash LSH finds exact+near dups, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 8, bands = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must collide in every band")
+    assert(pairs.contains((3L, 4L)), "near dup should collide in some band")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
+  }
+
+  test("simhash: identical -> same signature; near-dup closer than unrelated") {
+    val sig = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .as[(Long, String)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
+    def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
+    assert(ham(sig(3L), sig(4L)) < ham(sig(3L), sig(6L)),
+      s"near-dup hamming ${ham(sig(3L), sig(4L))} should beat unrelated ${ham(sig(3L), sig(6L))}")
+  }
+
+  test("hamming expression matches scala reference") {
+    val r = Seq(("1010", "1001"), ("1111", "1111")).toDF("a", "b")
+      .select(Dedup.hamming($"a", $"b")).as[Int].collect().toSeq
+    assert(r == Seq(2, 0))
+  }
+
+  test("ngram jaccard finds the near-dup pair with correct score, blocks by source") {
+    // at 0.75 only the true pairs survive: (1,2) J=1.0 and (3,4) J=11/13;
+    // cross pairs like (1,3) share the common suffix at J≈0.53 and are cut
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.75)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (3L, 4L)))
+    assert(pairs(0)._3 == 1.0, "identical docs have J=1")
+    val j34 = pairs(1)._3
+    assert(j34 > 0.8 && j34 < 1.0, s"expected 11/13 = 0.8462, got $j34")
+    // lower threshold admits the common-suffix cross pairs (sanity of J calc)
+    val loose = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.5).count()
+    assert(loose == 6)
+  }
+
+  test("shingles are distinct, ordered n-grams; short docs yield none") {
+    val sh = Dedup.shingles(Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
+    assert(sh.count() == 0)
+    val sh2 = Dedup.shingles(Seq((9L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .select("shingle").as[String].collect().toSet
+    assert(sh2 == Set("a b c", "b c d"))
+  }
+
+  test("embedding near-dup: planted parallel vectors found, blocked join bounded") {
+    val vecs = Seq(
+      (1L, 0, Array(1.0, 0.0, 0.0, 0.0)),
+      (2L, 0, Array(0.99, 0.1, 0.0, 0.0)),  // near-dup of 1
+      (3L, 0, Array(0.0, 1.0, 0.0, 0.0)),   // orthogonal
+      (4L, 1, Array(1.0, 0.0, 0.0, 0.0)))   // same dir but different block
+      .toDF("vec_id", "label", "v")
+    val pairs = Similarity.nearDupPairs(vecs, "vec_id", "v", "label",
+      threshold = 0.9, nBits = 1)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs(0)._3 > 0.99)
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val fp = Seq(("A  Quick\tFox", 1), ("a quick fox", 2), ("a quick cat", 3))
+      .toDF("t", "i").select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    assert(fp(0) == fp(1) && fp(1) != fp(2))
+  }
+}

@@ -302,25 +302,10 @@ object SparkEntry {
         .orderBy("content_hash")),
 
     // dedup: MinHash+LSH candidate pairs over trigram shingles
-    "q_dedup_minhash" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val toks = filter(split(lower(col("text")), "\\W+"), x => x =!= "")
-      val sh = when(size(toks) >= 3,
-        transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", slice(toks, i + 1, lit(3)))))
-        .otherwise(array().cast("array<string>"))
-      val sig = transform(sequence(lit(0), lit(7)),
-        i => array_min(transform(sh, g => md5(concat(g, lit(":"), i.cast("string"))))))
-      val buckets = docs.filter(size(sh) >= 1)
-        .select(col("doc_id"), posexplode(
-          transform(sequence(lit(0), lit(3)),
-            b => md5(concat_ws("|", slice(sig, b * 2 + 1, lit(2)))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
-      val l = buckets.select(col("band"), col("band_key"), col("doc_id").as("id1"))
-      val r = buckets.select(col("band"), col("band_key"), col("doc_id").as("id2"))
-      l.join(r, Seq("band", "band_key")).filter(col("id1") < col("id2"))
-        .select("id1", "id2").distinct().orderBy("id1", "id2")
-    }),
+    // (relational perm-minhash — one md5 per shingle, arithmetic perms)
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", n = 3)
+        .orderBy("id1", "id2")),
 
     // dedup: 16-bit SimHash signature
     "q_dedup_simhash" -> ((s, dir) =>
@@ -591,17 +576,24 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
 
-    "q_dedup_minhash" ->
+    "q_dedup_minhash" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
       s"""$shinglesCte,
-         |mh AS (
-         |  SELECT doc_id, i, min(md5(g || ':' || i)) AS mh
-         |  FROM sh CROSS JOIN range(0, 8) t(i) GROUP BY doc_id, i),
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
          |bk AS (
-         |  SELECT doc_id, i // 2 AS band, md5(string_agg(mh, '|' ORDER BY i)) AS band_key
-         |  FROM mh GROUP BY doc_id, i // 2)
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig)
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |ORDER BY id1, id2""".stripMargin,
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "q_dedup_simhash" ->
       """WITH tokf AS (

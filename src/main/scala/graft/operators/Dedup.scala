@@ -31,31 +31,44 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
 
   /**
-   * MinHash signature: k independent permutations simulated by salting the
-   * token with the hash index — minhash_i = min over tokens of
-   * md5(token || ':' || i). Lexicographic min over hex strings is
-   * order-independent, so the whole signature is a narrow projection.
+   * MinHash constants: 8 permutations `(a_i·h + b_i) mod P` over one base
+   * hash per shingle, P = 2³¹−1 (Mersenne prime). One md5 per shingle —
+   * the k-fold hash cost of the naive salted-md5 scheme is replaced by
+   * integer arithmetic inside a codegen'd aggregate (measured 300s → <10s
+   * on 50k docs at sf0.1).
    */
-  def minhashSignature(text: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(tokensOf(text),
-        t => md5(concat(t, lit(":"), i.cast("string"))))))
+  val MinhashP = 2147483647L
+  val MinhashA: Seq[Long] = Seq(1000003L, 2000029L, 3000073L, 4000037L,
+    5000011L, 6000047L, 7000003L, 8000009L)
+  val MinhashB: Seq[Long] = Seq(12345L, 23456L, 34567L, 45678L,
+    56789L, 67890L, 78901L, 89012L)
+
+  /** Base hash of a shingle: first 15 hex chars of md5 → bigint mod P
+    * (engine-portable: DuckDB `('0x'||substr(md5(g),1,15))::UBIGINT`). */
+  def baseHash(g: Column): Column =
+    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(MinhashP))
 
   /**
-   * MinHash + LSH banding: signature of k hashes split into `bands` bands
-   * of k/bands rows each; docs sharing any band key are candidate pairs.
-   * Returns (band, band_key, id) — the bucket table; joining it with
-   * itself on (band, band_key) yields candidates with bounded bucket
-   * sizes (the LSH guarantee), never an all-pairs product.
+   * MinHash + LSH banding over word n-gram shingles, fully relational:
+   * shingle rows → one base hash each → groupBy(id) with 8 min-aggregates
+   * (single shuffle, map-side partial min) → 4 band keys of 2 rows each →
+   * (band, band_key, id) bucket table. Docs sharing any band key are
+   * candidates; bucket sizes stay bounded (the LSH guarantee), never an
+   * all-pairs product.
    */
   def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8, bands: Int = 4): DataFrame = {
-    val rows = k / bands
-    docs
-      .withColumn("sig", minhashSignature(col(textCol), k))
-      .select(col(idCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => md5(concat_ws("|", slice(col("sig"), b * rows + 1, lit(rows)))))))
+                     n: Int = 3): DataFrame = {
+    val h = shingles(docs, idCol, textCol, n)
+      .select(col(idCol), baseHash(col("shingle")).as("h"))
+    val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"m$i")
+    }
+    val sig = h.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    sig.select(col(idCol), posexplode(array(
+        md5(concat_ws("|", col("m0"), col("m1"))),
+        md5(concat_ws("|", col("m2"), col("m3"))),
+        md5(concat_ws("|", col("m4"), col("m5"))),
+        md5(concat_ws("|", col("m6"), col("m7"))))))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
       .select(col("band"), col("band_key"), col(idCol))
@@ -63,8 +76,8 @@ object Dedup {
 
   /** Candidate near-dup pairs from LSH buckets (id1 < id2, distinct). */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int = 8, bands: Int = 4): DataFrame = {
-    val b = minhashBuckets(docs, idCol, textCol, k, bands)
+                        n: Int = 3): DataFrame = {
+    val b = minhashBuckets(docs, idCol, textCol, n)
     val l = b.withColumnRenamed(idCol, "id1")
     val r = b.withColumnRenamed(idCol, "id2")
     l.join(r, Seq("band", "band_key"))

@@ -23,7 +23,7 @@ class DedupSpec extends SparkSuite {
   }
 
   test("minhash LSH finds exact+near dups, not unrelated docs") {
-    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 8, bands = 4)
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3)
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)), "exact dup must collide in every band")
     assert(pairs.contains((3L, 4L)), "near dup should collide in some band")

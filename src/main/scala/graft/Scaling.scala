@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scaling-efficiency evidence (north_rule): the two-cluster-size criterion
+ * (N vs 4N executors, throughput efficiency ≥ 0.8) evidenced in this
+ * sandbox by running the IDENTICAL job on IDENTICAL parquet input at two
+ * `local[N]` parallelism levels, each in its OWN JVM via spark-submit
+ * (`scripts/scaling.sh` orchestrates) — BASELINE.md "Target" section.
+ *
+ * Three mains, each a spark-submit entry:
+ *  - [[ScalingGen]]  — materialize the synthetic pages input once;
+ *  - [[ScalingStep]] — warmup + timed runs of the full checkpointed
+ *    pipeline at the master/parallelism spark-submit passed in;
+ *  - [[CpuProbe]]    — pure-compute scaling probe (no I/O): calibrates
+ *    what the box itself can scale, to separate engine behavior from
+ *    virtualized-CPU limits.
+ */
+object ScalingGen {
+  def main(args: Array[String]): Unit = {
+    val Array(nStr, out) = args.take(2)
+    val spark = SparkSession.builder().appName("graft-scaling-gen")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Synth.pages(spark, nStr.toLong, parts = 128)
+      .write.mode("overwrite").parquet(out)
+    println(s"""{"generated":$nStr,"out":"$out"}""")
+    spark.stop()
+  }
+}
+
+object ScalingStep {
+  def main(args: Array[String]): Unit = {
+    val input = args(0)
+    val outRoot = args(1)
+    val runs = if (args.length > 2) args(2).toInt else 2
+    val spark = SparkSession.builder().appName("graft-scaling-step")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cores = spark.sparkContext.defaultParallelism
+    val pages = spark.read.parquet(input)
+    val n = pages.count()
+    val dims = (Synth.domainReputation(spark), Synth.langMeta(spark))
+    Pipeline.run(spark, pages.limit(50000), dims._1, dims._2, s"$outRoot/warm") // JIT warmup
+    val times = (1 to runs).map { i =>
+      val t0 = System.nanoTime()
+      Pipeline.run(spark, pages, dims._1, dims._2, s"$outRoot/run$i")
+      (System.nanoTime() - t0) / 1e9
+    }
+    val best = times.min
+    println(f"""{"cores":$cores,"rows":$n,"secs":$best%.2f,""" +
+      f""""docs_per_sec":${(n / best).round},"all_runs":[${times.map(t => f"$t%.2f").mkString(",")}]}""")
+    spark.stop()
+  }
+}
+
+/** Pure-compute probe: xxhash64 chain over a range, no I/O, no shuffle. */
+object CpuProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 500000000L
+    val spark = SparkSession.builder().appName("graft-cpu-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cores = spark.sparkContext.defaultParallelism
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, n, 1, cores * 4)
+        .select(bit_xor(xxhash64(xxhash64(xxhash64(col("id"))))).as("s"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup
+    val best = (1 to 2).map(_ => once()).min
+    println(f"""{"cores":$cores,"n":$n,"secs":$best%.2f,"hashes_per_sec":${(n / best).round}}""")
+    spark.stop()
+  }
+}

@@ -120,7 +120,8 @@ object Score {
       .withColumn("confidence", confidence(col("anomaly_score")))
       .withColumn("model_version", lit(ModelVersion))
       .withColumn("alert", alertGate(col("is_anomaly"), col("confidence")))
-      .withColumn("features_json",
-        featuresJson(col(messageCol), col(levelCol), col(serviceCol)))
+    // features JSON (G14) is intentionally NOT materialized here: only the
+    // anomalies side-table needs it, and the router derives it there
+    // (Route.apply) instead of paying its bytes in the heavy-pass sink.
   }
 }

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.{Pipeline, Synth}
+import graft.operators.Route
+
+/**
+ * Structured Streaming recast of the reference's queue-consumer delivery
+ * semantics (SURVEY.md §2.J). The reference consumes RabbitMQ with manual
+ * ack / DLQ nack (`consumer/LogConsumer.java:33-63`) — at-least-once with
+ * idempotent effects. The streaming equivalents:
+ *
+ *  - J1 at-least-once + ack  → file source + checkpointed offsets; the
+ *    sink write is made idempotent per micro-batch via foreachBatch
+ *    (deterministic output path per batchId, overwrite on replay);
+ *  - J2 DLQ                  → rejected rows ride in the same fan-out
+ *    (severity=REJECTED partition), exactly like the batch router;
+ *  - J4 consumer concurrency → source file splits / maxFilesPerTrigger;
+ *  - J6: the reference has NO watermark/window/session state — the
+ *    windowed aggregate here is the dashboard's date-histogram (F3)
+ *    maintained incrementally, with a watermark bounding state.
+ *
+ * The whole transform is the SAME Catalyst plan as the batch pipeline
+ * (`Pipeline.transform`) — one definition, two execution modes; that is
+ * the point of recasting the per-message flow as a declarative plan.
+ */
+object StreamPipeline {
+
+  /** Streaming source over a pages directory (the queue analog). */
+  def pagesStream(spark: SparkSession, inputDir: String,
+                  maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(graft.Schemas.pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+
+  /**
+   * Full streaming pipeline: transform each micro-batch with the batch
+   * plan and fan out to the same partitioned sink layout. foreachBatch +
+   * overwrite-per-batch-path = idempotent replay (at-least-once source →
+   * effectively-once sink).
+   */
+  def run(spark: SparkSession, inputDir: String, outRoot: String,
+          checkpoint: String): StreamingQuery = {
+    val dims = (Synth.domainReputation(spark), Synth.langMeta(spark))
+    pagesStream(spark, inputDir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = Pipeline.transform(batch, dims._1, dims._2)
+        scored
+          .withColumn("severity",
+            when(col("parse_ok"), col("severity")).otherwise(Route.RejectedPartition))
+          .selectExpr(Route.sinkColumns :+ "severity": _*)
+          .write.mode("overwrite")
+          .partitionBy("severity")
+          .parquet(s"$outRoot/batch=$batchId") // deterministic path per batch
+        ()
+      }
+      .start()
+  }
+
+  /**
+   * F3 as an incremental streaming aggregate: 1-hour event-time windows
+   * per severity, 10-minute watermark bounding state (late rows beyond it
+   * are dropped — the streaming trade-off the batch gap-fill never makes).
+   */
+  def windowedSeverityCounts(pages: DataFrame,
+                             watermark: String = "10 minutes"): DataFrame = {
+    val parsed = graft.operators.Parse(pages, Pipeline.DefaultJobStart)
+    parsed.filter(col("parse_ok"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("severity"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("bucket"), col("severity"), col("cnt"))
+  }
+}

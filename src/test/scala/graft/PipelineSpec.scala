@@ -74,20 +74,20 @@ class PipelineSpec extends SparkSuite {
     assert(s.inputRows == N)
     assert(s.routedRows + s.rejectedRows == N, "row conservation")
 
-    val sinkRows = spark.read.parquet(s"$root/logs").count()
-    val rejRows = spark.read.parquet(s"$root/rejected").count()
+    val sinkRows = Route.logs(spark, root).count()
+    val rejRows = Route.rejected(spark, root).count()
     assert(sinkRows == s.routedRows && rejRows == s.rejectedRows)
 
     // per-sink aggregates match independent recount (F7 gate)
     val aggs = spark.read.parquet(s"$root/sink_counts")
       .select($"severity", $"doc_count").as[(String, Long)].collect().toMap
-    val recount = spark.read.parquet(s"$root/logs")
+    val recount = Route.logs(spark, root)
       .groupBy($"severity").count().as[(String, Long)].collect().toMap
     assert(aggs == recount)
     assert(aggs.keySet == Set("ERROR", "WARN", "INFO"))
 
     // planted multi-failure rows make the anomaly + alert paths non-empty
-    val logs = spark.read.parquet(s"$root/logs")
+    val logs = Route.logs(spark, root)
     assert(logs.filter($"is_anomaly").count() > 0, "anomalies planted")
     assert(logs.filter($"alert").count() > 0, "high-confidence alerts planted")
 
@@ -99,10 +99,10 @@ class PipelineSpec extends SparkSuite {
     assert(lin.agg(sum($"rows")).as[Long].collect()(0) == s.routedRows)
 
     // resume: second run skips committed stages, output unchanged (J1)
-    val before = spark.read.parquet(s"$root/logs").orderBy($"id").collect()
+    val before = Route.logs(spark, root).orderBy($"id").collect()
     val r2 = Pipeline.run(spark, pages, dims._1, dims._2, root, t0)
     assert(!r2.ran, "committed stage must be skipped on re-run")
-    val after = spark.read.parquet(s"$root/logs").orderBy($"id").collect()
+    val after = Route.logs(spark, root).orderBy($"id").collect()
     assert(before.sameElements(after))
 
     // invalidate the aggregate stage only -> partial resume re-runs it

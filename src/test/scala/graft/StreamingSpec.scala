@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamPipeline
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("file-stream pipeline: batch and streaming produce identical routed rows") {
+    val in = tmpDir("sin")
+    val out = tmpDir("sout")
+    val ckpt = tmpDir("sck")
+    // two "arrivals" (files) of deterministic pages
+    Synth.pages(spark, 500, parts = 2).write.parquet(s"$in/a")
+    Synth.pages(spark, 500, seed = 77, parts = 2).write.parquet(s"$in/b")
+    // flatten both dirs into one source dir
+    val src = tmpDir("src")
+    spark.read.parquet(s"$in/a").union(spark.read.parquet(s"$in/b"))
+      .repartition(4).write.mode("overwrite").parquet(src)
+
+    val q = StreamPipeline.run(spark, src, out, ckpt)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$out/batch=*")
+      .filter($"severity" =!= "REJECTED")
+    val dims = (Synth.domainReputation(spark), Synth.langMeta(spark))
+    val batch = Pipeline.transform(spark.read.parquet(src), dims._1, dims._2)
+      .filter($"parse_ok")
+    assert(streamed.count() == batch.count())
+    // routed-row equality across modes (severity + score per id)
+    val a = streamed.select($"id", $"severity", $"anomaly_score")
+      .as[(String, String, Double)].collect().sorted
+    val b = batch.select($"id", $"severity", $"anomaly_score")
+      .as[(String, String, Double)].collect().sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("windowed severity counts with watermark (incremental F3)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Schemas.PageRow]
+    val agg = StreamPipeline.windowedSeverityCounts(mem.toDF())
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("wsc")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def page(i: Int, hour: Int, text: String) = Schemas.PageRow(
+      s"https://h$i.example.com/p/$i",
+      java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:15:00"),
+      Array.emptyByteArray, text, "en")
+    mem.addData(
+      page(1, 0, "all fine"), page(2, 0, "fatal error here"),
+      page(3, 1, "request timeout"), page(4, 3, "ok then"))
+    q.processAllAvailable()
+    val rows = spark.table("wsc")
+      .select($"bucket", $"severity", $"cnt")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSet
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    assert(rows == Set(
+      (ts(0), "INFO", 1L), (ts(0), "ERROR", 1L),
+      (ts(1), "WARN", 1L), (ts(3), "INFO", 1L)))
+    q.stop()
+  }
+}

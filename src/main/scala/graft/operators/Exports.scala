@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Export + DDL surface (SURVEY.md §2 B2, B5, B6).
+ *
+ *  - B5 CSV export: the reference hand-rolls RFC-4180 quoting
+ *    (`controller/LogSearchController.java:188-220`, escape rules
+ *    `:212-220`: quote iff the value contains , " \n \r, double inner
+ *    quotes) with a 10 000-row cap (`:29`). Spark's CSV writer implements
+ *    the identical quoting, so export = orderBy + limit + write.
+ *  - B6 JSON export: same flow through the JSON writer (`:110-134`).
+ *  - B2 index DDL: the reference creates the ES `logs` index with explicit
+ *    mappings (`service/ElasticsearchService.java:127-162`); the Spark
+ *    analog declares the routed sink as a partitioned table over the same
+ *    parquet layout, making it SQL-addressable with partition pruning.
+ */
+object Exports {
+
+  val ExportCap = 10000 // LogSearchController.java:29
+
+  /** B5 — CSV export with the reference's forced sort + cap (I3). */
+  def exportCsv(df: DataFrame, outDir: String, cap: Int = ExportCap,
+                tsCol: String = "ts", tiebreak: String = "id"): Unit =
+    df.orderBy(col(tsCol).desc, col(tiebreak).desc).limit(cap)
+      .coalesce(1) // one file, like the HTTP response body
+      .write.mode("overwrite").option("header", "true").csv(outDir)
+
+  /** B6 — JSON export (one object per line; cap + sort as B5). */
+  def exportJson(df: DataFrame, outDir: String, cap: Int = ExportCap,
+                 tsCol: String = "ts", tiebreak: String = "id"): Unit =
+    df.orderBy(col(tsCol).desc, col(tiebreak).desc).limit(cap)
+      .coalesce(1)
+      .write.mode("overwrite").json(outDir)
+
+  /**
+   * B2 — register the routed sink as a partitioned external table:
+   * `CREATE TABLE ... USING parquet PARTITIONED BY (severity)` +
+   * partition discovery. Dashboard queries on one severity then prune to
+   * one partition directory (the ES per-index analog).
+   */
+  def createLogsTable(spark: SparkSession, root: String,
+                      table: String = "logs"): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // schema + severity partitioning inferred from the directory layout
+    // (Spark 4 disallows PARTITIONED BY without an explicit column list)
+    spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$root/routed'")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+  }
+}

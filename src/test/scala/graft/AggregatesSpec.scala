@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Aggregates, Exports, Route}
+
+class AggregatesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val logs = {
+    val pages = Synth.pages(spark, 20000, parts = 8)
+    val dims = (Synth.domainReputation(spark), Synth.langMeta(spark))
+    Pipeline.transform(pages, dims._1, dims._2)
+      .filter($"parse_ok")
+      .withColumn("service", $"host")
+      .cache()
+  }
+
+  test("generator plants real skew (head domain carries >10% of rows)") {
+    val top = Aggregates.domainCounts(logs)
+      .orderBy($"cnt".desc).limit(1).as[(String, Long)].collect()(0)
+    val total = logs.count()
+    assert(top._2.toDouble / total > 0.10, s"head domain only ${top._2}/$total")
+  }
+
+  test("salted two-phase aggregation is exact vs naive") {
+    val naive = Aggregates.domainCounts(logs).as[(String, Long)].collect().toMap
+    val salted = Aggregates.domainCountsSalted(logs).as[(String, Long)].collect().toMap
+    assert(salted == naive)
+    val stats = Aggregates.domainStatsSalted(logs, "service", "anomaly_score")
+      .orderBy("service").collect()
+    val direct = logs.groupBy($"service")
+      .agg(count(lit(1)).as("cnt"), round(sum($"anomaly_score"), 4).as("total"),
+        min($"anomaly_score").as("min_v"), max($"anomaly_score").as("max_v"))
+      .orderBy("service").collect()
+    assert(stats.sameElements(direct))
+  }
+
+  test("salted plan splits hot keys across buckets before the final combine") {
+    val phase1 = logs
+      .withColumn("_salt", pmod(xxhash64($"id"), lit(16)))
+      .groupBy($"service", $"_salt").agg(count(lit(1)))
+    // the head domain's rows really spread over 16 partial groups
+    val headDomain = Aggregates.domainCounts(logs)
+      .orderBy($"cnt".desc).limit(1).collect()(0).getString(0)
+    val spread = phase1.filter($"service" === headDomain).count()
+    assert(spread == 16, s"hot key split into $spread partials")
+  }
+
+  test("distinct counts: exact two-phase and HLL agree within rsd") {
+    val exact = Aggregates.distinctHostsPerSeverity(logs)
+      .as[(String, Long)].collect().toMap
+    val approx = Aggregates.approxDistinctHostsPerSeverity(logs, 0.02)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v).toDouble / v < 0.1, s"$k: $v vs ${approx(k)}")
+    }
+  }
+
+  test("B2/B5/B6: partitioned table DDL prunes; csv/json exports round-trip") {
+    val root = tmpDir("exp")
+    Pipeline.run(spark, Synth.pages(spark, 2000, parts = 4),
+      Synth.domainReputation(spark), Synth.langMeta(spark), root)
+    Exports.createLogsTable(spark, root, "logs_t")
+    val pruned = spark.sql("SELECT count(*) FROM logs_t WHERE severity = 'ERROR'")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(severity"),
+      s"severity must prune partitions:\n$scan")
+    assert(pruned.as[Long].collect()(0) ==
+      Route.logs(spark, root).filter($"severity" === "ERROR").count())
+
+    val sel = Route.logs(spark, root).select($"id", $"ts", $"severity", $"message")
+    Exports.exportCsv(sel, s"$root/csv", cap = 500)
+    Exports.exportJson(sel, s"$root/json", cap = 500)
+    val csvBack = spark.read.option("header", "true").option("multiLine", "true")
+      .csv(s"$root/csv")
+    val jsonBack = spark.read.json(s"$root/json")
+    assert(csvBack.count() == 500 && jsonBack.count() == 500)
+    // caps respect the forced sort: newest ts first
+    val maxTs = sel.agg(max($"ts")).collect()(0).getTimestamp(0)
+    assert(jsonBack.agg(max($"ts")).collect()(0).getString(0).nonEmpty)
+    assert(csvBack.agg(max($"ts".cast("timestamp"))).collect()(0)
+      .getTimestamp(0) == maxTs)
+  }
+}

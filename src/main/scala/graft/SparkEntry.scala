@@ -313,6 +313,12 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
         .orderBy("doc_id")),
 
+    // dedup: SimHash near-dup pairs via integer signatures + bit_count(xor)
+    "q_dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        "source", maxDist = 2)
+        .orderBy("id1", "id2")),
+
     // dedup: n-gram Jaccard near-dup pairs (blocked by source)
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -607,6 +613,25 @@ object SparkEntry {
         |  FROM tok CROSS JOIN range(1, 17) t(j) GROUP BY doc_id, j)
         |SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_simhash_pairs" -> {
+      val weights = (1 to 16).map(j =>
+        s"sum(CASE WHEN substr(h, $j, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val intVal = (1 to 16).map(j =>
+        s"(CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")
+      s"""WITH tokf AS (
+         |  SELECT doc_id, source, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tokf),
+         |sums AS (SELECT doc_id, $weights FROM tok GROUP BY doc_id),
+         |sh AS (SELECT s.doc_id, ($intVal)::BIGINT AS hi, f.source
+         |       FROM sums s JOIN tokf f ON f.doc_id = s.doc_id)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       bit_count(xor(a.hi, b.hi))::BIGINT AS hamming
+         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.hi, b.hi)) <= 2
+         |ORDER BY id1, id2""".stripMargin
+    },
 
     "q_dedup_jaccard" ->
       s"""$shinglesCte,

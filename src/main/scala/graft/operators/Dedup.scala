@@ -106,6 +106,45 @@ object Dedup {
       d => d))
 
   /**
+   * SimHash as an INTEGER (bit j worth 2^(j-1)) — same majority rule as
+   * [[simhash]], but pair comparison becomes `bit_count(a XOR b)`:
+   * codegen'd integer ops instead of interpreted string zip_with, which is
+   * what makes the pair scan viable at scale. Relational formulation
+   * (explode + aggregate) for the same reason as minhash.
+   */
+  def simhashIntRows(docs: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 16): DataFrame = {
+    val odd: Seq[Any] = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    val tok = docs.select(col(idCol),
+      explode(tokensOf(col(textCol))).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val weights = (1 to bits).map { j =>
+      sum(when(substring(col("h"), j, 1).isin(odd: _*), 1).otherwise(-1))
+        .as(s"s$j")
+    }
+    tok.groupBy(col(idCol)).agg(weights.head, weights.tail: _*)
+      .select(col(idCol),
+        (1 to bits).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(0L))
+          .reduce(_ + _).as("simhash_int"))
+  }
+
+  /**
+   * SimHash near-dup pairs: hamming(simhash) ≤ maxDist within a blocking
+   * column — `bit_count(xor)` over the integer signatures.
+   */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, maxDist: Int = 2, bits: Int = 16): DataFrame = {
+    val sh = simhashIntRows(docs, idCol, textCol, bits)
+      .join(docs.select(col(idCol), col(blockCol)), Seq(idCol))
+    val l = sh.select(col(blockCol).as("blk"), col(idCol).as("id1"), col("simhash_int").as("h1"))
+    val r = sh.select(col(blockCol).as("blk"), col(idCol).as("id2"), col("simhash_int").as("h2"))
+    l.join(r, Seq("blk")).filter(col("id1") < col("id2"))
+      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id1"), col("id2"), col("hamming"))
+  }
+
+  /**
    * Word n-gram shingles as a relational table (id, shingle) — built with
    * posexplode + lead() so the exact same formulation runs in DuckDB.
    */

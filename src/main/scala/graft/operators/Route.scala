@@ -122,6 +122,20 @@ object Route {
       .withColumn("message", coalesce(col("message_trunc"), col("text")))
       .drop("message_trunc")
 
+  /**
+   * C2 — typed read-back: sink rows rehydrated as `Dataset[LogRecord]`
+   * (the reference's hit→DTO conversion,
+   * `service/ElasticsearchService.java:348-367`, without the per-field
+   * null-guard boilerplate — Encoders do it).
+   */
+  def logsTyped(spark: SparkSession, root: String): org.apache.spark.sql.Dataset[graft.Schemas.LogRecord] = {
+    import spark.implicits._
+    logs(spark, root)
+      .select(col("id"), col("url"), col("ts").as("timestamp"), col("severity"),
+        col("service"), col("message"), col("text"), col("lang"), col("environment"))
+      .as[graft.Schemas.LogRecord]
+  }
+
   /** Dead-letter rows (B4) with their reject reasons. */
   def rejected(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/routed")

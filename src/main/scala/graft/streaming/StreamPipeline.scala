@@ -63,6 +63,37 @@ object StreamPipeline {
   }
 
   /**
+   * Custom keyed state via `flatMapGroupsWithState`: per-service anomaly
+   * STREAK detection — emit an alert row whenever a service accumulates
+   * `threshold` consecutive anomalous records (resets on a clean record).
+   * This is the one semantic the reference's stateless per-message flow
+   * cannot express and windowed aggregation cannot either (order-dependent
+   * state); the reference's alert gate (H3) is per-row, this extends it
+   * across the stream.
+   */
+  final case class ServiceEvent(service: String, ts: java.sql.Timestamp, isAnomaly: Boolean)
+  final case class StreakAlert(service: String, streak: Int, at: java.sql.Timestamp)
+
+  def anomalyStreaks(events: org.apache.spark.sql.Dataset[ServiceEvent],
+                     threshold: Int = 3): org.apache.spark.sql.Dataset[StreakAlert] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.service)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
+        (service: String, rows: Iterator[ServiceEvent], state: GroupState[Int]) => {
+          var streak = state.getOption.getOrElse(0)
+          val alerts = rows.toSeq.sortBy(_.ts.getTime).flatMap { e =>
+            if (e.isAnomaly) {
+              streak += 1
+              if (streak == threshold) Some(StreakAlert(service, streak, e.ts)) else None
+            } else { streak = 0; None }
+          }
+          state.update(streak)
+          alerts.iterator
+        })
+  }
+
+  /**
    * F3 as an incremental streaming aggregate: 1-hour event-time windows
    * per severity, 10-minute watermark bounding state (late rows beyond it
    * are dropped — the streaming trade-off the batch gap-fill never makes).

@@ -37,6 +37,32 @@ class StreamingSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("stateful anomaly streaks across micro-batches (flatMapGroupsWithState)") {
+    import graft.streaming.StreamPipeline.{ServiceEvent, StreakAlert}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[ServiceEvent]
+    val q = StreamPipeline.anomalyStreaks(mem.toDS(), threshold = 3)
+      .writeStream.outputMode("append").format("memory").queryName("streaks").start()
+    def ev(svc: String, m: Int, anom: Boolean) =
+      ServiceEvent(svc, java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"), anom)
+    // batch 1: svc-a builds 2, svc-b stays clean
+    mem.addData(ev("a", 1, true), ev("a", 2, true), ev("b", 1, false))
+    q.processAllAvailable()
+    assert(spark.table("streaks").count() == 0, "no alert below threshold")
+    // batch 2: svc-a's streak CONTINUES across batches -> alert at 3;
+    // svc-b resets mid-way and never alerts
+    mem.addData(ev("a", 3, true), ev("b", 2, true), ev("b", 3, false), ev("b", 4, true))
+    q.processAllAvailable()
+    val alerts = spark.table("streaks").as[StreakAlert].collect().toSeq
+    assert(alerts == Seq(StreakAlert("a", 3,
+      java.sql.Timestamp.valueOf("2024-01-01 00:03:00"))))
+    // batch 3: clean record resets svc-a; 3 more anomalies re-alert
+    mem.addData(ev("a", 4, false), ev("a", 5, true), ev("a", 6, true), ev("a", 7, true))
+    q.processAllAvailable()
+    assert(spark.table("streaks").count() == 2)
+    q.stop()
+  }
+
   test("windowed severity counts with watermark (incremental F3)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Schemas.PageRow]

@@ -365,6 +365,13 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // similarity: IVF probe-1 ANN (deterministic seed centroids)
+    "q_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        "vec_id", "v", queryId = 0L, topK = 10, k = 8)),
+
     // text: heuristic language ID
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -668,6 +675,22 @@ object SparkEntry {
         |WHERE e.vec_id <> 0
         |  AND (e.v[1] > 0) = (q.qv[1] > 0) AND (e.v[2] > 0) = (q.qv[2] > 0)
         |  AND (e.v[3] > 0) = (q.qv[3] > 0) AND (e.v[4] > 0) = (q.qv[4] > 0)
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT vec_id, cid,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
+        |  FROM e CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+        |q AS (SELECT e.v AS qv, cells.cell AS qcell
+        |      FROM e JOIN cells USING (vec_id) WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |FROM e JOIN cells ON e.vec_id = cells.vec_id CROSS JOIN q
+        |WHERE cells.cell = q.qcell AND e.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_lang_id" ->

@@ -65,6 +65,43 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) cell assignment — the other scale path for ANN.
+   * Centroids here are deterministic seed vectors (ids < k) so results are
+   * reproducible and oracle-checkable; a production build would run a few
+   * k-means iterations over a sample instead (same assignment plan). Each
+   * vector joins the (broadcast, tiny) centroid table, and its cell is the
+   * max-cosine centroid (ties → smaller centroid id). One narrow shuffle
+   * for the window; at scale the cell becomes the partition key of the
+   * stored index, so probing reads only the probed cells' partitions.
+   */
+  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = emb.filter(col(idCol) < k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(cosine(col(vecCol), col("cv")).desc, col("cid"))
+    emb.crossJoin(org.apache.spark.sql.functions.broadcast(c))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("cid").as("cell"))
+  }
+
+  /** IVF probe-1 top-k: search only the query vector's own cell. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, topK: Int, k: Int = 8): DataFrame = {
+    val cells = ivfCells(emb, idCol, vecCol, k)
+    val withCell = emb.join(cells, Seq(idCol))
+    val q = withCell.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), col("cell").as("qcell"))
+    withCell.crossJoin(org.apache.spark.sql.functions.broadcast(q))
+      .filter(col("cell") === col("qcell") && col(idCol) =!= queryId)
+      .select(col(idCol), round(cosine(col(vecCol), col("qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * Embedding near-dup pairs: all pairs with cosine ≥ threshold, blocked
    * by (blockCol, sign bucket) so the self-join is bounded per block —
    * the embedding-cosine near-dup dedup operator.

@@ -53,6 +53,24 @@ class SimilaritySpec extends SparkSuite {
     assert(buckets.forall(_ == qb))
   }
 
+  test("IVF: cells partition the corpus; probe-1 search stays in the query's cell") {
+    val e = emb.withColumnRenamed("v", "vec")
+    val cells = Similarity.ivfCells(e, "vec_id", "vec", k = 8)
+    assert(cells.count() == 200, "every vector gets exactly one cell")
+    assert(cells.select("cell").distinct().count() <= 8)
+    // the seed vectors are their own cell centers (cos=1 with themselves)
+    val seedCells = cells.filter($"vec_id" < 8).as[(Long, Long)].collect().toMap
+    seedCells.foreach { case (id, cell) => assert(cell == id, s"seed $id -> $cell") }
+    val top = Similarity.ivfTopK(e, "vec_id", "vec", queryId = 7L, topK = 5, k = 8)
+      .as[(Long, Double)].collect()
+    assert(top.nonEmpty && top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
+    // all results share the query's cell
+    val qcell = cells.filter($"vec_id" === 7L).collect()(0).getLong(1)
+    val resCells = cells.filter($"vec_id".isin(top.map(_._1).toSeq: _*))
+      .select("cell").as[Long].collect()
+    assert(resCells.forall(_ == qcell))
+  }
+
   test("multimodal: decode plumbing is partition-preserving with typed output") {
     val media = Multimodal.fromBinary(spark,
       Seq((1L, "img-bytes-aaaa"), (2L, "vid-bytes-bbbb"), (3L, "vid-bytes-cccc"))

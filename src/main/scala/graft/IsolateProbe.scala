@@ -16,7 +16,6 @@ object IsolateProbe {
     for (i <- 1 to 3) t(s"compute-only-$i") { scored.select(bit_xor(xxhash64(col("id"))), count(when(col("alert"),1))).collect() }
     for (i <- 1 to 8) { t(s"write-del-$i") { scored.withColumn("severity", when(col("parse_ok"), col("severity")).otherwise("REJECTED")).selectExpr(graft.operators.Route.sinkColumns :+ "severity": _*).write.mode("overwrite").partitionBy("severity").parquet(s"$out/w") }
       t(s"rm-$i") { org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$out/w")) } }
-    for (i <- 1 to 0) t(s"write-nocomp-$i") { scored.withColumn("severity", when(col("parse_ok"), col("severity")).otherwise("REJECTED")).selectExpr(graft.operators.Route.sinkColumns :+ "severity": _*).write.mode("overwrite").option("compression","none").partitionBy("severity").parquet(s"$out/n$i") }
     spark.stop()
   }
 }

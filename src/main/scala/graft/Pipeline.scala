@@ -34,7 +34,8 @@ object Pipeline {
     Score(enriched)
   }
 
-  final case class RunResult(ran: Boolean, stats: Option[Route.RouteStats])
+  final case class RunResult(ran: Boolean, stats: Option[Route.RouteStats],
+                             ranAggregate: Boolean = false)
 
   /**
    * Full checkpointed run: route stage (logs + rejected + anomalies sinks)
@@ -64,7 +65,12 @@ object Pipeline {
         Some(timed("lineage") { Route.lineage(spark, root) }))
     }
 
-    Checkpoint.runStage(spark, root, "aggregate", jobStartTs) {
+    // Downstream consistency: if the route stage (re-)executed, any
+    // aggregate commit from a previous run describes the OLD sink — clear
+    // it so sink_counts is always recomputed from the sink just written.
+    if (ranRoute) Checkpoint.invalidate(spark, root, "aggregate")
+
+    val ranAgg = Checkpoint.runStage(spark, root, "aggregate", jobStartTs) {
       val aggs = timed("aggregates") { Route.sinkAggregates(spark, root) }
       timed("agg-write") {
         aggs.write.mode("overwrite").parquet(s"$root/sink_counts")
@@ -73,6 +79,6 @@ object Pipeline {
       (Checkpoint.CommitRow("aggregate", n, n, 0L, "", ""), None)
     }
 
-    RunResult(ranRoute, stats)
+    RunResult(ranRoute, stats, ranAgg)
   }
 }

@@ -117,6 +117,16 @@ object SparkEntry {
         .filter(Analytics.textMatch(col("text"), "spark window"))
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // E1 (scored variant) — tf-ranked text match: term-frequency of the
+    // query tokens as relevance key (closes the documented boolean-vs-
+    // scored divergence from ES match; ElasticsearchService.java:279-283)
+    "q_text_rank" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Analytics.textMatchScore(col("text"), "spark window").as("tf"))
+        .filter(col("tf") > 0)
+        .orderBy(col("tf").desc, col("doc_id"))),
+
     // F3 — gap-filled 1h date histogram, minDocCount(0)
     "q_date_histogram" -> ((s, dir) =>
       Analytics.logVolume(t(s, dir, "events"), "ts")),
@@ -294,6 +304,25 @@ object SparkEntry {
           .otherwise(col("text")).as("csv_field"))
         .orderBy("doc_id")),
 
+    // B5+I3 end-to-end — export WRITE path under the oracle: plant CSV
+    // specials (comma, quote, newline), write through Exports.exportCsv
+    // (RFC-4180 quoting, cap, forced sort), read the file back, compare to
+    // the oracle's view of the capped set. A broken writer (wrong quoting,
+    // trimmed whitespace, lost rows) mis-parses on read-back and fails the
+    // value hash. Pins LogSearchController.java:81-134 + 188-220.
+    "q_export_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_export_roundtrip"
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("a,b\"c\nd "), col("text")).as("payload"))
+      Exports.exportCsv(src, out, cap = 100, tsCol = "doc_id", tiebreak = "doc_id")
+      s.read.option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .schema("doc_id LONG, payload STRING")
+        .csv(out)
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data operators ----------------------------------------
 
     // dedup: exact content-hash
@@ -307,36 +336,60 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy("id1", "id2")),
 
-    // dedup: 16-bit SimHash signature
+    // dedup: 16-bit SimHash signature (bit string derived from the
+    // relational integer signature — one md5 per distinct token)
     "q_dedup_simhash" -> ((s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+      Dedup.simhashBitsRows(t(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // dedup: SimHash near-dup pairs via integer signatures + bit_count(xor)
+    // dedup: SimHash near-dup pairs — Hamming-LSH chunk banding (exact for
+    // maxDist<=2), signature-derived blocking, no natural-key skew
+    // exposure; 32-bit signatures (16-bit is too coarse: ~6.5x more
+    // candidate pairs on this corpus)
     "q_dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        "source", maxDist = 2)
+        maxDist = 2, bits = 32)
         .orderBy("id1", "id2")),
 
-    // dedup: n-gram Jaccard near-dup pairs (blocked by source)
+    // dedup: n-gram Jaccard near-dup pairs (blocked by source, hot shingles
+    // df-capped so the self-join is bounded per (blk, shingle) bucket)
     "q_dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        "source", n = 3, threshold = 0.2)
+        "source", n = 3, threshold = 0.2, maxShingleDf = 100)
         .orderBy("id1", "id2")),
 
-    // dedup: embedding-cosine near-dup pairs (blocked by label)
+    // dedup: embedding-cosine near-dup pairs, blocked by (label, band,
+    // sign bucket) — the scale-safe variant: each of 4 sign bands splits
+    // every label block 2^2 ways (a dominant label cannot go quadratic),
+    // OR-amplification across bands keeps recall high
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+      Similarity.nearDupPairs(e, "vec_id", "v", "label",
+        threshold = 0.40, bands = 4, bitsPerBand = 2)
+        .orderBy("id1", "id2")
+    }),
+
+    // dedup: recall harness for the bucketed near-dup — bucketed pair count
+    // vs exact all-pairs at the same threshold, on a fixed bounded probe
+    // subset (ids < 1000) so the exact side stays cheap at any scale
+    "q_dedup_embedding_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
       val l = e.select(col("label").as("blk"), col("vec_id").as("id1"), col("v").as("v1"))
       val r = e.select(col("label").as("blk"), col("vec_id").as("id2"), col("v").as("v2"))
-      l.join(r, Seq("blk")).filter(col("id1") < col("id2"))
-        .withColumn("cos_sim", round(Similarity.cosine(col("v1"), col("v2")), 4))
-        .filter(col("cos_sim") >= 0.40)
-        .select(col("id1"), col("id2"), col("cos_sim"))
-        .orderBy("id1", "id2")
+      val exact = l.join(r, Seq("blk")).filter(col("id1") < col("id2"))
+        .filter(round(Similarity.cosine(col("v1"), col("v2")), 4) >= 0.40)
+        .agg(count(lit(1)).as("n_exact"))
+      val bucketed = Similarity.nearDupPairs(e, "vec_id", "v", "label",
+        threshold = 0.40, bands = 4, bitsPerBand = 2)
+        .agg(count(lit(1)).as("n_bucketed"))
+      bucketed.crossJoin(exact).select(
+        col("n_bucketed"), col("n_exact"),
+        when(col("n_exact") === 0, 1.0)
+          .otherwise(round(col("n_bucketed") / col("n_exact"), 4)).as("recall"))
     }),
 
     // similarity: brute-force cosine top-k vs query vector (vec_id=0)
@@ -365,12 +418,14 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // similarity: IVF probe-1 ANN (deterministic seed centroids)
+    // similarity: IVF ANN — deterministic sampled k-means centroids
+    // (2 Lloyd iterations, DECIMAL-exact means) + multi-probe (nprobe=2)
     "q_ann_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(
         t(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
-        "vec_id", "v", queryId = 0L, topK = 10, k = 8)),
+        "vec_id", "v", queryId = 0L, topK = 10, k = 8, nprobe = 2,
+        iters = 2, sampleN = 256)),
 
     // text: heuristic language ID
     "q_lang_id" -> ((s, dir) =>
@@ -413,6 +468,15 @@ object SparkEntry {
 
   // ---- DuckDB oracles -----------------------------------------------------
 
+  /** OR-of-bands sign-agreement condition mirroring Similarity.nearDupPairs. */
+  private def bandCondSql(bands: Int, bitsPerBand: Int): String =
+    (0 until bands).map { i =>
+      (1 to bitsPerBand).map { j =>
+        val k = i * bitsPerBand + j
+        s"(a.v[$k] > 0) = (b.v[$k] > 0)"
+      }.mkString("(", " AND ", ")")
+    }.mkString("(", " OR ", ")")
+
   private val shinglesCte =
     """WITH tokf AS (
       |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
@@ -454,6 +518,18 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), '\b(spark|window)\b')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_rank" ->
+      """SELECT doc_id, len(regexp_extract_all(lower(text), '\b(spark|window)\b'))::BIGINT AS tf
+        |FROM documents
+        |WHERE len(regexp_extract_all(lower(text), '\b(spark|window)\b')) > 0
+        |ORDER BY tf DESC, doc_id""".stripMargin,
+
+    "q_export_roundtrip" ->
+      """WITH capped AS (
+        |  SELECT doc_id, 'a,b"c' || chr(10) || 'd ' || text AS payload
+        |  FROM documents ORDER BY doc_id DESC LIMIT 100)
+        |SELECT doc_id, payload FROM capped ORDER BY doc_id""".stripMargin,
 
     "q_date_histogram" ->
       """WITH counts AS (
@@ -514,9 +590,12 @@ object SparkEntry {
     "q_anomaly_score" -> scoreSql(filterAlerts = false),
     "q_alert_gate" -> scoreSql(filterAlerts = true),
 
+    // NOTE: coalesce mirrors Score.featuresJson exactly — null text
+    // serializes as length 0 (and null level/service as the STRING "null",
+    // the documented divergence from Jackson's JSON null; Score.scala G14).
     "q_features_json" ->
       """SELECT doc_id,
-        |  '{"messageLength":' || length(text)
+        |  '{"messageLength":' || coalesce(length(text), 0)
         |  || ',"level":"' || coalesce(upper(lang), 'null')
         |  || '","service":"' || coalesce(source, 'null')
         |  || '","hasException":' || (CASE WHEN lower(text) LIKE '%exception%' OR lower(text) LIKE '%error%' THEN 'true' ELSE 'false' END)
@@ -622,30 +701,37 @@ object SparkEntry {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash_pairs" -> {
-      val weights = (1 to 16).map(j =>
+      val bits = 32
+      val weights = (1 to bits).map(j =>
         s"sum(CASE WHEN substr(h, $j, 1) IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS s$j").mkString(", ")
-      val intVal = (1 to 16).map(j =>
+      val intVal = (1 to bits).map(j =>
         s"(CASE WHEN s$j > 0 THEN ${1L << (j - 1)} ELSE 0 END)").mkString(" + ")
+      // 3-chunk split mirroring Dedup.simhashPairs: widths 11/11/10
       s"""WITH tokf AS (
-         |  SELECT doc_id, source, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS toks
+         |  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS toks
          |  FROM documents),
          |tok AS (SELECT doc_id, md5(unnest(toks)) AS h FROM tokf),
          |sums AS (SELECT doc_id, $weights FROM tok GROUP BY doc_id),
-         |sh AS (SELECT s.doc_id, ($intVal)::BIGINT AS hi, f.source
-         |       FROM sums s JOIN tokf f ON f.doc_id = s.doc_id)
-         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |sh AS (SELECT doc_id, ($intVal)::BIGINT AS hi FROM sums),
+         |ch AS (
+         |  SELECT doc_id, hi, 0 AS chunk, hi & 2047 AS ckey FROM sh
+         |  UNION ALL SELECT doc_id, hi, 1, (hi >> 11) & 2047 FROM sh
+         |  UNION ALL SELECT doc_id, hi, 2, hi >> 22 FROM sh)
+         |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
          |       bit_count(xor(a.hi, b.hi))::BIGINT AS hamming
-         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+         |FROM ch a JOIN ch b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.hi, b.hi)) <= 2
          |ORDER BY id1, id2""".stripMargin
     },
 
     "q_dedup_jaccard" ->
       s"""$shinglesCte,
-         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+         |rare AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 100),
+         |shc AS (SELECT sh.* FROM sh JOIN rare USING (g)),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY 1),
          |pairs AS (
          |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS shared
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
+         |  FROM shc a JOIN shc b ON a.source = b.source AND a.g = b.g AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id1, id2, round(shared / (s1.sz + s2.sz - shared), 4) AS jaccard
          |FROM pairs JOIN sz s1 ON s1.doc_id = id1 JOIN sz s2 ON s2.doc_id = id2
@@ -653,12 +739,30 @@ object SparkEntry {
          |ORDER BY id1, id2""".stripMargin,
 
     "q_dedup_embedding" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS id1, b.vec_id AS id2,
-        |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
-        |ORDER BY id1, id2""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT a.vec_id AS id1, b.vec_id AS id2,
+         |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+         |  AND ${bandCondSql(4, 2)}
+         |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
+         |ORDER BY id1, id2""".stripMargin,
+
+    "q_dedup_embedding_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |           FROM embeddings WHERE vec_id < 1000),
+         |ex AS (
+         |  SELECT count(*) AS n_exact FROM e a JOIN e b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40),
+         |bk AS (
+         |  SELECT count(*) AS n_bucketed FROM e a JOIN e b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |    AND ${bandCondSql(4, 2)}
+         |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40)
+         |SELECT n_bucketed, n_exact,
+         |       CASE WHEN n_exact = 0 THEN 1.0
+         |            ELSE round(n_bucketed * 1.0 / n_exact, 4) END AS recall
+         |FROM bk, ex""".stripMargin,
 
     "q_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -677,21 +781,8 @@ object SparkEntry {
         |  AND (e.v[3] > 0) = (q.qv[3] > 0) AND (e.v[4] > 0) = (q.qv[4] > 0)
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |asg AS (
-        |  SELECT vec_id, cid,
-        |         row_number() OVER (PARTITION BY vec_id
-        |           ORDER BY list_cosine_similarity(v, cv) DESC, cid) AS rn
-        |  FROM e CROSS JOIN c),
-        |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
-        |q AS (SELECT e.v AS qv, cells.cell AS qcell
-        |      FROM e JOIN cells USING (vec_id) WHERE vec_id = 0)
-        |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
-        |FROM e JOIN cells ON e.vec_id = cells.vec_id CROSS JOIN q
-        |WHERE cells.cell = q.qcell AND e.vec_id <> 0
-        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q_ann_ivf" -> ivfOracleSql(k = 8, iters = 2, sampleN = 256, nprobe = 2,
+      topK = 10),
 
     "q_lang_id" ->
       """SELECT doc_id,
@@ -720,6 +811,50 @@ object SparkEntry {
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin
   )
+
+  /**
+   * DuckDB mirror of Similarity.kmeansCentroids + multi-probe ivfTopK:
+   * `iters` unrolled Lloyd steps (assignment = argmax cosine with cid
+   * tiebreak; means via exact DECIMAL sums — bit-identical to Spark's
+   * regardless of row order), then full-corpus assignment and an
+   * nprobe-cell search for query vec_id=0.
+   */
+  private def ivfOracleSql(k: Int, iters: Int, sampleN: Long, nprobe: Int,
+                           topK: Int): String = {
+    def assign(name: String, src: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT s.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY list_cosine_similarity(s.v, c.cv) DESC, c.cid) AS rn
+         |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def means(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT a.cell AS cid, u.pos,
+         |           CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM smp) u
+         |    JOIN $asg a ON a.vec_id = u.vec_id
+         |    GROUP BY a.cell, u.pos) GROUP BY cid)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(s"a$i", "smp", s"c${i - 1}"), means(s"c$i", s"a$i"))
+    }
+    val ctes = Seq(
+      "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+      s"smp AS (SELECT vec_id, v FROM e WHERE vec_id < $sampleN)",
+      s"c0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < $k)") ++
+      steps ++ Seq(
+      assign("cells", "e", s"c$iters"),
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+      s"""probe AS (SELECT cid FROM c$iters CROSS JOIN q
+         |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT $nprobe)""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+       |FROM e JOIN cells ON e.vec_id = cells.vec_id
+       |JOIN probe ON cells.cell = probe.cid CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
 
   /** Shared score computation SQL (H1/H3). */
   private def scoreSql(filterAlerts: Boolean): String = {

@@ -30,6 +30,18 @@ object Analytics {
   }
 
   /**
+   * E1 (scored variant) — term-frequency relevance: count of query-token
+   * occurrences in the message (the tf core of ES's practical scoring),
+   * usable as a ranking sort key on top of the boolean gate. Codegen'd
+   * `regexp_count`; cast to long for engine-portable aggregation.
+   */
+  def textMatchScore(message: Column, queryText: String): Column = {
+    val tokens = queryText.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    regexp_count(lower(message),
+      lit("\\b(" + tokens.mkString("|") + ")\\b")).cast("long")
+  }
+
+  /**
    * §3.2 search path — bool{must: match, filter: [levels, services, range]}
    * + sort + from/size pagination (`ElasticsearchService.java:237-274`).
    * `hosts` is accepted-and-ignored for fidelity (dead filter D6,

@@ -85,32 +85,21 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
-  /**
-   * SimHash (16-bit): bit j is 1 iff strictly more than half of the
-   * distinct tokens have an odd hex digit at position j of md5(token).
-   * Portable: no bit arithmetic, just hex-char parity — identical in SQL.
-   */
-  def simhash(text: Column, bits: Int = 16): Column = {
-    val odd: Seq[Any] = Seq("1", "3", "5", "7", "9", "b", "d", "f")
-    val toks = tokensOf(text)
-    array_join(
-      transform(sequence(lit(1), lit(bits)), j =>
-        when(size(filter(toks,
-          t => md5(t).substr(j, lit(1)).isin(odd: _*))) * 2 > size(toks),
-          "1").otherwise("0")), "")
-  }
-
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),
       d => d))
 
   /**
-   * SimHash as an INTEGER (bit j worth 2^(j-1)) — same majority rule as
-   * [[simhash]], but pair comparison becomes `bit_count(a XOR b)`:
-   * codegen'd integer ops instead of interpreted string zip_with, which is
-   * what makes the pair scan viable at scale. Relational formulation
-   * (explode + aggregate) for the same reason as minhash.
+   * SimHash as an INTEGER (bit j worth 2^(j-1)): bit j is 1 iff strictly
+   * more than half of the distinct tokens have an odd hex digit at position
+   * j of md5(token) (majority ⇔ sum of ±1 weights > 0). Pair comparison is
+   * `bit_count(a XOR b)`: codegen'd integer ops instead of interpreted
+   * string zip_with, which is what makes the pair scan viable at scale.
+   * Relational formulation (explode + aggregate) for the same reason as
+   * minhash. One md5 per distinct token — the former string-signature HOF
+   * recomputed md5 once per bit position and is deleted; the bit string is
+   * now derived from this integer ([[simhashBitsRows]]).
    */
   def simhashIntRows(docs: DataFrame, idCol: String, textCol: String,
                      bits: Int = 16): DataFrame = {
@@ -129,19 +118,57 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs: hamming(simhash) ≤ maxDist within a blocking
-   * column — `bit_count(xor)` over the integer signatures.
+   * SimHash signature as a bit STRING (char j = bit j), derived from the
+   * integer signature — one md5 per distinct token total, vs the deleted
+   * HOF formulation's one md5 per token per bit position.
+   */
+  def simhashBitsRows(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int = 16): DataFrame =
+    simhashIntRows(docs, idCol, textCol, bits)
+      .select(col(idCol),
+        reverse(lpad(bin(col("simhash_int")), bits, "0")).as("simhash"))
+
+  /**
+   * SimHash near-dup pairs via Hamming-LSH chunk banding: the `bits`-bit
+   * signature is split into 3 near-equal chunks; by pigeonhole, any pair
+   * within hamming distance ≤ 2 agrees EXACTLY on at least one chunk, so
+   * joining on (chunk index, chunk value) generates every qualifying pair —
+   * exact, not approximate, for maxDist ≤ 2. The blocking key is derived
+   * from the signature itself (data-independent ~2^(bits/3) buckets per
+   * chunk), unlike blocking on a natural column such as `source`, where one
+   * dominant value re-creates the quadratic self-join. Candidate volume per
+   * bucket shrinks exponentially in chunk width, so at larger corpus sizes
+   * widen the signature (md5 provides up to 32 hex positions here; a
+   * two-hash scheme extends to 64) — the pigeonhole guarantee always needs
+   * only maxDist+1 chunks.
    */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   blockCol: String, maxDist: Int = 2, bits: Int = 16): DataFrame = {
+                   maxDist: Int = 2, bits: Int = 32): DataFrame = {
+    require(bits >= 6 && bits <= 32, "md5 hex positions support up to 32 bits")
+    require(maxDist <= 2, "3-chunk banding is exact only for maxDist <= 2")
+    val base = bits / 3
+    val widths = Seq(base + (if (bits % 3 > 0) 1 else 0),
+      base + (if (bits % 3 > 1) 1 else 0), base)
+    val offsets = widths.scanLeft(0)(_ + _)
     val sh = simhashIntRows(docs, idCol, textCol, bits)
-      .join(docs.select(col(idCol), col(blockCol)), Seq(idCol))
-    val l = sh.select(col(blockCol).as("blk"), col(idCol).as("id1"), col("simhash_int").as("h1"))
-    val r = sh.select(col(blockCol).as("blk"), col(idCol).as("id2"), col("simhash_int").as("h2"))
-    l.join(r, Seq("blk")).filter(col("id1") < col("id2"))
+    val chunkCols = (0 until 3).map { i =>
+      shiftright(col("simhash_int"), offsets(i))
+        .bitwiseAND(lit((1L << widths(i)) - 1))
+    }
+    val chunks = sh.select(col(idCol), col("simhash_int"),
+      posexplode(array(chunkCols: _*)))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "ckey")
+    val l = chunks.select(col("chunk"), col("ckey"),
+      col(idCol).as("id1"), col("simhash_int").as("h1"))
+    val r = chunks.select(col("chunk"), col("ckey"),
+      col(idCol).as("id2"), col("simhash_int").as("h2"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("id1") < col("id2"))
       .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
       .filter(col("hamming") <= maxDist)
       .select(col("id1"), col("id2"), col("hamming"))
+      .distinct()
   }
 
   /**
@@ -166,11 +193,23 @@ object Dedup {
    * N-gram Jaccard near-dup pairs, blocked by a grouping column (e.g.
    * source) so candidate generation is bounded per block:
    * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
+   *
+   * Hot-shingle bound: a shingle appearing in more than `maxShingleDf`
+   * documents is dropped from the shingle space entirely (sizes AND join) —
+   * standard dedup practice: such shingles carry no discriminating signal
+   * but make the `(blk, shingle)` self-join quadratic in the hottest
+   * bucket. Jaccard is then a true similarity over the df-capped space.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
-                        threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+                        threshold: Double = 0.8,
+                        maxShingleDf: Int = 100): DataFrame = {
+    val shAll = shingles(docs, idCol, textCol, n)
+    val rare = shAll.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleDf)
+      .select("shingle")
+    val sh = shAll.join(rare, Seq("shingle"))
       .join(docs.select(col(idCol), col(blockCol)), Seq(idCol))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val l = sh.select(col(blockCol).as("blk"), col(idCol).as("id1"), col("shingle"))

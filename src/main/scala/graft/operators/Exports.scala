@@ -21,12 +21,20 @@ object Exports {
 
   val ExportCap = 10000 // LogSearchController.java:29
 
-  /** B5 — CSV export with the reference's forced sort + cap (I3). */
+  /** B5 — CSV export with the reference's forced sort + cap (I3).
+    * escape=`"` makes embedded quotes DOUBLED (RFC-4180, exactly the
+    * reference's hand-rolled rule at :212-220 — Spark's default escape is
+    * backslash, which is not RFC-4180); whitespace is never trimmed. */
   def exportCsv(df: DataFrame, outDir: String, cap: Int = ExportCap,
                 tsCol: String = "ts", tiebreak: String = "id"): Unit =
     df.orderBy(col(tsCol).desc, col(tiebreak).desc).limit(cap)
       .coalesce(1) // one file, like the HTTP response body
-      .write.mode("overwrite").option("header", "true").csv(outDir)
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(outDir)
 
   /** B6 — JSON export (one object per line; cap + sort as B5). */
   def exportJson(df: DataFrame, outDir: String, cap: Int = ExportCap,

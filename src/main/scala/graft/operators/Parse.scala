@@ -72,9 +72,11 @@ object Parse {
   /** G18 — host from url (empty-string-safe wrapper over parse_url). */
   def hostOf(url: Column): Column = parse_url(url, lit("HOST"))
 
-  /** Validation gate: rows failing it go to the rejected sink (B4/J2). */
+  /** Validation gate: rows failing it go to the rejected sink (B4/J2).
+    * coalesce pins null url → false (not NULL), so REJECTED routing and
+    * reject_reason agree on null urls (RefOracle: "invalid_url"). */
   def parseOk(url: Column, text: Column): Column =
-    url.rlike("^https?://[^/]+") && text.isNotNull
+    coalesce(url.rlike("^https?://[^/]+"), lit(false)) && text.isNotNull
 
   /**
    * Full parse stage over the pages table
@@ -90,7 +92,8 @@ object Parse {
     pages
       .withColumn("parse_ok", parseOk(col("url"), col("text")))
       .withColumn("reject_reason",
-        when(!col("url").rlike("^https?://[^/]+"), "invalid_url")
+        when(col("url").isNull || !col("url").rlike("^https?://[^/]+"),
+          "invalid_url") // isNull explicit: rlike(null) is NULL, not false
           .when(col("text").isNull, "null_text"))
       .withColumn("id", sha2(col("url"), 256))
       .withColumn("host", hostOf(col("url")))

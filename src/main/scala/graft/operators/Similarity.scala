@@ -1,30 +1,39 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
 
 /**
  * Similarity search over an embedding column (`Array[Float]`) — brute-force
- * cosine top-k as the exactness baseline, sign-LSH bucketing as the scale
- * path. First-class training-data-pipeline operators (builder brief).
+ * cosine top-k as the exactness baseline, sign-LSH bucketing and an IVF
+ * (k-means inverted-file) index as the scale paths. First-class
+ * training-data-pipeline operators (builder brief).
  *
- * Scale design: cosine is a pure `zip_with`+`aggregate` expression
- * (codegen'd, no UDF, no collect); top-k plans as TakeOrderedAndProject
- * (per-partition k then merge — no global sort materialization); the LSH /
- * label blocking bounds pair generation for the all-pairs near-dup case.
- * At 1000-executor scale the bucketed variant shuffles each vector once on
- * a small bucket key instead of broadcasting the corpus.
+ * Scale design: cosine is a custom codegen'd Catalyst expression
+ * ([[graft.functions.CosineSim]] — one fused loop inside whole-stage
+ * codegen; no UDF, no interpreted HOF, no collect); top-k plans as
+ * TakeOrderedAndProject (per-partition k then merge — no global sort
+ * materialization); the LSH / IVF blocking bounds pair generation for the
+ * near-dup case. At 1000-executor scale the bucketed variant shuffles each
+ * vector once on a small bucket key instead of broadcasting the corpus, and
+ * the IVF cell becomes the partition key of the stored index so probes read
+ * only the probed cells' partitions.
  */
 object Similarity {
 
-  /** dot(a,b) as a fold — works for float or double array columns. */
+  /** dot(a,b) as a fold — reference formulation (interpreted; tests only). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** cosine(a,b) ∈ [-1,1]; null-safe via non-zero norms upstream. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /**
+   * cosine(a,b) ∈ [-1,1] — codegen'd single-pass kernel, bit-identical to
+   * the `zip_with`+`aggregate` fold (same index-order accumulation).
+   */
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosineSim(a, b)
 
   /**
    * Brute-force top-k neighbors of one query vector: O(n·d) scan, ranked
@@ -51,9 +60,9 @@ object Similarity {
         i => when(element_at(vec, i) > 0, "1").otherwise("0")), "")
 
   /**
-   * ANN top-k: search only the query's sign bucket (the IVF-style probe-1
-   * scale path). Recall < 1 by construction; SimilaritySpec measures it
-   * against the brute-force baseline.
+   * ANN top-k: search only the query's sign bucket (probe-1 scale path).
+   * Recall < 1 by construction; SimilaritySpec measures it against the
+   * brute-force baseline.
    */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Float], k: Int, nBits: Int = 4): DataFrame = {
@@ -65,37 +74,76 @@ object Similarity {
   }
 
   /**
-   * IVF (inverted-file) cell assignment — the other scale path for ANN.
-   * Centroids here are deterministic seed vectors (ids < k) so results are
-   * reproducible and oracle-checkable; a production build would run a few
-   * k-means iterations over a sample instead (same assignment plan). Each
-   * vector joins the (broadcast, tiny) centroid table, and its cell is the
-   * max-cosine centroid (ties → smaller centroid id). One narrow shuffle
-   * for the window; at scale the cell becomes the partition key of the
-   * stored index, so probing reads only the probed cells' partitions.
+   * Deterministic k-means for the IVF index: seeds are the k smallest-id
+   * vectors, then `iters` Lloyd iterations over a FIXED sample
+   * (id < sampleN — at production scale this would be a hash-sample of the
+   * same bounded size; the iteration cost is O(sample·k), independent of
+   * corpus size). Per-dimension means are computed with exact DECIMAL sums
+   * so the centroids are bit-identical regardless of row order / partition
+   * count — reproducible clustering, oracle-checkable in any engine.
+   * A centroid that loses all its sample points drops out (k shrinks);
+   * deterministic, documented.
    */
-  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
-               k: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = emb.filter(col(idCol) < k)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+  def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 8, iters: Int = 2, sampleN: Long = 256): DataFrame = {
+    val sample = emb.filter(col(idCol) < sampleN).select(col(idCol), col(vecCol))
+    var cents = emb.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = assignCells(sample, idCol, vecCol, cents)
+      cents = sample.join(assigned, Seq(idCol))
+        .select(col("cell").as("cid"), posexplode(col(vecCol)))
+        .groupBy(col("cid"), col("pos"))
+        .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cv"))
+    }
+    cents
+  }
+
+  /**
+   * IVF cell assignment: each vector's cell is its max-cosine centroid
+   * (ties → smaller centroid id). The centroid table is tiny and broadcast;
+   * the row_number window shuffles on the vector id only.
+   */
+  def assignCells(emb: DataFrame, idCol: String, vecCol: String,
+                  cents: DataFrame): DataFrame = {
     val w = Window.partitionBy(col(idCol))
       .orderBy(cosine(col(vecCol), col("cv")).desc, col("cid"))
-    emb.crossJoin(org.apache.spark.sql.functions.broadcast(c))
+    emb.crossJoin(broadcast(cents))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col(idCol), col("cid").as("cell"))
   }
 
-  /** IVF probe-1 top-k: search only the query vector's own cell. */
+  /** IVF cell table for the whole corpus (k-means centroids). */
+  def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int = 8, iters: Int = 2, sampleN: Long = 256): DataFrame =
+    assignCells(emb, idCol, vecCol, kmeansCentroids(emb, idCol, vecCol, k, iters, sampleN))
+
+  /**
+   * IVF multi-probe top-k: rank centroids by cosine to the query and search
+   * the union of the `nprobe` nearest cells (probe-1 = the query's own
+   * cell). At scale the stored index is partitioned by cell, so this reads
+   * only nprobe partitions. Recall vs brute force is measured in
+   * SimilaritySpec.
+   */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, topK: Int, k: Int = 8): DataFrame = {
-    val cells = ivfCells(emb, idCol, vecCol, k)
-    val withCell = emb.join(cells, Seq(idCol))
-    val q = withCell.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), col("cell").as("qcell"))
-    withCell.crossJoin(org.apache.spark.sql.functions.broadcast(q))
-      .filter(col("cell") === col("qcell") && col(idCol) =!= queryId)
+              queryId: Long, topK: Int, k: Int = 8, nprobe: Int = 2,
+              iters: Int = 2, sampleN: Long = 256): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters, sampleN)
+    val cells = assignCells(emb, idCol, vecCol, cents)
+    val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
+    val probed = cents.crossJoin(broadcast(q))
+      .orderBy(cosine(col("cv"), col("qv")).desc, col("cid"))
+      .limit(nprobe)
+      .select(col("cid").as("qcell"))
+    emb.join(cells, Seq(idCol))
+      .join(broadcast(probed), col("cell") === col("qcell"))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
       .select(col(idCol), round(cosine(col(vecCol), col("qv")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(topK)
@@ -103,21 +151,37 @@ object Similarity {
 
   /**
    * Embedding near-dup pairs: all pairs with cosine ≥ threshold, blocked
-   * by (blockCol, sign bucket) so the self-join is bounded per block —
-   * the embedding-cosine near-dup dedup operator.
+   * by (blockCol, band, sign bucket) — BANDED sign-LSH with OR-
+   * amplification: `bands` independent sign buckets, each over
+   * `bitsPerBand` consecutive components; a pair is a candidate if it
+   * agrees on ANY band. Each band still splits every natural block
+   * 2^bitsPerBand ways (a dominant block value cannot re-create the
+   * quadratic join), while recall rises as 1−(1−p^r)^b instead of the
+   * single-bucket p^r (p = per-component sign-agreement probability).
+   * Recall at the driver's threshold is measured by the
+   * q_dedup_embedding_recall query.
    */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double,
-                   nBits: Int = 2): DataFrame = {
-    val withB = emb.withColumn("bucket", signBucket(col(vecCol), nBits))
-    val l = withB.select(col(blockCol).as("blk"), col("bucket"),
+                   bands: Int = 4, bitsPerBand: Int = 2): DataFrame = {
+    val bandBuckets = (0 until bands).map { i =>
+      array_join(
+        transform(sequence(lit(i * bitsPerBand + 1), lit((i + 1) * bitsPerBand)),
+          j => when(element_at(col(vecCol), j) > 0, "1").otherwise("0")), "")
+    }
+    val withB = emb.select(col(blockCol).as("blk"), col(idCol), col(vecCol),
+      posexplode(array(bandBuckets: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
+    val l = withB.select(col("blk"), col("band"), col("bucket"),
       col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = withB.select(col(blockCol).as("blk"), col("bucket"),
+    val r = withB.select(col("blk"), col("band"), col("bucket"),
       col(idCol).as("id2"), col(vecCol).as("v2"))
-    l.join(r, Seq("blk", "bucket"))
+    l.join(r, Seq("blk", "band", "bucket"))
       .filter(col("id1") < col("id2"))
       .withColumn("cos_sim", round(cosine(col("v1"), col("v2")), 4))
       .filter(col("cos_sim") >= threshold)
       .select(col("id1"), col("id2"), col("cos_sim"))
+      .distinct() // a pair may agree on several bands
   }
 }

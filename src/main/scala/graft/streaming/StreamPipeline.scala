@@ -74,21 +74,39 @@ object StreamPipeline {
   final case class ServiceEvent(service: String, ts: java.sql.Timestamp, isAnomaly: Boolean)
   final case class StreakAlert(service: String, streak: Int, at: java.sql.Timestamp)
 
+  /** Streak state: current run length + high-water timestamp (late bound). */
+  final case class StreakState(streak: Int, lastTsMillis: Long)
+
   def anomalyStreaks(events: org.apache.spark.sql.Dataset[ServiceEvent],
                      threshold: Int = 3): org.apache.spark.sql.Dataset[StreakAlert] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events.groupByKey(_.service)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout())(
-        (service: String, rows: Iterator[ServiceEvent], state: GroupState[Int]) => {
-          var streak = state.getOption.getOrElse(0)
-          val alerts = rows.toSeq.sortBy(_.ts.getTime).flatMap { e =>
-            if (e.isAnomaly) {
-              streak += 1
-              if (streak == threshold) Some(StreakAlert(service, streak, e.ts)) else None
-            } else { streak = 0; None }
-          }
-          state.update(streak)
+        (service: String, rows: Iterator[ServiceEvent], state: GroupState[StreakState]) => {
+          val st = state.getOption.getOrElse(StreakState(0, Long.MinValue))
+          var streak = st.streak
+          var lastTs = st.lastTsMillis
+          // Streak semantics are order-dependent, so the micro-batch's rows
+          // for this key are materialized and sorted by event time. MEMORY
+          // BOUND: per-key-per-batch volume is capped by the trigger size
+          // (maxFilesPerTrigger / maxOffsetsPerTrigger at the source), not
+          // by total stream volume — size triggers so one key's batch slice
+          // fits an executor. CROSS-batch disorder is NOT absorbed by the
+          // sort: rows older than the high-water mark already processed are
+          // dropped as late (the watermark-style trade; state stays
+          // O(1) per key).
+          val ordered = rows.toArray.sortInPlaceBy(_.ts.getTime)
+          val alerts = ordered.iterator
+            .filter(_.ts.getTime >= lastTs)
+            .flatMap { e =>
+              lastTs = e.ts.getTime
+              if (e.isAnomaly) {
+                streak += 1
+                if (streak == threshold) Some(StreakAlert(service, streak, e.ts)) else None
+              } else { streak = 0; None }
+            }.toList
+          state.update(StreakState(streak, lastTs))
           alerts.iterator
         })
   }

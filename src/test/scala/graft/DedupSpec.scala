@@ -31,13 +31,48 @@ class DedupSpec extends SparkSuite {
   }
 
   test("simhash: identical -> same signature; near-dup closer than unrelated") {
-    val sig = docs.select($"doc_id", Dedup.simhash($"text").as("sh"))
+    val sig = Dedup.simhashBitsRows(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap
     assert(sig(1L) == sig(2L))
     assert(sig.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
     def ham(a: String, b: String) = a.zip(b).count(p => p._1 != p._2)
     assert(ham(sig(3L), sig(4L)) < ham(sig(3L), sig(6L)),
       s"near-dup hamming ${ham(sig(3L), sig(4L))} should beat unrelated ${ham(sig(3L), sig(6L))}")
+    // bit string and integer signature agree bit-for-bit (char j = bit j)
+    val ints = Dedup.simhashIntRows(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sig.foreach { case (id, s) =>
+      val fromInt = (1 to 16).map(j => if ((ints(id) & (1L << (j - 1))) != 0) '1' else '0').mkString
+      assert(s == fromInt, s"doc $id: $s != $fromInt")
+    }
+  }
+
+  test("simhash pairs: chunk banding is exact for hamming<=2 (matches brute force)") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 2, bits = 32)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force reference over the integer signatures
+    val ints = Dedup.simhashIntRows(docs, "doc_id", "text", bits = 32)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val brute = (for {
+      (i1, h1) <- ints; (i2, h2) <- ints if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 2
+    } yield (i1, i2, d)).toSet
+    assert(got == brute, s"banding missed or invented pairs: got=$got brute=$brute")
+    assert(got.contains((1L, 2L, 0)), "exact dup pair at hamming 0")
+  }
+
+  test("jaccard df-cap drops hot shingles: cap=1 kills every shared shingle") {
+    val none = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.01, maxShingleDf = 1)
+    assert(none.count() == 0)
+    // a generous cap leaves the small corpus's pairs unchanged
+    val base = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.75, maxShingleDf = 1000)
+      .as[(Long, Long, Double)].collect().toSet
+    val capped = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.75, maxShingleDf = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(base == capped)
   }
 
   test("hamming expression matches scala reference") {
@@ -78,7 +113,7 @@ class DedupSpec extends SparkSuite {
       (4L, 1, Array(1.0, 0.0, 0.0, 0.0)))   // same dir but different block
       .toDF("vec_id", "label", "v")
     val pairs = Similarity.nearDupPairs(vecs, "vec_id", "v", "label",
-      threshold = 0.9, nBits = 1)
+      threshold = 0.9, bands = 1, bitsPerBand = 1)
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
     assert(pairs(0)._3 > 0.99)

@@ -53,22 +53,40 @@ class SimilaritySpec extends SparkSuite {
     assert(buckets.forall(_ == qb))
   }
 
-  test("IVF: cells partition the corpus; probe-1 search stays in the query's cell") {
+  test("IVF k-means: deterministic centroids, cells partition the corpus, multi-probe lifts recall") {
     val e = emb.withColumnRenamed("v", "vec")
-    val cells = Similarity.ivfCells(e, "vec_id", "vec", k = 8)
+    // k-means is deterministic: two runs produce identical centroids
+    val c1 = Similarity.kmeansCentroids(e, "vec_id", "vec", k = 8, iters = 2, sampleN = 64)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val c2 = Similarity.kmeansCentroids(e, "vec_id", "vec", k = 8, iters = 2, sampleN = 64)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq)
+    c1.zip(c2).foreach { case ((_, a), (_, b)) => assert(a.toSeq == b.toSeq) }
+    // centroids moved off their seeds (Lloyd actually iterated)
+    val seeds = emb.filter($"vec_id" < 8).as[(Long, Array[Double])].collect().toMap
+    assert(c1.exists { case (cid, cv) => seeds.get(cid).exists(_.toSeq != cv.toSeq) })
+
+    val cells = Similarity.ivfCells(e, "vec_id", "vec", k = 8, iters = 2, sampleN = 64)
     assert(cells.count() == 200, "every vector gets exactly one cell")
+    assert(cells.select("vec_id").distinct().count() == 200)
     assert(cells.select("cell").distinct().count() <= 8)
-    // the seed vectors are their own cell centers (cos=1 with themselves)
-    val seedCells = cells.filter($"vec_id" < 8).as[(Long, Long)].collect().toMap
-    seedCells.foreach { case (id, cell) => assert(cell == id, s"seed $id -> $cell") }
-    val top = Similarity.ivfTopK(e, "vec_id", "vec", queryId = 7L, topK = 5, k = 8)
-      .as[(Long, Double)].collect()
-    assert(top.nonEmpty && top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
-    // all results share the query's cell
-    val qcell = cells.filter($"vec_id" === 7L).collect()(0).getLong(1)
-    val resCells = cells.filter($"vec_id".isin(top.map(_._1).toSeq: _*))
-      .select("cell").as[Long].collect()
-    assert(resCells.forall(_ == qcell))
+
+    // multi-probe recall >= probe-1 recall, measured vs brute force
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "v", vec(7).map(_.toFloat), 11)
+      .as[(Long, Double)].collect().map(_._1).filter(_ != 7L).take(10).toSet
+    def probeIds(nprobe: Int) =
+      Similarity.ivfTopK(e, "vec_id", "vec", queryId = 7L, topK = 10, k = 8,
+        nprobe = nprobe, iters = 2, sampleN = 64)
+        .as[(Long, Double)].collect().map(_._1).toSet
+    val r1 = (brute & probeIds(1)).size
+    val r2 = (brute & probeIds(2)).size
+    assert(r2 >= r1, s"nprobe=2 recall $r2 < probe-1 recall $r1")
+    assert(r2 >= 3, s"nprobe=2 recall unreasonably low: $r2/10")
+
+    // probe-2 results all come from the two cells nearest the query
+    val top = Similarity.ivfTopK(e, "vec_id", "vec", queryId = 7L, topK = 10, k = 8,
+      nprobe = 2, iters = 2, sampleN = 64).as[(Long, Double)].collect()
+    assert(top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
   }
 
   test("multimodal: decode plumbing is partition-preserving with typed output") {

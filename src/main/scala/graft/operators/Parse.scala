@@ -34,7 +34,11 @@ object Parse {
   /** G2 — uppercase, null-safe (null stays null). */
   def normalizeLevel(level: Column): Column = upper(level)
 
-  /** G3 — truncate >10000-char messages; exact 10015-char result. */
+  /** G3 — truncate >10000-char messages; exact 10015-char result.
+    * Character semantics: Spark length/substring count Unicode CODE POINTS;
+    * the reference's Java String ops count UTF-16 code units. Identical for
+    * BMP text (all fixtures); for supplementary chars this build pins
+    * code-point counting (asserted in ParseSpec "G3 character semantics"). */
   def truncateMessage(message: Column): Column =
     when(length(message) > MaxMessageLength,
       concat(substring(message, 1, MaxMessageLength), lit(TruncationSuffix)))

@@ -56,6 +56,56 @@ class AggregatesSpec extends SparkSuite {
     }
   }
 
+  test("AQE skew join: hot key's shuffle partition is split (skew=true in final plan)") {
+    // SURVEY §4: the skew-JOIN path. The salted aggregation is asserted
+    // above; this pins that a shuffle join on a skewed key is re-planned by
+    // AQE's OptimizeSkewedJoin — the hot partition splits instead of one
+    // task dragging the stage. Thresholds are lowered so test-sized data
+    // triggers the same re-plan a 100 TB hot domain would.
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // one hot domain carries half the rows; payload is md5 hex (shuffle
+      // bytes are LZ4-compressed — a constant-ish payload would compress
+      // below the skew threshold and mask the skew); tail of 64 domains
+      val left = spark.range(0, 200000).select(
+        when($"id" % 2 === 0, "hot.example.com")
+          .otherwise(concat(lit("d"), pmod($"id", lit(64)))).as("domain"),
+        concat(md5($"id".cast("string")), md5(($"id" + 1).cast("string")),
+          md5(($"id" + 2).cast("string"))).as("payload"))
+      // dim side built WITHOUT a trailing aggregate: OptimizeSkewedJoin
+      // pattern-matches SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an
+      // agg between Sort and the stage (e.g. distinct()) disables the rule
+      val right = spark.range(0, 65).select(
+        when($"id" === 64, "hot.example.com")
+          .otherwise(concat(lit("d"), $"id")).as("domain"))
+        .withColumn("reputation", length($"domain").cast("double") / 100.0)
+      val joined = left.join(right, "domain")
+      val n = joined.collect().length
+      assert(n == 200000, "every row joins exactly one dim row")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"final adaptive plan must mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("B2/B5/B6: partitioned table DDL prunes; csv/json exports round-trip") {
     val root = tmpDir("exp")
     Pipeline.run(spark, Synth.pages(spark, 2000, parts = 4),

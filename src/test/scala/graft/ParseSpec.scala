@@ -111,4 +111,36 @@ class ParseSpec extends SparkSuite {
       .select(Parse.parseOk($"url", $"text"))
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false))
   }
+
+  test("null url: parse_ok is FALSE (not NULL) and reject_reason is invalid_url") {
+    // rlike(null) is NULL in ternary logic; without the explicit guards a
+    // null url would route to REJECTED with a NULL reason (RefOracle says
+    // "invalid_url" — RefOracle.scala:65-66)
+    val pages = Seq(
+      (null.asInstanceOf[String], Some(t0), "h", "some text", "en"),
+      ("https://ok.example.com/x", Some(t0), "h", "some text", "en"))
+      .toDF("url", "warc_ts", "html", "text", "lang")
+    val out = Parse(pages, t0)
+      .select($"url", $"parse_ok", $"reject_reason")
+      .collect().sortBy(r => Option(r.getString(0)).getOrElse(""))
+    assert(!out(0).isNullAt(1) && !out(0).getBoolean(1), "parse_ok false, not null")
+    assert(out(0).getString(2) == "invalid_url")
+    assert(out(1).getBoolean(1) && out(1).isNullAt(2))
+    assert(RefOracle.process(null, t0, "some text", "en", t0)
+      .left.toOption.map(_.reason).contains("invalid_url"))
+  }
+
+  test("G3 character semantics: counts are Unicode code points (pinned divergence)") {
+    // The reference's Java String.substring/length count UTF-16 code units
+    // (LogProcessorService.java:199-201); Spark's length()/substring() count
+    // code points. For BMP text (all of Synth + the fixtures) the two agree
+    // exactly; for supplementary characters (emoji etc.) this build PINS
+    // code-point semantics — asserted here so the divergence is a
+    // documented choice, not an accident.
+    val emoji = "😀" // U+1F600: 1 code point, 2 UTF-16 units
+    val under = one(emoji * 10000) // Java would see 20000 units and truncate
+    assert(under._1.contains(10000) && !under._2.endsWith("[truncated]"))
+    val over = one(emoji * 10001)
+    assert(over._1.contains(10015) && over._2.endsWith("... [truncated]"))
+  }
 }

@@ -113,6 +113,20 @@ class PipelineSpec extends SparkSuite {
     assert(commits.filter($"status" === "committed").count() == 2)
   }
 
+  test("upstream re-run invalidates downstream aggregate (stale-sink guard)") {
+    val root = tmpDir("pipe-inv")
+    val r1 = Pipeline.run(spark, pages, dims._1, dims._2, root, t0)
+    assert(r1.ran && r1.ranAggregate)
+    val r2 = Pipeline.run(spark, pages, dims._1, dims._2, root, t0)
+    assert(!r2.ran && !r2.ranAggregate, "fully committed run resumes past both")
+    // clear ONLY the route marker: its re-run must invalidate the still-
+    // present aggregate marker, else sink_counts would describe the old sink
+    Checkpoint.invalidate(spark, root, "route")
+    val r3 = Pipeline.run(spark, pages, dims._1, dims._2, root, t0)
+    assert(r3.ran, "route re-runs")
+    assert(r3.ranAggregate, "aggregate must be recomputed after route re-ran")
+  }
+
   test("enrich joins broadcast and hit/miss correctly") {
     val df = Pipeline.transform(pages, dims._1, dims._2, t0).filter($"parse_ok")
     val plan = df.queryExecution.executedPlan.toString

@@ -25,6 +25,10 @@ object Bench {
     try {
       SparkEntry.queries.get("q_counts_conditional").foreach(_(spark, sfDir).count())
       SparkEntry.queries.get("q_tpch_q1").foreach(_(spark, sfDir).count())
+      // the scorer expression tree (big nested CASE) is the other distinct
+      // codegen unit; without this the alphabetically-first scorer query
+      // (q_alert_gate) absorbs its one-time JIT+compile cost
+      SparkEntry.queries.get("q_alert_gate").foreach(_(spark, sfDir).count())
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorExprs
 
@@ -86,12 +85,15 @@ object Similarity {
    */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       k: Int = 8, iters: Int = 2, sampleN: Long = 256): DataFrame = {
-    val sample = emb.filter(col(idCol) < sampleN).select(col(idCol), col(vecCol))
+    val spark = emb.sparkSession
+    // the sample is bounded (≤ sampleN rows) — one task beats 32 empty ones
+    val sample = emb.filter(col(idCol) < sampleN)
+      .select(col(idCol), col(vecCol)).coalesce(1)
     var cents = emb.filter(col(idCol) < k)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
     for (_ <- 1 to iters) {
       val assigned = assignCells(sample, idCol, vecCol, cents)
-      cents = sample.join(assigned, Seq(idCol))
+      val step = sample.join(assigned, Seq(idCol))
         .select(col("cell").as("cid"), posexplode(col(vecCol)))
         .groupBy(col("cid"), col("pos"))
         .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
@@ -99,29 +101,54 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cv"))
+      // materialize each iteration (k rows — the model, not the data):
+      // keeps the lineage depth constant instead of nesting every Lloyd
+      // step's shuffles into one ever-deeper plan
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(step.collect(): _*), step.schema)
     }
     cents
   }
 
   /**
    * IVF cell assignment: each vector's cell is its max-cosine centroid
-   * (ties → smaller centroid id). The centroid table is tiny and broadcast;
-   * the row_number window shuffles on the vector id only.
+   * (ties → smaller centroid id). The centroid table is tiny and broadcast.
+   * argmax is `max(struct(cosine, −cid))` — lexicographic struct max ≡
+   * (cosine desc, cid asc) — NOT a row_number window: the groupBy gets
+   * map-side partial aggregation, so the n·k crossjoin rows combine back to
+   * n rows BEFORE the shuffle (a window would shuffle all n·k rows — the
+   * difference between shuffling the corpus and shuffling it k times).
    */
   def assignCells(emb: DataFrame, idCol: String, vecCol: String,
-                  cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(cosine(col(vecCol), col("cv")).desc, col("cid"))
+                  cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("cid").as("cell"))
+      .groupBy(col(idCol))
+      .agg(max(struct(
+        cosine(col(vecCol), col("cv")).as("c"),
+        (-col("cid")).as("nc"))).as("m"))
+      .select(col(idCol), (-col("m.nc")).cast("long").as("cell"))
+
+  /**
+   * Centroids as a MATERIALIZED literal table: the k-means plan is executed
+   * once and its k rows (bounded by k, never by corpus size — the same
+   * driver-side step MLlib's KMeans takes) become a local DataFrame, so
+   * downstream consumers (probe + full assignment) don't re-run the
+   * iterative lineage per branch.
+   */
+  def materializedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int = 8, iters: Int = 2,
+                            sampleN: Long = 256): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters, sampleN)
+    val rows = cents.collect() // k rows — a model, not data
+    emb.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), cents.schema)
   }
 
   /** IVF cell table for the whole corpus (k-means centroids). */
   def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
                k: Int = 8, iters: Int = 2, sampleN: Long = 256): DataFrame =
-    assignCells(emb, idCol, vecCol, kmeansCentroids(emb, idCol, vecCol, k, iters, sampleN))
+    assignCells(emb, idCol, vecCol,
+      materializedCentroids(emb, idCol, vecCol, k, iters, sampleN))
 
   /**
    * IVF multi-probe top-k: rank centroids by cosine to the query and search
@@ -133,7 +160,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryId: Long, topK: Int, k: Int = 8, nprobe: Int = 2,
               iters: Int = 2, sampleN: Long = 256): DataFrame = {
-    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters, sampleN)
+    val cents = materializedCentroids(emb, idCol, vecCol, k, iters, sampleN)
     val cells = assignCells(emb, idCol, vecCol, cents)
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
     val probed = cents.crossJoin(broadcast(q))

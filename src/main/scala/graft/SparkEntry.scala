@@ -463,7 +463,46 @@ object SparkEntry {
         col("doc_id"),
         length(col("text").cast("binary")).cast("long").as("byte_len"),
         sha2(col("text").cast("binary"), 256).as("sha256"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // curation: Gopher-style repetition quality signals
+    "q_repetition" -> ((s, dir) =>
+      Curation.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // curation: PII masking (email + phone planted so every row exercises
+    // the replacement; pattern semantics identical in Java regex and RE2)
+    "q_pii_mask" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Curation.maskPii(concat(
+          lit("reach bob.smith@example.com or +1 555-123-9876 now "),
+          col("text"))).as("masked"))
+        .orderBy("doc_id")),
+
+    // curation: deterministic stratified sampling — src10..src19 at 50%,
+    // the rest at 20%; hash-mod keep rule, no rand() (resume-stable)
+    "q_stratified_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(Curation.stratifiedSampleFilter(col("source"), col("doc_id"),
+          when(col("source").rlike("^src1\\d$"), 50L).otherwise(20L)))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
+
+    // curation: token-window chunking (64-token windows, 16-token overlap)
+    "q_chunking" -> ((s, dir) =>
+      Curation.tokenChunks(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // curation: benchmark contamination — corpus docs sharing any word
+    // 8-gram with the (bounded, broadcast) benchmark set doc_id < 10
+    "q_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.contamination(d.filter(col("doc_id") >= 10), "doc_id", "text",
+        d.filter(col("doc_id") < 10), n = 8)
+        .orderBy("doc_id")
+    })
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -809,7 +848,70 @@ object SparkEntry {
 
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_repetition" ->
+      """WITH lines AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\n'), x -> trim(x) <> '') AS ls
+        |  FROM documents),
+        |lf AS (
+        |  SELECT doc_id, CASE WHEN len(ls) = 0 THEN 0.0
+        |         ELSE floor((1.0 - len(list_distinct(ls))::DOUBLE / len(ls)) * 10000.0 + 0.5) / 10000.0 END AS dup_line_frac
+        |  FROM lines),
+        |tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p FROM tokf),
+        |bg AS (
+        |  SELECT doc_id, g, count(*) AS c FROM (
+        |    SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM tok)
+        |  WHERE g IS NOT NULL GROUP BY 1, 2),
+        |tb AS (SELECT doc_id, floor(max(c)::DOUBLE / sum(c) * 10000.0 + 0.5) / 10000.0 AS top_bigram_frac FROM bg GROUP BY 1)
+        |SELECT l.doc_id, l.dup_line_frac, coalesce(tb.top_bigram_frac, 0.0) AS top_bigram_frac
+        |FROM lf l LEFT JOIN tb USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace('reach bob.smith@example.com or +1 555-123-9876 now ' || text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g') AS masked
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5(source || '|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100
+        |      < (CASE WHEN regexp_matches(source, '^src1\d$') THEN 50 ELSE 20 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_chunking" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks) - 16, 1), 48)) AS s
+        |  FROM tokf WHERE len(toks) > 0)
+        |SELECT doc_id,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx,
+        |       s AS start_tok,
+        |       array_to_string(list_slice(toks, s, least(s + 63, len(toks))), ' ') AS chunk,
+        |       least(len(toks) - s + 1, 64)::BIGINT AS n_tokens
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_contamination" -> {
+      val leads = (1 to 7).map(i => s"lead(tok,$i) OVER w").mkString(" || ' ' || ")
+      s"""WITH tokf AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS p FROM tokf),
+         |sh AS (SELECT DISTINCT doc_id, g FROM (
+         |  SELECT doc_id, tok || ' ' || $leads AS g FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p))
+         |  WHERE g IS NOT NULL)
+         |SELECT s.doc_id AS doc_id, count(DISTINCT s.g) AS shared_grams,
+         |       count(DISTINCT b.doc_id) AS bench_docs
+         |FROM sh s JOIN sh b ON s.g = b.g AND s.doc_id >= 10 AND b.doc_id < 10
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    }
   )
 
   /**

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Curation
+
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dup-line fraction: duplicates counted, blank lines ignored, empty -> 0") {
+    val d = Seq(
+      (1L, "a\nb\na\n\n  \na"), // lines a,b,a,a -> 1 - 2/4 = 0.5
+      (2L, "x\ny\nz"),          // all distinct -> 0
+      (3L, "")).toDF("doc_id", "text")
+    val got = d.select($"doc_id", Curation.dupLineFraction($"text").as("f"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.5 && got(2L) == 0.0 && got(3L) == 0.0)
+  }
+
+  test("top-bigram fraction: planted repetition dominates") {
+    // "the cat the cat the cat" -> bigrams: (the cat)x3, (cat the)x2 -> 3/5
+    val d = Seq((1L, "the cat the cat the cat"), (2L, "a"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val got = Curation.repetitionSignals(d, "doc_id", "text")
+      .select($"doc_id", $"top_bigram_frac")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.6)
+    assert(got(2L) == 0.0, "single-token doc has no bigrams -> 0")
+    assert(got(3L) == math.floor(1.0 / 3.0 * 10000 + 0.5) / 10000)
+  }
+
+  test("PII masking replaces emails and phones, leaves clean text alone") {
+    val d = Seq(
+      (1L, "mail a.b+c@sub.example.org now"),
+      (2L, "call +1 555-123-4567 or 555 987 6543 today"),
+      (3L, "nothing sensitive here v1.2 x@y")) // x@y: no TLD -> not an email
+      .toDF("doc_id", "text")
+    val got = d.select($"doc_id", Curation.maskPii($"text")).as[(Long, String)]
+      .collect().toMap
+    assert(got(1L) == "mail <EMAIL> now")
+    assert(got(2L) == "call <PHONE> or <PHONE> today")
+    assert(got(3L) == "nothing sensitive here v1.2 x@y")
+  }
+
+  test("stratified sample is deterministic and roughly honors per-stratum rates") {
+    val d = (1L to 4000L).map(i => (i, if (i % 2 == 0) "hi" else "lo"))
+      .toDF("doc_id", "source")
+    val rate = when($"source" === "hi", 50L).otherwise(10L)
+    val keep = d.filter(Curation.stratifiedSampleFilter($"source", $"doc_id", rate))
+    val again = d.filter(Curation.stratifiedSampleFilter($"source", $"doc_id", rate))
+    assert(keep.as[(Long, String)].collect().sorted.toSeq ==
+      again.as[(Long, String)].collect().sorted.toSeq, "deterministic")
+    val bySrc = keep.groupBy($"source").count().as[(String, Long)].collect().toMap
+    // 2000 per stratum; binomial 3-sigma bounds
+    assert(math.abs(bySrc("hi") - 1000) < 120, s"hi kept ${bySrc("hi")}")
+    assert(math.abs(bySrc("lo") - 200) < 90, s"lo kept ${bySrc("lo")}")
+  }
+
+  test("token chunking: coverage, overlap, tail shortening") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ")
+    val d = Seq((1L, text), (2L, "only three tokens"), (3L, " ")).toDF("doc_id", "text")
+    val chunks = Curation.tokenChunks(d, "doc_id", "text", chunkSize = 10, overlap = 2)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String, Long)].collect()
+    val doc1 = chunks.filter(_._1 == 1L)
+    // starts 1,9,...,97 (step 8, last start <= 100-2=98) -> 13 chunks
+    assert(doc1.length == 13)
+    assert(doc1.head._4.startsWith("t1 t2") && doc1.head._5 == 10)
+    assert(doc1.last._3 == 97 && doc1.last._4 == "t97 t98 t99 t100" && doc1.last._5 == 4)
+    // consecutive chunks overlap by exactly 2 tokens
+    val w1 = doc1(0)._4.split(" "); val w2 = doc1(1)._4.split(" ")
+    assert(w1.takeRight(2).toSeq == w2.take(2).toSeq)
+    // every token covered exactly: union of de-overlapped chunks == doc
+    val rebuilt = doc1.head._4.split(" ").toSeq ++
+      doc1.tail.toSeq.flatMap(c => c._4.split(" ").drop(2).toSeq)
+    assert(rebuilt == (1 to 100).map(i => s"t$i"))
+    assert(chunks.count(_._1 == 2L) == 1, "short doc -> single chunk")
+    assert(!chunks.exists(_._1 == 3L), "token-less doc dropped")
+  }
+
+  test("contamination: doc sharing an 8-gram with the benchmark is flagged") {
+    val gram = "one two three four five six seven eight"
+    val docs = Seq(
+      (10L, s"prefix words $gram suffix words here"),
+      (11L, "totally unrelated content with no overlap at all whatsoever today"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, s"benchmark text containing $gram inside"))
+      .toDF("doc_id", "text")
+    val got = Curation.contamination(docs, "doc_id", "text", bench, n = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 1L, 1L)))
+  }
+
+  test("cosine_sim is registered as a SQL function via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS c")
+      .as[Double].collect()(0)
+    val exp = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(r - exp) < 1e-12)
+  }
+}

@@ -285,6 +285,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // §4 skew — salted two-phase aggregation UNDER the oracle: the oracle
+    // is the plain GROUP BY, so the hash match IS the exactness proof
+    // (decimal value column keeps the sum order-independent)
+    "q_salted_agg" -> ((s, dir) =>
+      Aggregates.domainStatsSalted(
+        t(s, dir, "events").select(col("event_id").as("id"),
+          service.as("service"),
+          col("value").cast("decimal(18,2)").as("value")),
+        "service", "value")
+        .select(col("service"), col("cnt"),
+          col("total").cast("double").as("total"),
+          col("min_v").cast("double").as("min_v"),
+          col("max_v").cast("double").as("max_v"))
+        .orderBy("service")),
+
     // I6 — union (set op)
     "q_union" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -689,6 +704,14 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""WITH e AS (SELECT $serviceSql AS service, CAST(value AS DECIMAL(18,2)) AS v FROM events)
+         |SELECT service, count(*) AS cnt,
+         |       CAST(round(sum(v), 4) AS DOUBLE) AS total,
+         |       CAST(min(v) AS DOUBLE) AS min_v,
+         |       CAST(max(v) AS DOUBLE) AS max_v
+         |FROM e GROUP BY 1 ORDER BY service""".stripMargin,
 
     "q_union" ->
       """SELECT * FROM (

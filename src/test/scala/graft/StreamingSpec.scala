@@ -63,6 +63,37 @@ class StreamingSpec extends SparkSuite {
     q.stop()
   }
 
+  test("streaks under volume (rate test): streaming equals driver-side reference") {
+    import graft.streaming.StreamPipeline.{ServiceEvent, StreakAlert}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[ServiceEvent]
+    val q = StreamPipeline.anomalyStreaks(mem.toDS(), threshold = 3)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("streaks_rate").start()
+    // 20k time-ordered events across 50 services, 40% anomalous
+    val rnd = new scala.util.Random(42)
+    val events = (1 to 20000).map { i =>
+      ServiceEvent(s"svc-${rnd.nextInt(50)}",
+        new java.sql.Timestamp(1700000000000L + i * 1000L),
+        rnd.nextDouble() < 0.4)
+    }
+    events.grouped(4000).foreach { b => mem.addData(b); q.processAllAvailable() }
+    val got = spark.table("streaks_rate").as[StreakAlert].collect().toSeq
+      .sortBy(a => (a.service, a.at.getTime))
+    val exp = events.groupBy(_.service).toSeq.flatMap { case (svc, evs) =>
+      var streak = 0
+      evs.sortBy(_.ts.getTime).flatMap { e =>
+        if (e.isAnomaly) {
+          streak += 1
+          if (streak == 3) Some(StreakAlert(svc, 3, e.ts)) else None
+        } else { streak = 0; None }
+      }
+    }.sortBy(a => (a.service, a.at.getTime))
+    assert(got.nonEmpty && got == exp,
+      s"streaming streaks (${got.length}) != reference (${exp.length})")
+    q.stop()
+  }
+
   test("windowed severity counts with watermark (incremental F3)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Schemas.PageRow]

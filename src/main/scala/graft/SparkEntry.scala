@@ -127,6 +127,31 @@ object SparkEntry {
         .filter(col("tf") > 0)
         .orderBy(col("tf").desc, col("doc_id"))),
 
+    // E1 (idf variant) — corpus-statistics relevance: tf·idf with the
+    // rational BM25 idf core (log omitted: monotone + not IEEE-exact)
+    "q_text_rank_idf" -> ((s, dir) =>
+      Analytics.textRankIdf(t(s, dir, "documents"), "doc_id", "text",
+        "spark window")),
+
+    // curation composition — quality gate → exact-dedup keepers →
+    // stratified sample → per-source stats, one lazy plan end to end
+    "q_curation_pipeline" -> ((s, dir) => {
+      val q = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality"),
+          md5(col("text")).as("h"))
+        .filter(col("quality") >= 0.5)
+      val keep = q.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val sampled = q.join(keep, Seq("h", "doc_id"))
+        .filter(Curation.stratifiedSampleFilter(col("source"), col("doc_id"),
+          when(col("source").rlike("^src1\\d$"), 50L).otherwise(20L)))
+      sampled.groupBy(col("source"))
+        .agg(count(lit(1)).as("kept"),
+          sum(col("quality").cast("decimal(18,4)")).cast("double")
+            .as("sum_quality"))
+        .orderBy("source")
+    }),
+
     // F3 — gap-filled 1h date histogram, minDocCount(0)
     "q_date_histogram" -> ((s, dir) =>
       Analytics.logVolume(t(s, dir, "events"), "ts")),
@@ -578,6 +603,48 @@ object SparkEntry {
         |FROM documents
         |WHERE len(regexp_extract_all(lower(text), '\b(spark|window)\b')) > 0
         |ORDER BY tf DESC, doc_id""".stripMargin,
+
+    "q_text_rank_idf" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok IN ('spark', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       floor(sum(tf.tf * ((SELECT count(*) FROM documents) - df.df + 0.5) / (df.df + 0.5)) * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM tf JOIN df USING (tok)
+        |GROUP BY 1 ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH b AS (
+        |  SELECT doc_id, source, text, md5(text) AS h,
+        |         CASE WHEN length(text) = 0 THEN 0.0
+        |              ELSE floor(length(regexp_replace(text, '[\w\s]', '', 'g'))::DOUBLE / length(text) * 10000.0 + 0.5) / 10000.0 END AS punct_ratio,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS ntok,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |             x -> x <> '' AND list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x))) AS nstop
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, h, text, punct_ratio,
+        |         CASE WHEN ntok = 0 THEN 0.0 ELSE floor(nstop::DOUBLE / ntok * 10000.0 + 0.5) / 10000.0 END AS stopword_ratio
+        |  FROM b),
+        |q AS (
+        |  SELECT doc_id, source, h,
+        |         CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
+        |              ELSE floor((0.4 * least(length(text) / 500.0, 1.0)
+        |                        + 0.3 * (1.0 - punct_ratio)
+        |                        + 0.3 * least(stopword_ratio / 0.4, 1.0)) * 10000.0 + 0.5) / 10000.0 END AS quality
+        |  FROM r),
+        |qf AS (SELECT * FROM q WHERE quality >= 0.5),
+        |keep AS (SELECT h, min(doc_id) AS doc_id FROM qf GROUP BY 1),
+        |dd AS (SELECT qf.* FROM qf JOIN keep USING (h, doc_id)),
+        |smp AS (SELECT * FROM dd
+        |        WHERE ('0x' || substr(md5(source || '|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100
+        |              < (CASE WHEN regexp_matches(source, '^src1\d$') THEN 50 ELSE 20 END))
+        |SELECT source, count(*) AS kept,
+        |       CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
+        |FROM smp GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_export_roundtrip" ->
       """WITH capped AS (

@@ -42,6 +42,33 @@ object Analytics {
   }
 
   /**
+   * E1 (idf-weighted variant) — tf·idf relevance over the corpus:
+   * score(d) = Σ_t tf(t,d) · (N − df(t) + 0.5)/(df(t) + 0.5), the rational
+   * core of BM25's idf (the log wrap is monotone, omitted deliberately:
+   * ln() is not IEEE-exact and would break cross-engine hash checks;
+   * ranking is identical). df table is ≤ |query tokens| rows → broadcast;
+   * N is a broadcast scalar — no corpus-sized shuffle beyond the tf agg.
+   * Caveat: per-doc score sums ≤ |query tokens| doubles; IEEE addition is
+   * commutative so 2-token queries are order-safe.
+   */
+  def textRankIdf(docs: DataFrame, idCol: String, textCol: String,
+                  queryText: String): DataFrame = {
+    val tokens: Seq[Any] =
+      queryText.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val toks = Curation.gramRows(docs, idCol, textCol, n = 1)
+      .filter(col("gram").isin(tokens: _*))
+    val tf = toks.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df_), Seq("gram")).crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(TextAnalysis.pround4(
+        sum(col("tf") * (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+  }
+
+  /**
    * §3.2 search path — bool{must: match, filter: [levels, services, range]}
    * + sort + from/size pagination (`ElasticsearchService.java:237-274`).
    * `hosts` is accepted-and-ignored for fidelity (dead filter D6,

@@ -536,11 +536,13 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")),
 
     // curation: benchmark contamination — corpus docs sharing any word
-    // 8-gram with the (bounded, broadcast) benchmark set doc_id < 10
+    // 5-gram with the (bounded, broadcast) benchmark set doc_id < 10
+    // (5-grams: the synthetic docs are short; production contamination
+    // checks use 8-13-gram windows — the n parameter is free)
     "q_contamination" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       Curation.contamination(d.filter(col("doc_id") >= 10), "doc_id", "text",
-        d.filter(col("doc_id") < 10), n = 8)
+        d.filter(col("doc_id") < 10), n = 5)
         .orderBy("doc_id")
     })
   )
@@ -989,7 +991,7 @@ object SparkEntry {
         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_contamination" -> {
-      val leads = (1 to 7).map(i => s"lead(tok,$i) OVER w").mkString(" || ' ' || ")
+      val leads = (1 to 4).map(i => s"lead(tok,$i) OVER w").mkString(" || ' ' || ")
       s"""WITH tokf AS (
          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
          |  FROM documents),

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Analytics, Curation, Dedup, Similarity}
+
+/**
+ * Physical-plan gates for the round-2 operators — the plan each operator
+ * is DESIGNED to produce, asserted so a regression (lost broadcast, a
+ * surprise cross product, a shuffle where none belongs) fails loudly
+ * rather than silently degrading at scale.
+ */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 200L)
+    .map(i => (i, s"alpha beta gamma delta epsilon tok$i zeta eta theta iota", s"s${i % 4}"))
+    .toDF("doc_id", "text", "source")
+  private lazy val emb = (1L to 100L)
+    .map(i => (i, Array.tabulate(8)(d => ((i * 37 + 11 * d) % 17 - 8).toDouble), (i % 3).toInt))
+    .toDF("vec_id", "v", "label")
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("shingles and tokenChunks are scan-local: zero Exchange") {
+    assert(!planOf(Dedup.shingles(docs, "doc_id", "text", 3)).contains("Exchange"))
+    assert(!planOf(Curation.tokenChunks(docs, "doc_id", "text", 10, 2))
+      .contains("Exchange"))
+  }
+
+  test("contamination broadcasts the benchmark side, no cross product") {
+    val p = planOf(Curation.contamination(
+      docs.filter($"doc_id" >= 10), "doc_id", "text",
+      docs.filter($"doc_id" < 10), n = 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("banded near-dup pair join is an equi-join, never a cross product") {
+    val p = planOf(Similarity.nearDupPairs(emb, "vec_id", "v", "label", 0.5))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("IVF assignment combines map-side: partial max under the shuffle") {
+    val cents = emb.filter($"vec_id" <= 4)
+      .select($"vec_id".cast("long").as("cid"), $"v".as("cv"))
+    val p = planOf(Similarity.assignCells(emb, "vec_id", "v", cents))
+    assert(p.contains("partial_max") ||
+      "(?s).*HashAggregate.*HashAggregate.*".r.matches(p), p)
+  }
+
+  test("textRankIdf: df table and N broadcast, only the tf agg shuffles") {
+    val p = planOf(Analytics.textRankIdf(docs, "doc_id", "text", "alpha beta"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("cosine expression runs inside whole-stage codegen") {
+    // spark.range source: a local Seq would be pre-evaluated by
+    // ConvertToLocalRelation and show no physical operators at all
+    val df = spark.range(1, 101)
+      .select(transform(sequence(lit(1), lit(8)),
+        d => ($"id" * 37 + d * 11).cast("double")).as("v"))
+      .select(Similarity.cosine($"v", $"v").as("c"))
+    val p = planOf(df)
+    assert(p.linesIterator.exists(l => l.contains("cosine_sim") && l.contains("*(")),
+      s"cosine_sim must sit inside a WholeStageCodegen span:\n$p")
+  }
+
+  test("simhash pair scan: integer xor/bit_count, no cross product") {
+    val p = planOf(Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 2, bits = 16))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.toLowerCase.contains("bit_count"), p)
+  }
+}

@@ -90,6 +90,46 @@ class CurationSpec extends SparkSuite {
     assert(got == Seq((10L, 1L, 1L)))
   }
 
+  test("property: chunk windows cover every token exactly, at all boundary sizes") {
+    val sizes = Seq(1, 2, 8, 9, 10, 11, 17, 18, 19, 47, 48, 49, 96, 97, 200, 1000)
+    val d = sizes.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"w$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val byDoc = Curation.tokenChunks(d, "doc_id", "text", chunkSize = 10, overlap = 2)
+      .as[(Long, Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    sizes.zipWithIndex.foreach { case (n, i) =>
+      val cs = byDoc(i.toLong)
+      // de-overlapped concatenation reconstructs the doc exactly
+      val rebuilt = cs.head._4.split(" ").toSeq ++
+        cs.tail.toSeq.flatMap(c => c._4.split(" ").drop(2).toSeq)
+      assert(rebuilt == (1 to n).map(j => s"w$j"), s"size $n")
+      // every chunk holds [1, 10] tokens and n_tokens is truthful
+      cs.foreach(c => assert(c._5 >= 1 && c._5 <= 10 &&
+        c._4.split(" ").length == c._5, s"size $n chunk ${c._2}"))
+    }
+  }
+
+  test("property: maskPii is idempotent (masking a masked text is a no-op)") {
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "a@b.co", "x.y@mail-host.org",
+      "+44 20 7946 0958", "555-123-4567", "12345678901", "v1.2", "<EMAIL>")
+    val texts = (1 to 200).map(_ =>
+      (1 to 8).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    val once = texts.toDF("t").select(Curation.maskPii($"t").as("m"))
+    val twice = once.select(Curation.maskPii($"m").as("m"))
+    assert(once.as[String].collect().toSeq == twice.as[String].collect().toSeq)
+  }
+
+  test("property: stratified sample is monotone in rate (20% keep-set ⊆ 50%)") {
+    val d = (1L to 2000L).map(i => (i, s"src${i % 7}")).toDF("doc_id", "source")
+    def kept(rate: Long) =
+      d.filter(Curation.stratifiedSampleFilter($"source", $"doc_id", lit(rate)))
+        .as[(Long, String)].collect().map(_._1).toSet
+    assert(kept(20).subsetOf(kept(50)))
+    assert(kept(0).isEmpty && kept(100).size == 2000)
+  }
+
   test("cosine_sim is registered as a SQL function via GraftExtensions") {
     val r = spark.sql(
       "SELECT cosine_sim(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS c")

@@ -812,9 +812,11 @@ object SparkEntry {
          |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
          |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
          |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig)
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key))
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |FROM bk a JOIN bk b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin
     },
 

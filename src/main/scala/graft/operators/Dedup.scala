@@ -74,12 +74,25 @@ object Dedup {
       .select(col("band"), col("band_key"), col(idCol))
   }
 
-  /** Candidate near-dup pairs from LSH buckets (id1 < id2, distinct). */
+  /**
+   * Candidate near-dup pairs from LSH buckets (id1 < id2, distinct).
+   * Buckets larger than `maxBucketSize` are dropped before the self-join —
+   * an over-full bucket is a cluster of (near-)identical documents whose
+   * pairs are quadratic in bucket size and which exact dedup already
+   * handles; the cap bounds the worst bucket's cost, standard practice at
+   * corpus scale. Default is far above any bucket this corpus produces
+   * (result unchanged; the bound is for the 100 TB case).
+   */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3): DataFrame = {
+                        n: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val b = minhashBuckets(docs, idCol, textCol, n)
-    val l = b.withColumnRenamed(idCol, "id1")
-    val r = b.withColumnRenamed(idCol, "id2")
+    val small = b.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= maxBucketSize)
+      .select("band", "band_key")
+    val bb = b.join(small, Seq("band", "band_key"))
+    val l = bb.withColumnRenamed(idCol, "id1")
+    val r = bb.withColumnRenamed(idCol, "id2")
     l.join(r, Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()

@@ -177,6 +177,44 @@ object Similarity {
   }
 
   /**
+   * Persist the IVF index in its scale layout: vectors PARTITIONED BY cell
+   * (plus the tiny centroid table). A probe then reads only the probed
+   * cells' partition directories — the claim the in-memory `ivfTopK` makes
+   * is realized as storage layout here, and partition pruning is asserted
+   * in SimilaritySpec.
+   */
+  def writeIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    path: String, k: Int = 8, iters: Int = 2,
+                    sampleN: Long = 256): Unit = {
+    val cents = materializedCentroids(emb, idCol, vecCol, k, iters, sampleN)
+    val cells = assignCells(emb, idCol, vecCol, cents)
+    emb.join(cells, Seq(idCol))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /**
+   * ANN top-k against a stored IVF index: rank the (model-sized) centroid
+   * table against the query vector, then scan ONLY the nprobe nearest
+   * cells — the `cell IN (...)` predicate prunes to those partition
+   * directories at planning time.
+   */
+  def ivfIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String, vecCol: String, query: Seq[Double],
+                   topK: Int, nprobe: Int = 2): DataFrame = {
+    val q = array(query.map(lit): _*)
+    val probed = spark.read.parquet(s"$path/centroids")
+      .orderBy(cosine(col("cv"), q).desc, col("cid"))
+      .limit(nprobe)
+      .collect().map(_.getAs[Long]("cid")).toSeq // nprobe ids — model-sized
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol), round(cosine(col(vecCol), q), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * Embedding near-dup pairs: all pairs with cosine ≥ threshold, blocked
    * by (blockCol, band, sign bucket) — BANDED sign-LSH with OR-
    * amplification: `bands` independent sign buckets, each over

@@ -30,6 +30,17 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
   }
 
+  test("minhash bucket cap: over-full buckets are dropped, default cap is inert") {
+    val capped = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3,
+      maxBucketSize = 1).count()
+    assert(capped == 0, "cap=1 means every shared bucket is over-full")
+    val default = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    val uncapped = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3,
+      maxBucketSize = Int.MaxValue).as[(Long, Long)].collect().toSet
+    assert(default == uncapped, "default cap must not change this corpus")
+  }
+
   test("simhash: identical -> same signature; near-dup closer than unrelated") {
     val sig = Dedup.simhashBitsRows(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap

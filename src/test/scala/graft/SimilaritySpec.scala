@@ -89,6 +89,25 @@ class SimilaritySpec extends SparkSuite {
     assert(top.map(_._2).toSeq == top.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("IVF stored index: cell partitions prune, results match the in-memory probe") {
+    val e = emb.withColumnRenamed("v", "vec")
+    val path = tmpDir("ivf-idx")
+    Similarity.writeIvfIndex(e, "vec_id", "vec", path, k = 8, iters = 2, sampleN = 64)
+    val qv = emb.filter($"vec_id" === 7L).as[(Long, Array[Double])].collect()(0)._2
+    val fromIndex = Similarity.ivfIndexTopK(spark, path, "vec_id", "vec",
+      qv.toSeq, topK = 11, nprobe = 2)
+    // the scan reads ONLY the probed cells' partition directories
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell predicate must prune partitions:\n$plan")
+    val idxIds = fromIndex.as[(Long, Double)].collect()
+      .map(_._1).filter(_ != 7L).take(10).toSeq
+    val memIds = Similarity.ivfTopK(e, "vec_id", "vec", queryId = 7L,
+      topK = 10, k = 8, nprobe = 2, iters = 2, sampleN = 64)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(idxIds == memIds, s"stored-index probe diverged: $idxIds vs $memIds")
+  }
+
   test("multimodal: decode plumbing is partition-preserving with typed output") {
     val media = Multimodal.fromBinary(spark,
       Seq((1L, "img-bytes-aaaa"), (2L, "vid-bytes-bbbb"), (3L, "vid-bytes-cccc"))

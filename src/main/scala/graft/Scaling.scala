@@ -46,7 +46,10 @@ object ScalingStep {
     val pages = spark.read.parquet(input)
     val n = pages.count()
     val dims = (Synth.domainReputation(spark), Synth.langMeta(spark))
-    Pipeline.run(spark, pages.limit(50000), dims._1, dims._2, s"$outRoot/warm") // JIT warmup
+    // warmup sized to actually reach C2-tier JIT on the hot loops: 50k rows
+    // finished before compilation kicked in and the first big run paid ~50%
+    // extra (measured 156s vs 105s at 32M); 2M rows closes most of the gap
+    Pipeline.run(spark, pages.limit(2000000), dims._1, dims._2, s"$outRoot/warm")
     val times = (1 to runs).map { i =>
       val t0 = System.nanoTime()
       Pipeline.run(spark, pages, dims._1, dims._2, s"$outRoot/run$i")

@@ -350,8 +350,22 @@ object SparkEntry {
     // the oracle's view of the capped set. A broken writer (wrong quoting,
     // trimmed whitespace, lost rows) mis-parses on read-back and fails the
     // value hash. Pins LogSearchController.java:81-134 + 188-220.
+    // G18' — canonical host extraction under the oracle (URLs planted from
+    // table fields; pure-regex form, ParseSpec pins parity with parse_url)
+    "q_host_extract" -> ((s, dir) => {
+      val url = concat(lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+        col("source"), lit(".Example.com"),
+        when(col("doc_id") % 5 === 0, lit(":8443")).otherwise(lit("")),
+        lit("/p/"), col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("?utm=x#frag")).otherwise(lit("")))
+      t(s, dir, "documents").select(col("doc_id"),
+        Parse.canonicalHost(url).as("host"))
+        .orderBy("doc_id")
+    }),
+
     "q_export_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_export_roundtrip"
+      val out = s"/tmp/graft_export_roundtrip_${s.sparkContext.applicationId}"
       val src = t(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("a,b\"c\nd "), col("text")).as("payload"))
@@ -647,6 +661,19 @@ object SparkEntry {
         |SELECT source, count(*) AS kept,
         |       CAST(sum(CAST(quality AS DECIMAL(18,4))) AS DOUBLE) AS sum_quality
         |FROM smp GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q_host_extract" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+        |         || source || '.Example.com'
+        |         || (CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END)
+        |         || '/p/' || doc_id::VARCHAR
+        |         || (CASE WHEN doc_id % 2 = 0 THEN '?utm=x#frag' ELSE '' END) AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |       regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\.', '') AS host
+        |FROM u ORDER BY doc_id""".stripMargin,
 
     "q_export_roundtrip" ->
       """WITH capped AS (

@@ -76,6 +76,18 @@ object Parse {
   /** G18 — host from url (empty-string-safe wrapper over parse_url). */
   def hostOf(url: Column): Column = parse_url(url, lit("HOST"))
 
+  /**
+   * G18' — canonical host: scheme-stripped authority without port,
+   * lower-cased, leading `www.` removed — the dedup/blocking key form of
+   * [[hostOf]]. Pure-regex so the DuckDB oracle reproduces it exactly
+   * (parse_url has no DuckDB analog); ParseSpec pins equivalence to
+   * `lower(parse_url(HOST))` minus `www.` on generated URLs.
+   */
+  def canonicalHost(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^[a-zA-Z]+://([^/:?#]+)", 1)),
+      "^www\\.", "")
+
   /** Validation gate: rows failing it go to the rejected sink (B4/J2).
     * coalesce pins null url → false (not NULL), so REJECTED routing and
     * reject_reason agree on null urls (RefOracle: "invalid_url"). */

@@ -112,6 +112,22 @@ class ParseSpec extends SparkSuite {
     assert(df.as[Boolean].collect().toSeq == Seq(true, false, false, false))
   }
 
+  test("canonicalHost equals lower(parse_url HOST) minus www., ports/query/fragment stripped") {
+    val urls = Seq(
+      "https://WWW.Sub.Example.COM/p/1?a=b#f",
+      "http://plain.example.org:8080/x",
+      "https://www.example.net",
+      "https://host.example.io/p/7?utm=x",
+      "ftp://Files.Example.com/pub")
+    val got = urls.toDF("url").select(
+      Parse.canonicalHost($"url").as("canon"),
+      regexp_replace(lower(Parse.hostOf($"url")), "^www\\.", "").as("ref"))
+      .as[(String, String)].collect()
+    got.foreach { case (canon, ref) => assert(canon == ref, s"$canon != $ref") }
+    assert(got.map(_._1).toSeq == Seq("sub.example.com", "plain.example.org",
+      "example.net", "host.example.io", "files.example.com"))
+  }
+
   test("null url: parse_ok is FALSE (not NULL) and reject_reason is invalid_url") {
     // rlike(null) is NULL in ternary logic; without the explicit guards a
     // null url would route to REJECTED with a NULL reason (RefOracle says

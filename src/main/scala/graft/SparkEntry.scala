@@ -310,6 +310,27 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // temporal — as-of join (Spark-missing operator; merge-by-time window
+    // formulation, ONE keyed shuffle, never a range join): latest order
+    // at-or-before each event per customer; DuckDB's native ASOF LEFT JOIN
+    // is the oracle
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("last_orderkey"))
+      Temporal.asofJoin(e, o, "user_id", "ts", "o_orderdate")
+        .select(col("event_id"), col("last_orderkey"))
+        .orderBy("event_id")
+    }),
+
+    // temporal — sessionization: 30-minute-gap sessions per user
+    "q_sessionize" -> ((s, dir) =>
+      Temporal.sessionStats(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id")
+        .orderBy("user_id", "session_seq")),
+
     // §4 skew — salted two-phase aggregation UNDER the oracle: the oracle
     // is the plain GROUP BY, so the hash match IS the exactness proof
     // (decimal value column keeps the sum order-independent)
@@ -800,6 +821,30 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate, max(o_orderkey) AS last_orderkey
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, o.last_orderkey
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY event_id""".stripMargin,
+
+    // floor(epoch()) mirrors Spark's unix_timestamp truncation — DuckDB's
+    // epoch() keeps fractional seconds, Spark's unix_timestamp floors
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, lag(ts) OVER w AS prev
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |         sum(CASE WHEN prev IS NULL OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM x)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM y GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
 
     "q_salted_agg" ->
       s"""WITH e AS (SELECT $serviceSql AS service, CAST(value AS DECIMAL(18,2)) AS v FROM events)

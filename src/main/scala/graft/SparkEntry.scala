@@ -331,6 +331,30 @@ object SparkEntry {
         "user_id", "ts", gapSeconds = 1800, tieBreak = "event_id")
         .orderBy("user_id", "session_seq")),
 
+    // F (pivot) — severity × service matrix via relational PIVOT
+    "q_pivot" -> ((s, dir) =>
+      t(s, dir, "events").select(service.as("service"), level.as("level"))
+        .groupBy("service").pivot("level", Seq("ERROR", "WARN", "INFO"))
+        .count().na.fill(0L)
+        .orderBy("service")),
+
+    // F (rollup) — multi-dimensional aggregate with grouping id
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_type"), service.as("service"))
+        .rollup("event_type", "service")
+        .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+        .orderBy("gid", "event_type", "service")),
+
+    // F (percentiles) — exact interpolated p50/p95 per service
+    // (pround4-style flooring on both engines: round() tie-break differs)
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "events").select(service.as("service"), col("value"))
+        .groupBy("service")
+        .agg(
+          TextAnalysis.pround4(expr("percentile(value, 0.5)")).as("p50"),
+          TextAnalysis.pround4(expr("percentile(value, 0.95)")).as("p95"))
+        .orderBy("service")),
+
     // §4 skew — salted two-phase aggregation UNDER the oracle: the oracle
     // is the plain GROUP BY, so the hash match IS the exactness proof
     // (decimal value column keeps the sum order-independent)
@@ -821,6 +845,28 @@ object SparkEntry {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
         |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""".stripMargin,
+
+    "q_pivot" ->
+      s"""WITH e AS (SELECT $serviceSql AS service, $levelSql AS level FROM events)
+         |SELECT service,
+         |       count(CASE WHEN level = 'ERROR' THEN 1 END) AS "ERROR",
+         |       count(CASE WHEN level = 'WARN' THEN 1 END) AS "WARN",
+         |       count(CASE WHEN level = 'INFO' THEN 1 END) AS "INFO"
+         |FROM e GROUP BY 1 ORDER BY service""".stripMargin,
+
+    "q_rollup" ->
+      s"""WITH e AS (SELECT event_type, $serviceSql AS service FROM events)
+         |SELECT event_type, service, count(*) AS cnt,
+         |       GROUPING(event_type, service)::BIGINT AS gid
+         |FROM e GROUP BY ROLLUP (event_type, service)
+         |ORDER BY gid, event_type, service""".stripMargin,
+
+    "q_percentiles" ->
+      s"""WITH e AS (SELECT $serviceSql AS service, value FROM events)
+         |SELECT service,
+         |       floor(quantile_cont(value, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+         |       floor(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0 AS p95
+         |FROM e GROUP BY 1 ORDER BY service""".stripMargin,
 
     "q_asof_join" ->
       """WITH o AS (

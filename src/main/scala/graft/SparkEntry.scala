@@ -380,6 +380,24 @@ object SparkEntry {
         .orderBy("tag")
     }),
 
+    // I6 — set ops: except / intersect over (user, day) — days a user
+    // erred without signing up, and days with both
+    "q_except" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      e.filter(col("event_type") === "error").select("user_id", "d").distinct()
+        .except(e.filter(col("event_type") === "signup").select("user_id", "d").distinct())
+        .orderBy("user_id", "d")
+    }),
+
+    "q_intersect" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"), col("event_type"))
+      e.filter(col("event_type") === "error").select("user_id", "d").distinct()
+        .intersect(e.filter(col("event_type") === "signup").select("user_id", "d").distinct())
+        .orderBy("user_id", "d")
+    }),
+
     // G15 — RFC-4180 CSV field escaping as data
     "q_csv_escape" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -906,6 +924,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'sig' AS tag, count(*) AS cnt FROM events WHERE event_type='signup')
         |ORDER BY tag""".stripMargin,
+
+    "q_except" ->
+      """SELECT DISTINCT user_id, ts::DATE AS d FROM events WHERE event_type = 'error'
+        |EXCEPT
+        |SELECT DISTINCT user_id, ts::DATE FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, d""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT DISTINCT user_id, ts::DATE AS d FROM events WHERE event_type = 'error'
+        |INTERSECT
+        |SELECT DISTINCT user_id, ts::DATE FROM events WHERE event_type = 'signup'
+        |ORDER BY user_id, d""".stripMargin,
 
     "q_csv_escape" ->
       """SELECT doc_id,

@@ -112,6 +112,18 @@ object StreamPipeline {
   }
 
   /**
+   * J1' — streaming dedup for at-least-once sources: a replayed message
+   * (same url) arriving within the watermark window is dropped, with state
+   * BOUNDED by the watermark (ids older than it are evicted — unbounded-
+   * state dedup is not a thing at 10¹² docs). This is the streaming half
+   * of the effectively-once contract; the batch half is the idempotent
+   * overwrite in [[run]].
+   */
+  def dedupStream(pages: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    pages.withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("url")
+
+  /**
    * F3 as an incremental streaming aggregate: 1-hour event-time windows
    * per severity, 10-minute watermark bounding state (late rows beyond it
    * are dropped — the streaming trade-off the batch gap-fill never makes).

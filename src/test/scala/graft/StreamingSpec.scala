@@ -94,6 +94,29 @@ class StreamingSpec extends SparkSuite {
     q.stop()
   }
 
+  test("streaming dedup: replays within the watermark are dropped (bounded state)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Schemas.PageRow]
+    val q = StreamPipeline.dedupStream(mem.toDF(), watermark = "10 minutes")
+      .select($"url")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    def page(u: String, m: Int) = Schemas.PageRow(
+      s"https://h.example.com/$u",
+      java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"),
+      Array.emptyByteArray, "text", "en")
+    mem.addData(page("a", 1), page("b", 1))
+    q.processAllAvailable()
+    // batch 2 replays "a" (at-least-once) within the watermark + adds "c"
+    mem.addData(page("a", 2), page("c", 3))
+    q.processAllAvailable()
+    val urls = spark.table("dedup_stream").as[String].collect().toSeq
+    assert(urls.sorted == Seq("https://h.example.com/a",
+      "https://h.example.com/b", "https://h.example.com/c"),
+      s"replay must be dropped exactly once: $urls")
+    q.stop()
+  }
+
   test("windowed severity counts with watermark (incremental F3)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Schemas.PageRow]

@@ -324,7 +324,9 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // temporal — sessionization: 30-minute-gap sessions per user
+    // temporal — sessionization: 30-minute-gap sessions per user. Output is
+    // epoch-second BIGINTs end to end (ordering, gap, bounds all derive from
+    // ONE unix_timestamp projection) — no cross-engine timestamp channel.
     "q_sessionize" -> ((s, dir) =>
       Temporal.sessionStats(
         t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
@@ -895,19 +897,23 @@ object SparkEntry {
         |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
         |ORDER BY event_id""".stripMargin,
 
-    // floor(epoch()) mirrors Spark's unix_timestamp truncation — DuckDB's
-    // epoch() keeps fractional seconds, Spark's unix_timestamp floors
+    // floor(epoch()) mirrors Spark's unix_timestamp flooring; everything
+    // downstream (ordering, gap, bounds) lives in that BIGINT domain so the
+    // two engines share one integer arithmetic — no timestamp serialization
     "q_sessionize" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, event_id, lag(ts) OVER w AS prev
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      """WITH e AS (
+        |  SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id FROM events),
+        |x AS (
+        |  SELECT user_id, ts_s, event_id, lag(ts_s) OVER w AS prev
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         |y AS (
-        |  SELECT user_id, ts,
-        |         sum(CASE WHEN prev IS NULL OR floor(epoch(ts))::BIGINT - floor(epoch(prev))::BIGINT > 1800 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  SELECT user_id, ts_s,
+        |         sum(CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM x)
         |SELECT user_id, session_seq, count(*) AS n_events,
-        |       min(ts) AS session_start, max(ts) AS session_end
+        |       min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
+        |       max(ts_s) - min(ts_s) AS duration_s
         |FROM y GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin,
 
     "q_salted_agg" ->

@@ -59,13 +59,29 @@ class TemporalSpec extends SparkSuite {
     val seqs = Temporal.sessionize(e, "user_id", "ts", 1800, "event_id")
       .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
     assert(seqs == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+    def s(str: String): Long = ts(str).getTime / 1000L
     val stats = Temporal.sessionStats(e, "user_id", "ts", 1800, "event_id")
       .orderBy("user_id", "session_seq")
-      .as[(Long, Long, Long, Timestamp, Timestamp)].collect().toSeq
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
     assert(stats == Seq(
-      (7L, 1L, 2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00")),
-      (7L, 2L, 2L, ts("2024-01-01 11:00:01"), ts("2024-01-01 11:10:00")),
-      (8L, 1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:00:00"))))
+      (7L, 1L, 2L, s("2024-01-01 10:00:00"), s("2024-01-01 10:30:00"), 1800L),
+      (7L, 2L, 2L, s("2024-01-01 11:00:01"), s("2024-01-01 11:10:00"), 599L),
+      (8L, 1L, 1L, s("2024-01-01 10:00:00"), s("2024-01-01 10:00:00"), 0L)))
+  }
+
+  test("asof join fills the WHOLE matched row: a null payload field stays null " +
+    "(never stitched from an older right row)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 13:00:00"))).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Option("old"), Option(7L)),
+      (10L, ts("2024-01-01 12:00:00"), Option("new"), Option.empty[Long])
+    ).toDF("k", "rts", "tag", "extra")
+    val got = Temporal.asofJoin(left, right, "k", "ts", "rts")
+      .select($"tag", $"extra").as[(Option[String], Option[Long])]
+      .collect().toSeq
+    // DuckDB ASOF attaches ALL columns of the single matched row — the
+    // null `extra` of the 12:00 row must NOT be back-filled from 09:00.
+    assert(got == Seq((Some("new"), None)))
   }
 
   test("asof join plan: one keyed window shuffle, no range join / cross product") {

@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 import graft.functions.CosineSim
 
 /**
@@ -23,6 +24,14 @@ object GraftExtensions {
     new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
     (children: Seq[Expression]) => {
       require(children.length == 2, "cosine_sim(a, b) takes exactly 2 arguments")
-      CosineSim(children.head, children(1))
+      // float arrays are welcome at the SQL surface too (parity with
+      // VectorExprs.cosineSim); anything else still fails type-check
+      def widen(e: Expression): Expression =
+        if (e.resolved && e.dataType.isInstanceOf[ArrayType] &&
+          e.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+          Cast(e, ArrayType(DoubleType,
+            e.dataType.asInstanceOf[ArrayType].containsNull))
+        else e
+      CosineSim(widen(children.head), widen(children(1)))
     })
 }

@@ -51,17 +51,25 @@ case class CosineSim(left: Expression, right: Expression)
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  // All locals via ctx.freshName (as Spark's built-ins do): nullSafeExec
+  // emits no scoping braces when a child is non-nullable, so two instances
+  // of this expression in one whole-stage function would otherwise declare
+  // duplicate locals → Janino error → silent interpreted fallback.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.getDouble(i);
-         |  double yi = $b.getDouble(i);
-         |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -71,7 +79,16 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object VectorExprs {
-  /** cosine(a, b) over `array<double>` columns as a codegen'd expression. */
+  /**
+   * cosine(a, b) as a codegen'd expression. Accepts `array<float>` or
+   * `array<double>` — inputs are cast to `array<double>` here (the
+   * expression itself requires doubles; a same-type cast is elided by
+   * SimplifyCasts, so the double path pays nothing). Unequal-length arrays
+   * are truncated to the shorter length (the old zip_with fold returned
+   * null there) — documented divergence, asserted in SimilaritySpec.
+   */
   def cosineSim(a: Column, b: Column): Column =
-    GraftBridge.column(CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+    GraftBridge.column(CosineSim(
+      GraftBridge.expression(a.cast("array<double>")),
+      GraftBridge.expression(b.cast("array<double>"))))
 }

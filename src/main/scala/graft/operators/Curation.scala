@@ -86,10 +86,18 @@ object Curation {
    * md5-prefix→bigint construction as MinHash ([[Dedup.baseHash]] idea) so
    * the sample is reproducible across engines, partitionings, and re-runs —
    * no `rand()`, which would break resume idempotence and oracle checks.
+   *
+   * NULL stratum → row DROPPED, matching SQL `stratum || '|' || id` key
+   * construction (NULL key → NULL comparison → filtered). The hash input
+   * uses `concat` (null-propagating), NOT `concat_ws` (which silently
+   * skips null args and would hash a null stratum as just the id —
+   * engine/oracle divergence). Map nulls to a sentinel stratum upstream if
+   * they should be sampled.
    */
   def stratifiedSampleFilter(stratum: Column, id: Column,
                              ratePct: Column): Column = {
-    val h = pmod(conv(substring(md5(concat_ws("|", stratum, id.cast("string"))),
+    val h = pmod(conv(substring(
+      md5(concat(stratum, lit("|"), id.cast("string"))),
       1, 15), 16, 10).cast("long"), lit(100L))
     h < ratePct
   }

@@ -218,18 +218,28 @@ object Dedup {
    * standard dedup practice: such shingles carry no discriminating signal
    * but make the `(blk, shingle)` self-join quadratic in the hottest
    * bucket. Jaccard is then a true similarity over the df-capped space.
+   *
+   * Shared subplans are materialized, not recomputed: the raw shingle
+   * table feeds TWO branches (the df table and the join input) and the
+   * df-capped table feeds THREE (doc sizes, join left, join right) — Spark
+   * re-derives a shared subplan per consumer, so without a seam the
+   * expensive shingle scan ran 3× (the measured dominant cost at every
+   * SF). Both tables are materialized ONCE via `localCheckpoint` (executor
+   * block store, MEMORY_AND_DISK; a staging-parquet write is the same seam
+   * at cluster scale): one document scan + one df-cap join total.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.8,
                         maxShingleDf: Int = 100): DataFrame = {
-    val shAll = shingles(docs, idCol, textCol, n)
+    val shAll = shingles(docs, idCol, textCol, n).localCheckpoint()
     val rare = shAll.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxShingleDf)
       .select("shingle")
     val sh = shAll.join(rare, Seq("shingle"))
       .join(docs.select(col(idCol), col(blockCol)), Seq(idCol))
+      .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val l = sh.select(col(blockCol).as("blk"), col(idCol).as("id1"), col("shingle"))
     val r = sh.select(col(blockCol).as("blk"), col(idCol).as("id2"), col("shingle"))

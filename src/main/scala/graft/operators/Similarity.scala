@@ -29,8 +29,12 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /**
-   * cosine(a,b) ∈ [-1,1] — codegen'd single-pass kernel, bit-identical to
-   * the `zip_with`+`aggregate` fold (same index-order accumulation).
+   * cosine(a,b) ∈ [-1,1] — codegen'd single-pass kernel; accepts
+   * `array<float>` or `array<double>` (floats widened to double). For
+   * equal-length inputs the accumulation order matches the
+   * `zip_with`+`aggregate` fold exactly (bit-identical results); unequal
+   * lengths truncate to the shorter array where the fold returned null
+   * (documented divergence, asserted in SimilaritySpec).
    */
   def cosine(a: Column, b: Column): Column = VectorExprs.cosineSim(a, b)
 

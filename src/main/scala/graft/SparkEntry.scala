@@ -133,6 +133,12 @@ object SparkEntry {
       Analytics.textRankIdf(t(s, dir, "documents"), "doc_id", "text",
         "spark window")),
 
+    // E1 (full BM25 idf) — ln() included, floor-rounded to 4dp on both
+    // engines so a last-ulp ln difference cannot flip the hash
+    "q_text_rank_bm25" -> ((s, dir) =>
+      Analytics.textRankBm25(t(s, dir, "documents"), "doc_id", "text",
+        "spark window")),
+
     // curation composition — quality gate → exact-dedup keepers →
     // stratified sample → per-source stats, one lazy plan end to end
     "q_curation_pipeline" -> ((s, dir) => {
@@ -478,15 +484,17 @@ object SparkEntry {
         .orderBy("id1", "id2")),
 
     // dedup: embedding-cosine near-dup pairs, blocked by (label, band,
-    // sign bucket) — the scale-safe variant: each of 4 sign bands splits
+    // sign bucket) — the scale-safe variant: each of 8 sign bands splits
     // every label block 2^2 ways (a dominant label cannot go quadratic),
-    // OR-amplification across bands keeps recall high
+    // OR-amplification across bands keeps recall high (1−(1−p²)⁸; was 4
+    // bands / 0.89 measured recall in round 2 — see COVERAGE.md for the
+    // recall/candidate-volume trade)
     "q_dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
       Similarity.nearDupPairs(e, "vec_id", "v", "label",
-        threshold = 0.40, bands = 4, bitsPerBand = 2)
+        threshold = 0.40, bands = 8, bitsPerBand = 2)
         .orderBy("id1", "id2")
     }),
 
@@ -503,7 +511,7 @@ object SparkEntry {
         .filter(round(Similarity.cosine(col("v1"), col("v2")), 4) >= 0.40)
         .agg(count(lit(1)).as("n_exact"))
       val bucketed = Similarity.nearDupPairs(e, "vec_id", "v", "label",
-        threshold = 0.40, bands = 4, bitsPerBand = 2)
+        threshold = 0.40, bands = 8, bitsPerBand = 2)
         .agg(count(lit(1)).as("n_bucketed"))
       bucketed.crossJoin(exact).select(
         col("n_bucketed"), col("n_exact"),
@@ -537,6 +545,18 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // similarity: multi-probe sign-LSH ANN — query bucket + all flip-1-bit
+    // buckets (nBits+1 of 2^nBits); recall lift vs probe-1 measured in
+    // SimilaritySpec
+    "q_ann_lsh_mp" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qv = e.filter(col("vec_id") === 0) // 1 row — the query, model-sized
+        .collect()(0).getSeq[Double](1)
+      Similarity.lshTopKMultiProbe(e.filter(col("vec_id") =!= 0),
+        "vec_id", "v", qv, k = 10, nBits = 4)
+    }),
+
     // similarity: IVF ANN — deterministic sampled k-means centroids
     // (2 Lloyd iterations, DECIMAL-exact means) + multi-probe (nprobe=2)
     "q_ann_ivf" -> ((s, dir) =>
@@ -545,6 +565,23 @@ object SparkEntry {
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
         "vec_id", "v", queryId = 0L, topK = 10, k = 8, nprobe = 2,
         iters = 2, sampleN = 256)),
+
+    // similarity: the STORED IVF index end to end — write the partitioned
+    // index (vectors partitioned by cell + centroid table), then probe it
+    // through the partition-pruned read path; the oracle is the same as
+    // q_ann_ivf, so the green row proves index write → prune → probe
+    // reproduces the in-memory result exactly
+    "q_ann_ivf_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val path = s"/tmp/graft_ivf_index_${s.sparkContext.applicationId}"
+      Similarity.writeIvfIndex(e, "vec_id", "v", path, k = 8, iters = 2,
+        sampleN = 256)
+      val qv = e.filter(col("vec_id") === 0)
+        .collect()(0).getSeq[Double](1) // 1 row — the query, model-sized
+      Similarity.ivfIndexTopK(s, path, "vec_id", "v", qv, topK = 10,
+        nprobe = 2, excludeId = Some(0L))
+    }),
 
     // text: heuristic language ID
     "q_lang_id" -> ((s, dir) =>
@@ -583,6 +620,29 @@ object SparkEntry {
         length(col("text").cast("binary")).cast("long").as("byte_len"),
         sha2(col("text").cast("binary"), 256).as("sha256"))
         .orderBy("doc_id")),
+
+    // multimodal: GENUINE container-header decode over a BinaryType column —
+    // PNG IHDR width/height read from the blob's bytes with substring/hex/
+    // conv (no codec library; dimensions live at fixed header offsets).
+    // Blobs are synthesized deterministically from doc_id (a PNG header
+    // with planted dims; every 7th row a JPEG prefix → is_png=false, null
+    // dims). The oracle builds the SAME bytes with unhex and parses them
+    // back via the hex roundtrip (DuckDB 1.0.0 has no blob slicing).
+    "q_multimodal_dims" -> ((s, dir) => {
+      val w = (col("doc_id") % 640 + 16).cast("long")
+      val h = ((col("doc_id") * 7) % 480 + 16).cast("long")
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("0806000000"))
+      val hx = when(col("doc_id") % 7 === 0,
+        lit("FFD8FFE000104A46494600")).otherwise(pngHex)
+      t(s, dir, "documents").select(col("doc_id"), unhex(hx).as("img"))
+        .select(col("doc_id"),
+          Multimodal.pngIsValid(col("img")).as("is_png"),
+          Multimodal.pngWidth(col("img")).as("width"),
+          Multimodal.pngHeight(col("img")).as("height"),
+          length(col("img")).cast("long").as("byte_len"))
+        .orderBy("doc_id")
+    }),
 
     // curation: Gopher-style repetition quality signals
     "q_repetition" -> ((s, dir) =>
@@ -694,6 +754,18 @@ object SparkEntry {
         |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
         |SELECT tf.doc_id,
         |       floor(sum(tf.tf * ((SELECT count(*) FROM documents) - df.df + 0.5) / (df.df + 0.5)) * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM tf JOIN df USING (tok)
+        |GROUP BY 1 ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q_text_rank_bm25" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok IN ('spark', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       floor(sum(tf.tf * ln(1.0 + ((SELECT count(*) FROM documents) - df.df + 0.5) / (df.df + 0.5))) * 10000.0 + 0.5) / 10000.0 AS score
         |FROM tf JOIN df USING (tok)
         |GROUP BY 1 ORDER BY score DESC, doc_id""".stripMargin,
 
@@ -1030,7 +1102,7 @@ object SparkEntry {
          |SELECT a.vec_id AS id1, b.vec_id AS id2,
          |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
          |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-         |  AND ${bandCondSql(4, 2)}
+         |  AND ${bandCondSql(8, 2)}
          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
          |ORDER BY id1, id2""".stripMargin,
 
@@ -1044,7 +1116,7 @@ object SparkEntry {
          |bk AS (
          |  SELECT count(*) AS n_bucketed FROM e a JOIN e b
          |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |    AND ${bandCondSql(4, 2)}
+         |    AND ${bandCondSql(8, 2)}
          |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40)
          |SELECT n_bucketed, n_exact,
          |       CASE WHEN n_exact = 0 THEN 1.0
@@ -1068,8 +1140,25 @@ object SparkEntry {
         |  AND (e.v[3] > 0) = (q.qv[3] > 0) AND (e.v[4] > 0) = (q.qv[4] > 0)
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    // candidates = rows with >= nBits-1 sign agreements == the bucket set
+    // {query bucket} ∪ {flip-1-bit buckets} that the Spark side probes
+    "q_ann_lsh_mp" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |FROM e, q
+        |WHERE e.vec_id <> 0
+        |  AND (((e.v[1] > 0) = (q.qv[1] > 0))::INT + ((e.v[2] > 0) = (q.qv[2] > 0))::INT
+        |     + ((e.v[3] > 0) = (q.qv[3] > 0))::INT + ((e.v[4] > 0) = (q.qv[4] > 0))::INT) >= 3
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "q_ann_ivf" -> ivfOracleSql(k = 8, iters = 2, sampleN = 256, nprobe = 2,
       topK = 10),
+
+    // same oracle as q_ann_ivf: the stored-index path must reproduce the
+    // in-memory probe exactly (write → partition prune → scan → top-k)
+    "q_ann_ivf_index" -> ivfOracleSql(k = 8, iters = 2, sampleN = 256,
+      nprobe = 2, topK = 10),
 
     "q_lang_id" ->
       """SELECT doc_id,
@@ -1097,6 +1186,29 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len, sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // builds the SAME blob bytes (unhex) and parses them back through the
+    // hex roundtrip — DuckDB 1.0.0 has no blob substring; the Spark side
+    // slices the BinaryType column directly
+    "q_multimodal_dims" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'FFD8FFE000104A46494600'
+        |         ELSE '89504E470D0A1A0A0000000D49484452'
+        |              || lpad(hex(doc_id % 640 + 16), 8, '0')
+        |              || lpad(hex((doc_id * 7) % 480 + 16), 8, '0')
+        |              || '0806000000' END AS hx
+        |  FROM documents),
+        |b AS (SELECT doc_id, unhex(hx) AS img FROM p),
+        |hh AS (SELECT doc_id, hex(img) AS h, octet_length(img)::BIGINT AS byte_len FROM b)
+        |SELECT doc_id,
+        |       (byte_len >= 24 AND substr(h, 1, 16) = '89504E470D0A1A0A') AS is_png,
+        |       CASE WHEN byte_len >= 24 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+        |            THEN ('0x' || substr(h, 33, 8))::UBIGINT::BIGINT END AS width,
+        |       CASE WHEN byte_len >= 24 AND substr(h, 1, 16) = '89504E470D0A1A0A'
+        |            THEN ('0x' || substr(h, 41, 8))::UBIGINT::BIGINT END AS height,
+        |       byte_len
+        |FROM hh ORDER BY doc_id""".stripMargin,
 
     "q_repetition" ->
       """WITH lines AS (

@@ -69,6 +69,38 @@ object Analytics {
   }
 
   /**
+   * E1 (full BM25 idf) — tf·idf with Lucene's actual idf,
+   * ln(1 + (N − df + 0.5)/(df + 0.5)), closing the documented divergence
+   * from [[textRankIdf]]'s log-free rational core (reference scores hits:
+   * ElasticsearchService.java:279-283). `ln` is not guaranteed IEEE-exact
+   * across engines, so the score is floor-rounded to 4 decimals on BOTH
+   * sides (pround4) — a 1-ulp ln() difference cannot survive the rounding
+   * unless it lands exactly on a boundary. Same plan shape as textRankIdf:
+   * broadcast df + N, one tf shuffle. For single-term queries the ranking
+   * is provably identical to the rational-core variant (ln is monotone);
+   * for multi-term queries the per-term weights rescale and CAN reorder
+   * sums in principle — equality on the test corpus is asserted in
+   * AnalyticsSpec, not assumed.
+   */
+  def textRankBm25(docs: DataFrame, idCol: String, textCol: String,
+                   queryText: String): DataFrame = {
+    val tokens: Seq[Any] =
+      queryText.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val toks = Curation.gramRows(docs, idCol, textCol, n = 1)
+      .filter(col("gram").isin(tokens: _*))
+    val tf = toks.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df_), Seq("gram")).crossJoin(broadcast(n))
+      .groupBy(col(idCol))
+      .agg(TextAnalysis.pround4(
+        sum(col("tf") * log(lit(1.0) +
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))))
+        .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+  }
+
+  /**
    * §3.2 search path — bool{must: match, filter: [levels, services, range]}
    * + sort + from/size pagination (`ElasticsearchService.java:237-274`).
    * `hosts` is accepted-and-ignored for fidelity (dead filter D6,

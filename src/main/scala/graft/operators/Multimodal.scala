@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -80,6 +80,37 @@ object Multimodal {
       length(col(binCol)).as("byte_len"),
       sha2(col(binCol), 256).as("sha256"),
       crc32(col(binCol)).as("crc"))
+
+  // ---- genuine container-header decoding (no codec library needed) -------
+  //
+  // Image DIMENSIONS don't need a decoder: they sit at fixed (PNG) or
+  // scannable (JPEG) offsets in the container header. These are pure
+  // codegen'd expressions over the BinaryType column — `substring` slices
+  // bytes, `hex`+`conv` reads big-endian integers — so dimension extraction
+  // runs inside the parquet scan at full width, no mapPartitions seam.
+  // PNG layout: 8-byte magic 89 50 4E 47 0D 0A 1A 0A, then the IHDR chunk
+  // (4-byte length, 4-byte type "IHDR", 4-byte BE width, 4-byte BE height).
+  // JPEG (the documented harder case) interleaves variable-length segments
+  // before SOF0/SOF2 — a marker SCAN, not a fixed offset; see JpegDims in
+  // graft.functions (custom codegen Expression) for that one.
+
+  private val PngMagicHex = "89504E470D0A1A0A"
+
+  /** Big-endian unsigned int from `nBytes` at 1-based byte offset `off`. */
+  def beUint(bin: Column, off: Int, nBytes: Int): Column =
+    conv(hex(substring(bin, off, nBytes)), 16, 10).cast("long")
+
+  /** True iff the blob starts with the 8-byte PNG signature. */
+  def pngIsValid(bin: Column): Column =
+    length(bin) >= 24 && hex(substring(bin, 1, 8)) === lit(PngMagicHex)
+
+  /** PNG width from the IHDR chunk (bytes 17-20, big-endian); null if not PNG. */
+  def pngWidth(bin: Column): Column =
+    when(pngIsValid(bin), beUint(bin, 17, 4))
+
+  /** PNG height from the IHDR chunk (bytes 21-24, big-endian); null if not PNG. */
+  def pngHeight(bin: Column): Column =
+    when(pngIsValid(bin), beUint(bin, 21, 4))
 
   /** Build a MediaRow dataset from any binary column (helper). */
   def fromBinary(spark: SparkSession, df: DataFrame, idCol: String,

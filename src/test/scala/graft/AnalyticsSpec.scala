@@ -61,6 +61,32 @@ class AnalyticsSpec extends SparkSuite {
     assert(none == 0)
   }
 
+  test("E1: BM25 ln-idf ranks identically to the rational-core idf " +
+    "(ln is monotone) and scores are the exact Lucene formula") {
+    val docs = Seq(
+      (1L, "spark spark spark and flink"),   // tf(spark)=3
+      (2L, "spark window window"),           // tf(spark)=1, tf(window)=2
+      (3L, "window only here"),              // tf(window)=1
+      (4L, "spark once"),                    // tf(spark)=1
+      (5L, "nothing relevant at all"))
+      .toDF("doc_id", "text")
+    val rational = Analytics.textRankIdf(docs, "doc_id", "text", "spark window")
+      .select($"doc_id").as[Long].collect().toSeq
+    val bm25 = Analytics.textRankBm25(docs, "doc_id", "text", "spark window")
+      .as[(Long, Double)].collect().toSeq
+    // exact Lucene idf: ln(1 + (N - df + 0.5)/(df + 0.5)); N=5, df(spark)=3,
+    // df(window)=2
+    def idf(df: Int) = math.log(1.0 + (5.0 - df + 0.5) / (df + 0.5))
+    def p4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    val exp = Map(
+      1L -> p4(3 * idf(3)), 2L -> p4(1 * idf(3) + 2 * idf(2)),
+      3L -> p4(1 * idf(2)), 4L -> p4(1 * idf(3)))
+    assert(bm25.toMap == exp)
+    // same ranking as the rational core on this corpus (ties broken by id
+    // in both) — the monotone-transform claim, asserted not assumed
+    assert(bm25.map(_._1) == rational)
+  }
+
   test("I1/I2: search pagination is deterministic and offset-correct") {
     val all = Analytics.searchLogs(logs, size = 5).select("id").as[String].collect().toSeq
     assert(all == Seq("a5", "a4", "a3", "a2", "a1")) // ts desc default

@@ -22,6 +22,48 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(got - exp) < 1e-12)
   }
 
+  test("cosine accepts float arrays (widened) and truncates unequal lengths") {
+    val exp = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    // array<float> inputs are cast to double by the wrapper
+    val fl = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").select(Similarity.cosine($"a", $"b"))
+      .as[Double].collect()(0)
+    assert(math.abs(fl - exp) < 1e-6) // float storage rounds the inputs
+    // unequal lengths: documented min-truncation — BOTH arrays are cut to
+    // the shorter length (the extra 99.0 enters neither dot nor norm; the
+    // old fold returned null here)
+    val tr = Seq((Array(1.0, 2.0, 3.0, 99.0), Array(4.0, 5.0, 6.0)))
+      .toDF("a", "b").select(Similarity.cosine($"a", $"b"))
+      .as[Double].collect()(0)
+    assert(math.abs(tr - exp) < 1e-12)
+  }
+
+  test("multi-probe LSH: bucket set = query + flip-1-bit; recall >= probe-1 recall") {
+    val nBits = 4
+    val qf = vec(7).map(_.toFloat)
+    val qd = vec(7).toSeq
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "v", qf, 10)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val p1 = Similarity.lshTopK(emb, "vec_id", "v", qf, 10, nBits)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val mp = Similarity.lshTopKMultiProbe(emb, "vec_id", "v", qd, 10, nBits)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    val probes = Similarity.multiProbeBuckets(qd, nBits)
+    assert(probes.size == nBits + 1 && probes.distinct.size == nBits + 1)
+    // probe-1's candidates are a subset of multi-probe's: recall can't drop
+    val r1 = (brute & p1).size.toDouble / 10
+    val rm = (brute & mp).size.toDouble / 10
+    assert(rm >= r1, s"multi-probe recall $rm < probe-1 recall $r1")
+    // every result's bucket is in the probe set
+    val buckets = emb.filter($"vec_id".isin(mp.toSeq: _*))
+      .select(Similarity.signBucket($"v", nBits)).as[String].collect()
+    assert(buckets.forall(probes.contains), buckets.mkString(","))
+    // and on this corpus the lift is real (strictly more candidates reachable)
+    val nCand1 = emb.filter(Similarity.signBucket($"v", nBits) === probes.head).count()
+    val nCandM = emb.filter(Similarity.signBucket($"v", nBits).isin(probes: _*)).count()
+    assert(nCandM > nCand1)
+  }
+
   test("brute-force top-k returns true nearest neighbors") {
     val q = vec(1) // identical to vec_id 1 -> cos 1.0 at rank 1
     val top = Similarity.bruteForceTopK(emb, "vec_id", "v", q.map(_.toFloat), 5)
@@ -129,6 +171,51 @@ class SimilaritySpec extends SparkSuite {
     rows.foreach { r =>
       assert(perDoc(r.id) == (r.frameCount + 99) / 100)
     }
+  }
+
+  test("PNG header decode: width/height from IHDR bytes; non-PNG -> null") {
+    def be4(v: Int) = Array((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    val magic = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val png = magic ++ be4(13) ++ "IHDR".getBytes ++ be4(800) ++ be4(600) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    val notPng = "plain text, not an image".getBytes
+    val rows = Seq((1L, png), (2L, notPng)).toDF("id", "img")
+      .select($"id", Multimodal.pngIsValid($"img").as("ok"),
+        Multimodal.pngWidth($"img").as("w"), Multimodal.pngHeight($"img").as("h"))
+      .as[(Long, Boolean, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows(1L) == ((true, Some(800L), Some(600L))))
+    assert(rows(2L) == ((false, None, None)))
+  }
+
+  test("JPEG SOF scan (codegen expr): dims found across variable segments, " +
+    "fill bytes skipped, non-JPEG -> null") {
+    import graft.functions.ImageExprs
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xFF.toByte, marker.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+    }
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    // APP0(JFIF) + DQT before the SOF0 carrying precision/height/width
+    val sof0 = Array[Byte](8, 0x00, 0xF0.toByte, 0x01, 0x40, 3) // 240 x 320
+    val jpeg = soi ++ seg(0xE0, Array.fill[Byte](14)(0x4A)) ++
+      seg(0xDB, Array.fill[Byte](65)(1)) ++ seg(0xC0, sof0)
+    // a fill byte (FF FF) before the SOF marker must be skipped
+    val padded = soi ++ seg(0xE0, Array.fill[Byte](14)(0x4A)) ++
+      Array(0xFF.toByte) ++ seg(0xC2, sof0) // progressive SOF2 counts too
+    val garbage = "plain text".getBytes
+    val got = Seq((1L, jpeg), (2L, padded), (3L, garbage))
+      .toDF("id", "img")
+      // width AND height in one projection: two JpegDim instances in one
+      // whole-stage function — exercises freshName-scoped codegen locals
+      .select($"id", ImageExprs.jpegWidth($"img").as("w"),
+        ImageExprs.jpegHeight($"img").as("h"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Some(320L), Some(240L))))
+    assert(got(2L) == ((Some(320L), Some(240L))))
+    assert(got(3L) == ((None, None)))
   }
 
   test("binary metadata: length + hashes without decode") {

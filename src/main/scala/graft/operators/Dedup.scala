@@ -193,7 +193,8 @@ object Dedup {
    * Output is identical to the window formulation (the DuckDB oracle keeps
    * the lead() form and matches).
    */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+               carryCols: Seq[String] = Nil): DataFrame = {
     val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
     def gramsOf(ts: Column): Column =
       when(size(ts) >= n,
@@ -205,7 +206,10 @@ object Dedup {
     // whole document for every element_at — interpreted HOFs do no
     // common-subexpression elimination (measured 62 s vs <1 s at sf0.1).
     val grams = element_at(transform(array(toks), ts => gramsOf(ts)), 1)
-    docs.select(col(idCol), explode(grams).as("shingle"))
+    // carryCols ride along in the SAME scan — a consumer that needs e.g.
+    // the blocking column gets it here instead of re-scanning + joining
+    docs.select((Seq(col(idCol)) ++ carryCols.map(col) :+
+      explode(grams).as("shingle")): _*)
   }
 
   /**
@@ -214,44 +218,77 @@ object Dedup {
    * J(a,b) = |A∩B| / (|A|+|B|−|A∩B|) ≥ threshold.
    *
    * Hot-shingle bound: a shingle appearing in more than `maxShingleDf`
-   * documents is dropped from the shingle space entirely (sizes AND join) —
-   * standard dedup practice: such shingles carry no discriminating signal
-   * but make the `(blk, shingle)` self-join quadratic in the hottest
-   * bucket. Jaccard is then a true similarity over the df-capped space.
+   * documents is dropped from the shingle space entirely (sizes AND pair
+   * generation) — standard dedup practice: such shingles carry no
+   * discriminating signal but make per-shingle pair generation quadratic
+   * in the hottest bucket. Jaccard is then a true similarity over the
+   * df-capped space.
    *
-   * Shared subplans are materialized, not recomputed: the raw shingle
-   * table feeds TWO branches (the df table and the join input) and the
-   * df-capped table feeds THREE (doc sizes, join left, join right) — Spark
-   * re-derives a shared subplan per consumer, so without a seam the
-   * expensive shingle scan ran 3× (the measured dominant cost at every
-   * SF). Both tables are materialized ONCE via `localCheckpoint` (executor
-   * block store, MEMORY_AND_DISK; a staging-parquet write is the same seam
-   * at cluster scale): one document scan + one df-cap join total.
+   * Plan shape (one scan, one wide shuffle): the shingle scan carries the
+   * blocking column and is materialized once (`localCheckpoint`; a
+   * staging-parquet write is the same seam at cluster scale). ONE shuffle
+   * on `shingle` then both applies the df-cap and collects each surviving
+   * shingle's ≤`maxShingleDf` (block, id) postings; candidate pairs are
+   * generated ARRAY-LOCALLY from the bounded postings list (≤ C(cap,2)
+   * per shingle, O(cap²) by construction — the cap is the license for the
+   * quadratic) instead of a relational self-join, which cost two more
+   * exchanges of the full shingle table. The former formulation (df table
+   * + capped (blk,shingle) self-join + per-branch rescans) spent 3× the
+   * scan plus 4 extra exchanges on the same result.
    */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, n: Int = 3,
                         threshold: Double = 0.8,
                         maxShingleDf: Int = 100): DataFrame = {
-    val shAll = shingles(docs, idCol, textCol, n).localCheckpoint()
-    val rare = shAll.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleDf)
-      .select("shingle")
-    val sh = shAll.join(rare, Seq("shingle"))
-      .join(docs.select(col(idCol), col(blockCol)), Seq(idCol))
+    val shAll = shingles(docs, idCol, textCol, n, carryCols = Seq(blockCol))
       .localCheckpoint()
-    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
-    val l = sh.select(col(blockCol).as("blk"), col(idCol).as("id1"), col("shingle"))
-    val r = sh.select(col(blockCol).as("blk"), col(idCol).as("id2"), col("shingle"))
-    l.join(r, Seq("blk", "shingle"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
+    // one shuffle: df-cap + bounded postings per shingle
+    val buckets = shAll.groupBy(col("shingle"))
+      .agg(collect_list(struct(col(blockCol).as("blk"),
+        col(idCol).as("id"))).as("ds"))
+      .filter(size(col("ds")) <= maxShingleDf)
+      .localCheckpoint() // feeds sizes AND pairs; cap-bounded rows
+    // per-doc size of the df-capped shingle space
+    val sizes = buckets.select(explode(col("ds")).as("d"))
+      .groupBy(col("d.id").as(idCol)).agg(count(lit(1)).as("sz"))
+    // array-local pair generation: same-block unordered pairs per shingle
+    // (each doc appears once per shingle, so a pair arises once per shared
+    // shingle — identical multiset to the former self-join)
+    val pairs = buckets
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("shared"))
+    pairs
       .join(sizes.select(col(idCol).as("id1"), col("sz").as("sz1")), Seq("id1"))
       .join(sizes.select(col(idCol).as("id2"), col("sz").as("sz2")), Seq("id2"))
       .withColumn("jaccard",
         round(col("shared") / (col("sz1") + col("sz2") - col("shared")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), col("jaccard"))
+  }
+
+  /**
+   * All same-block unordered (id1 < id2) pairs from a postings array of
+   * (blk, id) structs — the array-local candidate generator behind
+   * [[ngramJaccardPairs]]. Null blocks pair with nothing (SQL join-key
+   * semantics). Index pairs are enumerated i<j over the bounded array, so
+   * the output is ≤ C(len, 2) structs.
+   */
+  def pairCombos(ds: Column): Column = {
+    val idx = flatten(transform(sequence(lit(1), size(ds)), i =>
+      transform(sequence(lit(1), size(ds)), j =>
+        struct(i.as("i"), j.as("j")))))
+    val valid = filter(idx, p => {
+      val a = element_at(ds, p.getField("i"))
+      val b = element_at(ds, p.getField("j"))
+      p.getField("i") < p.getField("j") &&
+        a.getField("blk") === b.getField("blk")
+    })
+    transform(valid, p => {
+      val a = element_at(ds, p.getField("i"))
+      val b = element_at(ds, p.getField("j"))
+      struct(least(a.getField("id"), b.getField("id")).as("id1"),
+        greatest(a.getField("id"), b.getField("id")).as("id2"))
+    })
   }
 }

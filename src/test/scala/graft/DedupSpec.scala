@@ -108,6 +108,23 @@ class DedupSpec extends SparkSuite {
     assert(loose == 6)
   }
 
+  test("jaccard pair generation: null blocks pair with nothing (SQL join-key " +
+    "semantics); id order canonical") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta", Option("s1")),
+      (2L, "alpha beta gamma delta", Option("s1")),
+      (3L, "alpha beta gamma delta", Option.empty[String]), // null block
+      (4L, "alpha beta gamma delta", Option.empty[String])  // null block
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text", "source",
+      n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    // only (1,2): the two null-block docs must NOT pair (with each other
+    // or anyone), exactly like a relational join on a null key
+    assert(pairs.map(p => (p._1, p._2)) == Seq((1L, 2L)))
+    assert(pairs.head._3 == 1.0)
+  }
+
   test("shingles are distinct, ordered n-grams; short docs yield none") {
     val sh = Dedup.shingles(Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 3)
     assert(sh.count() == 0)

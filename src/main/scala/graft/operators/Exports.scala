@@ -57,4 +57,23 @@ object Exports {
     spark.sql(s"CREATE TABLE $table USING parquet LOCATION '$root/routed'")
     spark.sql(s"MSCK REPAIR TABLE $table")
   }
+
+  /**
+   * Bucketed table registration — the CO-LOCATED JOIN seam for repeated
+   * large-to-large joins at cluster scale. Two tables bucketed (and
+   * sorted) the same way on the join key join with ZERO exchanges: each
+   * task sort-merges bucket i of both sides. At 10¹² docs this converts
+   * every recurring fact-to-fact join (events⋈events, events⋈orders-style)
+   * from two full shuffles PER QUERY into one shuffle PER TABLE at write
+   * time, amortized over every subsequent join/aggregation on that key —
+   * the standard warehouse layout decision, and the one a 100 TB pipeline
+   * makes on day one. No-Exchange join is asserted in PlanSpec.
+   */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -124,6 +124,31 @@ object StreamPipeline {
       .dropDuplicatesWithinWatermark("url")
 
   /**
+   * Streaming sessionization — the incremental half of
+   * [[graft.operators.Temporal.sessionize]]: `session_window` merges
+   * events within `gap` of each other into one growing session per key;
+   * the watermark both bounds state and finalizes sessions (a session
+   * closes when the watermark passes its end). Output matches the batch
+   * operator's per-session roll-up shape (epoch-second BIGINT bounds) so
+   * the two halves are interchangeable downstream. Boundary semantics
+   * MATCH the batch operator: `session_window` merges an event landing
+   * exactly at session-end + 0 (gap == limit stays in-session, split only
+   * on strictly-greater) — asserted against the batch operator on the
+   * same input, boundary case included, in StreamingSpec.
+   */
+  def sessionizeStream(events: DataFrame, key: String, tsCol: String,
+                       gap: String = "30 minutes",
+                       watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(key))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col(tsCol))).as("session_start_s"),
+        max(unix_timestamp(col(tsCol))).as("session_end_s"))
+      .select(col(key), col("n_events"), col("session_start_s"),
+        col("session_end_s"),
+        (col("session_end_s") - col("session_start_s")).as("duration_s"))
+
+  /**
    * F3 as an incremental streaming aggregate: 1-hour event-time windows
    * per severity, 10-minute watermark bounding state (late rows beyond it
    * are dropped — the streaming trade-off the batch gap-fill never makes).

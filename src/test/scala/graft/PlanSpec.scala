@@ -73,4 +73,42 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.toLowerCase.contains("bit_count"), p)
   }
+
+  test("bucketed tables co-locate the join: sort-merge with ZERO exchanges " +
+    "(the write-once-join-many layout for recurring large joins)") {
+    import graft.operators.Exports
+    def clean(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { // stale location from an aborted earlier run
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    clean("bkt_a"); clean("bkt_b")
+    val a = (1L to 1000L).map(i => (i % 50, i)).toDF("k", "va")
+    val b = (1L to 1000L).map(i => (i % 50, i * 7)).toDF("k", "vb")
+    Exports.writeBucketed(a, "bkt_a", "k", 8)
+    Exports.writeBucketed(b, "bkt_b", "k", 8)
+    // force the non-broadcast path: the point is the large-to-large case
+    // (at real scale neither side fits a broadcast; the threshold conf is
+    // how a test makes two small tables look large)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.sql(
+        "SELECT a.k, va, vb FROM bkt_a a JOIN bkt_b b ON a.k = b.k")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$p")
+      assert(joined.count() == 20000) // 50 keys × 20 × 20
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
 }

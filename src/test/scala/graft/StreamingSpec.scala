@@ -117,6 +117,52 @@ class StreamingSpec extends SparkSuite {
     q.stop()
   }
 
+  test("streaming sessionization (session_window): matches batch sessions, " +
+    "boundary case (gap == limit stays in-session) included") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamingSpec.UserEvent]
+    val q = StreamPipeline.sessionizeStream(mem.toDF(), "user_id", "ts",
+      gap = "30 minutes")
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("sess_stream").start()
+    def e(u: Long, t: String) =
+      StreamingSpec.UserEvent(u, java.sql.Timestamp.valueOf(t))
+    // user 1: 10:00, 10:20 merge (gap 1200 < 1800); 11:00 splits (2400 > 1800)
+    // user 2: 10:00 then 10:30:00 — gap EXACTLY 1800
+    mem.addData(
+      e(1, "2024-01-01 10:00:00"), e(1, "2024-01-01 10:20:00"),
+      e(1, "2024-01-01 11:00:00"),
+      e(2, "2024-01-01 10:00:00"), e(2, "2024-01-01 10:30:00"))
+    q.processAllAvailable()
+    val got = spark.table("sess_stream")
+      .select($"user_id", $"n_events", $"session_start_s", $"session_end_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def s(t: String) = java.sql.Timestamp.valueOf(t).getTime / 1000L
+    assert(got == Set(
+      (1L, 2L, s("2024-01-01 10:00:00"), s("2024-01-01 10:20:00")),
+      (1L, 1L, s("2024-01-01 11:00:00"), s("2024-01-01 11:00:00")),
+      // gap of EXACTLY 1800 merges — same inclusive boundary as batch
+      (2L, 2L, s("2024-01-01 10:00:00"), s("2024-01-01 10:30:00"))), got)
+    q.stop()
+    // the batch operator sessionizes the same input IDENTICALLY,
+    // boundary case included
+    import graft.operators.Temporal
+    val batch = Temporal.sessionStats(
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2L),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 3L),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 4L),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 5L))
+        .toDF("user_id", "ts", "event_id"),
+      "user_id", "ts", 1800, "event_id")
+      .select($"user_id", $"n_events", $"session_start_s", $"session_end_s")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(batch == Set(
+      (1L, 2L, s("2024-01-01 10:00:00"), s("2024-01-01 10:20:00")),
+      (1L, 1L, s("2024-01-01 11:00:00"), s("2024-01-01 11:00:00")),
+      (2L, 2L, s("2024-01-01 10:00:00"), s("2024-01-01 10:30:00"))), batch)
+  }
+
   test("windowed severity counts with watermark (incremental F3)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Schemas.PageRow]
@@ -141,4 +187,9 @@ class StreamingSpec extends SparkSuite {
       (ts(1), "WARN", 1L), (ts(3), "INFO", 1L)))
     q.stop()
   }
+}
+
+object StreamingSpec {
+  /** Top-level case class: MemoryStream encoders reject local classes. */
+  final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 }

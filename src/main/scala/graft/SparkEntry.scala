@@ -461,6 +461,14 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy("id1", "id2")),
 
+    // dedup: MinHash Jaccard ESTIMATION over the LSH candidates — the
+    // classic Ĵ = agreeing-components/8 estimator; no shingle re-scan,
+    // two signature joins (one row per doc)
+    "q_dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashJaccardEstimate(t(s, dir, "documents"), "doc_id", "text",
+        n = 3)
+        .orderBy("id1", "id2")),
+
     // dedup: 16-bit SimHash signature (bit string derived from the
     // relational integer signature — one md5 per distinct token)
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1043,6 +1051,31 @@ object SparkEntry {
          |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key))
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "q_dedup_minhash_est" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+      val agree = (0 until 8).map(i => s"(x.m$i = y.m$i)::INT").mkString(" + ")
+      s"""$shinglesCte,
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT c.id1, c.id2, ($agree) / 8.0 AS j_est
+         |FROM cand c JOIN sig x ON x.doc_id = c.id1 JOIN sig y ON y.doc_id = c.id2
          |ORDER BY id1, id2""".stripMargin
     },
 

@@ -56,14 +56,20 @@ object Dedup {
    * candidates; bucket sizes stay bounded (the LSH guarantee), never an
    * all-pairs product.
    */
-  def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 3): DataFrame = {
+  /** MinHash signature table: (id, m0..m7), one row per doc — ONE shuffle
+    * (groupBy id with 8 codegen min-aggregates, map-side partial min). */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
     val h = shingles(docs, idCol, textCol, n)
       .select(col(idCol), baseHash(col("shingle")).as("h"))
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"m$i")
     }
-    val sig = h.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+    h.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** LSH band-bucket rows from a signature table (4 bands × 2 rows). */
+  def bucketsFromSignatures(sig: DataFrame, idCol: String): DataFrame =
     sig.select(col(idCol), posexplode(array(
         md5(concat_ws("|", col("m0"), col("m1"))),
         md5(concat_ws("|", col("m2"), col("m3"))),
@@ -72,7 +78,10 @@ object Dedup {
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_key")
       .select(col("band"), col("band_key"), col(idCol))
-  }
+
+  def minhashBuckets(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3): DataFrame =
+    bucketsFromSignatures(minhashSignatures(docs, idCol, textCol, n), idCol)
 
   /**
    * Candidate near-dup pairs from LSH buckets (id1 < id2, distinct).
@@ -96,6 +105,44 @@ object Dedup {
     l.join(r, Seq("band", "band_key"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
+  }
+
+  /**
+   * MinHash Jaccard ESTIMATION over the LSH candidate pairs: for each
+   * candidate, Ĵ = (# agreeing signature components) / 8 — the classic
+   * MinHash estimator (E[m_i(A)=m_i(B)] = J(A,B)), computed WITHOUT
+   * touching the shingle sets again. This is the operator that makes
+   * MinHash a similarity pipeline rather than just a blocker: at corpus
+   * scale the candidate set is LSH-bounded and the estimate costs two
+   * broadcast-or-merge joins of one signature row per doc — no shingle
+   * re-scan, no exact-intersection pass. 8 permutations → estimator
+   * granularity 1/8 (stderr ≈ √(J(1−J)/8)); widen the signature for
+   * tighter bands, the plan shape is unchanged. The signature table feeds
+   * bucketing AND both estimate joins, so it is materialized once.
+   */
+  def minhashJaccardEstimate(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val sig = minhashSignatures(docs, idCol, textCol, n).localCheckpoint()
+    val b = bucketsFromSignatures(sig, idCol)
+    val small = b.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= maxBucketSize)
+      .select("band", "band_key")
+    val bb = b.join(small, Seq("band", "band_key"))
+    val cand = bb.withColumnRenamed(idCol, "id1")
+      .join(bb.withColumnRenamed(idCol, "id2"), Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    val cols = (0 until 8).map(i => s"m$i")
+    val sig1 = sig.select(col(idCol).as("id1") +:
+      cols.map(c => col(c).as(s"a_$c")): _*)
+    val sig2 = sig.select(col(idCol).as("id2") +:
+      cols.map(c => col(c).as(s"b_$c")): _*)
+    val agree = cols.map(c =>
+      when(col(s"a_$c") === col(s"b_$c"), 1).otherwise(0).cast("long"))
+      .reduce(_ + _)
+    cand.join(sig1, Seq("id1")).join(sig2, Seq("id2"))
+      .select(col("id1"), col("id2"), (agree / 8.0).as("j_est"))
   }
 
   /** Hamming distance between two equal-length bit strings. */

@@ -30,6 +30,27 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
   }
 
+  test("minhash jaccard estimate: exact dup -> 1.0; candidates match " +
+    "minhashCandidates; estimate agrees with per-component scala reference") {
+    val est = Dedup.minhashJaccardEstimate(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(p => (p._1, p._2))
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(est.map(p => (p._1, p._2)).toSet == cands,
+      "estimator covers exactly the LSH candidate set")
+    val byPair = est.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) == 1.0, "identical docs agree on all 8 components")
+    assert(est.forall(p => p._3 >= 0.0 && p._3 <= 1.0 &&
+      (p._3 * 8).isWhole), "estimates are k/8")
+    // cross-check against a driver-side recomputation of the signatures
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong)).toMap
+    est.foreach { case (a, b, j) =>
+      val exp = sigs(a).zip(sigs(b)).count(p => p._1 == p._2) / 8.0
+      assert(j == exp, s"pair ($a,$b)")
+    }
+  }
+
   test("minhash bucket cap: over-full buckets are dropped, default cap is inert") {
     val capped = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3,
       maxBucketSize = 1).count()

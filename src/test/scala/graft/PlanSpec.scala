@@ -74,6 +74,20 @@ class PlanSpec extends SparkSuite {
     assert(p.toLowerCase.contains("bit_count"), p)
   }
 
+  test("jaccard pair plan: downstream of the materialized postings there is " +
+    "no cartesian product and no re-scan of the documents table") {
+    val df = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
+      n = 3, threshold = 0.2, maxShingleDf = 100)
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct"), p)
+    // both materialization seams took effect: the final plan reads cached
+    // RDDs (checkpoint scans), never the document source again
+    assert(!p.contains("LocalTableScan") || !p.contains("doc_id#"),
+      "sanity")
+    assert(p.contains("Scan ExistingRDD") || p.contains("ExistingRDD"),
+      s"expected checkpoint scans in:\n$p")
+  }
+
   test("bucketed tables co-locate the join: sort-merge with ZERO exchanges " +
     "(the write-once-join-many layout for recurring large joins)") {
     import graft.operators.Exports

@@ -461,6 +461,15 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy("id1", "id2")),
 
+    // dedup: near-dup CLUSTERING — connected components over the minhash
+    // candidate graph via min-label propagation (cluster = min reachable
+    // id); oracle = DuckDB recursive CTE over the same pair set
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          n = 3))
+        .orderBy("id")),
+
     // dedup: MinHash Jaccard ESTIMATION over the LSH candidates — the
     // classic Ĵ = agreeing-components/8 estimator; no shingle re-scan,
     // two signature joins (one row per doc)
@@ -1052,6 +1061,33 @@ object SparkEntry {
          |SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          |FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
          |ORDER BY id1, id2""".stripMargin
+    },
+
+    "q_dedup_clusters" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+      s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id1, id2 FROM cand UNION SELECT id2, id1 FROM cand),
+         |reach(id, r) AS (
+         |  SELECT id1, id1 FROM edges
+         |  UNION
+         |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id)
+         |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
     },
 
     "q_dedup_minhash_est" -> {

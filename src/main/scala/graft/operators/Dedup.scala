@@ -145,6 +145,51 @@ object Dedup {
       .select(col("id1"), col("id2"), (agree / 8.0).as("j_est"))
   }
 
+  /**
+   * Near-dup CLUSTERING: connected components over an undirected candidate-
+   * pair graph (id1, id2) via min-label propagation — the step a real
+   * dedup pipeline runs after pair generation (pairs alone don't say which
+   * docs to keep; the canonical keeper is one per component). Returns
+   * (id, cluster) with cluster = the smallest doc id reachable from id;
+   * docs that appear in no pair are absent (singletons — left-join the
+   * corpus and coalesce(id) for the full table).
+   *
+   * Iteration shape: each round is one join + one min-aggregate over the
+   * edge list (both sides bounded by the LSH-bounded pair volume), with
+   * labels materialized per round (`localCheckpoint` — constant lineage
+   * depth instead of an O(iters)-deep nested plan). Min-label propagation
+   * converges in O(component diameter) rounds; near-dup components are
+   * shallow in practice (dup clusters are dense), and `maxIters` hard-
+   * bounds the loop. The per-round `count()` is a one-row convergence
+   * gate — the same model-sized driver seam as k-means, documented.
+   * Deterministic: min is order- and partitioning-independent.
+   */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1"), col("id2"))
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint()
+    var labels = edges.select(col("id1").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("id2"), col("cluster").as("nl")),
+          Seq("id2"))
+        .groupBy(col("id1").as("id")).agg(min(col("nl")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"))
+        .select(col("id"), col("cluster"),
+          least(col("cluster"), col("nmin")).as("next"))
+        .localCheckpoint()
+      changed = stepped.filter(col("next") < col("cluster")).count() // 1-row gate
+      labels = stepped.select(col("id"), col("next").as("cluster"))
+        .localCheckpoint()
+      iter += 1
+    }
+    labels
+  }
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),

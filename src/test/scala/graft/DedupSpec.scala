@@ -30,6 +30,22 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L), "unrelated doc must not pair")
   }
 
+  test("near-dup clustering: connected components = min reachable id; " +
+    "chains need multiple propagation rounds; components stay separate") {
+    // chain 10-20-30-40 (diameter 3 forces >1 round), pair {5,6}, and a
+    // triangle {100,101,102}
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L), (5L, 6L),
+      (100L, 101L), (101L, 102L), (100L, 102L)).toDF("id1", "id2")
+    val got = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      5L -> 5L, 6L -> 5L, 100L -> 100L, 101L -> 100L, 102L -> 100L))
+    // maxIters hard bound: an under-iterated run is visibly unconverged
+    val partial = Dedup.dedupClusters(pairs, maxIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial(40L) == 30L, "one round moves labels one hop only")
+  }
+
   test("minhash jaccard estimate: exact dup -> 1.0; candidates match " +
     "minhashCandidates; estimate agrees with per-component scala reference") {
     val est = Dedup.minhashJaccardEstimate(docs, "doc_id", "text", n = 3)

@@ -139,6 +139,20 @@ object SparkEntry {
       Analytics.textRankBm25(t(s, dir, "documents"), "doc_id", "text",
         "spark window")),
 
+    // E1 (stemmed variant) — analyzer-lite: query tokens expanded to their
+    // common inflections, one codegen'd rlike. Inflected forms are PLANTED
+    // ("sparks"/"windowing" on a doc_id schedule) because the synthetic
+    // corpus contains none — the row set strictly exceeds q_text_match's
+    // (probed non-degenerate at all SFs).
+    "q_text_match_stem" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(" sparks")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" windowing")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .filter(Analytics.textMatchStemmed(planted, "spark window"))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // curation composition — quality gate → exact-dedup keepers →
     // stratified sample → per-source stats, one lazy plan end to end
     "q_curation_pipeline" -> ((s, dir) => {
@@ -761,6 +775,16 @@ object SparkEntry {
         |FROM documents
         |WHERE len(regexp_extract_all(lower(text), '\b(spark|window)\b')) > 0
         |ORDER BY tf DESC, doc_id""".stripMargin,
+
+    "q_text_match_stem" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || (CASE WHEN doc_id % 11 = 0 THEN ' sparks' ELSE '' END)
+        |              || (CASE WHEN doc_id % 13 = 0 THEN ' windowing' ELSE '' END) AS m
+        |  FROM documents)
+        |SELECT doc_id FROM p
+        |WHERE regexp_matches(lower(m), '\b(spark|window)(s|es|ed|ing)?\b')
+        |ORDER BY doc_id""".stripMargin,
 
     "q_text_rank_idf" ->
       """WITH tokf AS (

@@ -69,6 +69,23 @@ object Analytics {
   }
 
   /**
+   * E1 (stemmed variant) — analyzer-style stemming recast as QUERY
+   * EXPANSION: each query token matches itself or its common inflections
+   * (`tok(s|es|ed|ing)?`), so "spark window" also hits "sparks",
+   * "windowing", etc. This is the portable form of light stemming — one
+   * codegen'd `rlike` over the message, no per-token document analysis, no
+   * interpreted HOF — and covers the reference's standard-analyzer gap
+   * (ElasticsearchService.java:148) for the inflection cases that matter;
+   * a full Porter stemmer is a per-doc-token transform and deliberately
+   * out of scope (documented divergence).
+   */
+  def textMatchStemmed(message: Column, queryText: String): Column = {
+    val tokens = queryText.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    lower(message).rlike(
+      "\\b(" + tokens.mkString("|") + ")(s|es|ed|ing)?\\b")
+  }
+
+  /**
    * E1 (full BM25 idf) — tf·idf with Lucene's actual idf,
    * ln(1 + (N − df + 0.5)/(df + 0.5)), closing the documented divergence
    * from [[textRankIdf]]'s log-free rational core (reference scores hits:

@@ -367,8 +367,12 @@ object Dedup {
    * the output is ≤ C(len, 2) structs.
    */
   def pairCombos(ds: Column): Column = {
-    val idx = flatten(transform(sequence(lit(1), size(ds)), i =>
-      transform(sequence(lit(1), size(ds)), j =>
+    // greatest(..,1): sequence(1, 0) would DESCEND in Spark, so an empty
+    // list must still generate a (1,1) index pair — which the i<j filter
+    // rejects before any element_at can fire (And short-circuits)
+    val n = greatest(size(ds), lit(1))
+    val idx = flatten(transform(sequence(lit(1), n), i =>
+      transform(sequence(lit(1), n), j =>
         struct(i.as("i"), j.as("j")))))
     val valid = filter(idx, p => {
       val a = element_at(ds, p.getField("i"))

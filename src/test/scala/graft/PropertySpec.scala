@@ -87,4 +87,68 @@ class PropertySpec extends SparkSuite {
       assert(out == exp, s"escape mismatch for ${in.take(40)}")
     }
   }
+
+  test("property: pairCombos equals the nested-loop reference on random " +
+    "postings lists (same-block, id1<id2, once per list)") {
+    val rnd = new scala.util.Random(23)
+    val lists: Seq[Seq[(String, Long)]] = (1 to 120).map { _ =>
+      val n = rnd.nextInt(7) // 0..6 postings like the real buckets
+      (1 to n).map(_ => (s"b${rnd.nextInt(3)}", rnd.nextInt(10).toLong))
+    }
+    val df = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("row_id", "ds_raw")
+      .select($"row_id", expr(
+        "transform(ds_raw, x -> named_struct('blk', x._1, 'id', x._2))")
+        .as("ds"))
+    val got = df.select($"row_id",
+      graft.operators.Dedup.pairCombos($"ds").as("pairs"))
+      .as[(Long, Seq[(Long, Long)])].collect().toMap
+    lists.zipWithIndex.foreach { case (l, i) =>
+      val exp = (for {
+        a <- l.indices; b <- l.indices if a < b
+        if l(a)._1 == l(b)._1
+      } yield (math.min(l(a)._2, l(b)._2), math.max(l(a)._2, l(b)._2)))
+      assert(got(i.toLong).sorted == exp.sorted, s"list $i: ${l.mkString(",")}")
+    }
+  }
+
+  test("property: JpegDim finds SOF dims under random benign segment " +
+    "prefixes; truncated/corrupt inputs yield null, never crash") {
+    import graft.functions.ImageExprs
+    val rnd = new scala.util.Random(37)
+    def seg(marker: Int, payload: Array[Byte]): Array[Byte] = {
+      val len = payload.length + 2
+      Array(0xFF.toByte, marker.toByte,
+        ((len >> 8) & 0xFF).toByte, (len & 0xFF).toByte) ++ payload
+    }
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    val benignMarkers = Seq(0xE0, 0xE1, 0xDB, 0xC4, 0xFE) // APPn/DQT/DHT/COM
+    val cases: Seq[(Long, Array[Byte], Option[(Long, Long)])] =
+      (1 to 80).map { i =>
+        val w = 1 + rnd.nextInt(4000); val h = 1 + rnd.nextInt(4000)
+        val sof = Array[Byte](8,
+          ((h >> 8) & 0xFF).toByte, (h & 0xFF).toByte,
+          ((w >> 8) & 0xFF).toByte, (w & 0xFF).toByte, 3)
+        val prefix = (0 until rnd.nextInt(4)).flatMap(_ =>
+          seg(benignMarkers(rnd.nextInt(benignMarkers.size)),
+            Array.fill[Byte](rnd.nextInt(40))(rnd.nextInt(256).toByte))).toArray
+        val full = soi ++ prefix ++ seg(0xC0, sof)
+        rnd.nextInt(3) match {
+          case 0 => (i.toLong, full, Some((w.toLong, h.toLong)))
+          case 1 => // truncate before the SOF payload is readable
+            (i.toLong, full.take(soi.length + prefix.length + 3), None)
+          case _ => // corrupt: break the SOI magic
+            (i.toLong, Array(0x00.toByte) ++ full.tail, None)
+        }
+      }
+    val got = cases.map { case (i, b, _) => (i, b) }.toDF("id", "img")
+      .select($"id", ImageExprs.jpegWidth($"img").as("w"),
+        ImageExprs.jpegHeight($"img").as("h"))
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    cases.foreach { case (i, _, exp) =>
+      val (ew, eh) = (exp.map(_._1), exp.map(_._2))
+      assert(got(i) == ((ew, eh)), s"case $i expected $exp got ${got(i)}")
+    }
+  }
 }

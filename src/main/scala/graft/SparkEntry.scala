@@ -462,6 +462,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // B6 end-to-end — JSON export WRITE path under the oracle, the
+    // JSON-lines sibling of q_export_roundtrip: plant JSON specials
+    // (quote, backslash, newline, tab, unicode), write through
+    // Exports.exportJson (cap + forced sort), read the file back. A broken
+    // serializer (bad escaping, lost rows, mangled unicode) mis-parses on
+    // read-back and fails the value hash.
+    "q_export_roundtrip_json" -> ((s, dir) => {
+      val out = s"/tmp/graft_export_json_${s.sparkContext.applicationId}"
+      val src = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("q\"b\\s\nnl\ttabé "), col("text")).as("payload"))
+      Exports.exportJson(src, out, cap = 100, tsCol = "doc_id",
+        tiebreak = "doc_id")
+      s.read.schema("doc_id LONG, payload STRING").json(out)
+        .orderBy("doc_id")
+    }),
+
     // ---- training-data operators ----------------------------------------
 
     // dedup: exact content-hash
@@ -856,6 +873,13 @@ object SparkEntry {
     "q_export_roundtrip" ->
       """WITH capped AS (
         |  SELECT doc_id, 'a,b"c' || chr(10) || 'd ' || text AS payload
+        |  FROM documents ORDER BY doc_id DESC LIMIT 100)
+        |SELECT doc_id, payload FROM capped ORDER BY doc_id""".stripMargin,
+
+    "q_export_roundtrip_json" ->
+      """WITH capped AS (
+        |  SELECT doc_id,
+        |         'q"b\s' || chr(10) || 'nl' || chr(9) || 'tab' || chr(233) || ' ' || text AS payload
         |  FROM documents ORDER BY doc_id DESC LIMIT 100)
         |SELECT doc_id, payload FROM capped ORDER BY doc_id""".stripMargin,
 

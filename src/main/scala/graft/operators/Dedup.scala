@@ -181,10 +181,9 @@ object Dedup {
       val stepped = labels.join(nbrMin, Seq("id"))
         .select(col("id"), col("cluster"),
           least(col("cluster"), col("nmin")).as("next"))
-        .localCheckpoint()
+        .localCheckpoint() // ONE materialization per round; the label view
       changed = stepped.filter(col("next") < col("cluster")).count() // 1-row gate
-      labels = stepped.select(col("id"), col("next").as("cluster"))
-        .localCheckpoint()
+      labels = stepped.select(col("id"), col("next").as("cluster")) // reads it
       iter += 1
     }
     labels

@@ -731,8 +731,122 @@ object SparkEntry {
       Curation.contamination(d.filter(col("doc_id") >= 10), "doc_id", "text",
         d.filter(col("doc_id") < 10), n = 5)
         .orderBy("doc_id")
+    }),
+
+    // curation: corpus-wide paragraph-level exact dedup (paragraph =
+    // 8-token non-overlapping window on this newline-less corpus); a chunk
+    // survives iff globally first by (doc_id, chunk_idx) for its hash —
+    // probed non-degenerate: 166/3504 duplicate chunks at sf0.001
+    "q_dedup_paragraph" -> ((s, dir) =>
+      Curation.paragraphDedup(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 8)
+        .orderBy("doc_id")),
+
+    // dedup: incremental cross-snapshot — the doc_id%5==0 batch deduped
+    // against the rest of the corpus (exact hash + MinHash band index)
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup.incrementalDedup(d.filter(col("doc_id") % 5 === 0),
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // dedup: canonical-keeper selection per near-dup cluster (argmax
+    // quality, ties → min id) — struct-max aggregate, no window sort
+    "q_cluster_keeper" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val clusters = Dedup.dedupClusters(
+        Dedup.minhashCandidates(d, "doc_id", "text", n = 3))
+      val quality = d.select(col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      Dedup.clusterKeepers(clusters, quality, "doc_id", "q")
+        .orderBy("cluster")
+    }),
+
+    // curation: Gopher-style heuristic rules (symbols planted on every 3rd
+    // row so the symbol-ratio path is exercised; the corpus itself has
+    // neither '#' nor ellipses)
+    "q_gopher_rules" -> ((s, dir) => {
+      val payload = concat(col("text"),
+        when(col("doc_id") % 3 === 0, lit(" ### flag ... end"))
+          .otherwise(lit(" plain end")))
+      val (meanLen, symRatio, alphaFrac, keep) =
+        Curation.gopherSignals(payload)
+      t(s, dir, "documents").select(col("doc_id"),
+        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
+        alphaFrac.as("alpha_word_frac"), keep.as("gopher_keep"))
+        .orderBy("doc_id")
+    }),
+
+    // curation: corpus n-gram document-frequency top-k (memorized-
+    // boilerplate report) — partial-agg shuffle + TakeOrderedAndProject
+    "q_ngram_topk" -> ((s, dir) =>
+      Curation.ngramDocFreqTopK(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, k = 50)),
+
+    // curation: per-source corpus composition with head/middle/tail
+    // size bucketing (ntile over the aggregated table, not the corpus)
+    "q_domain_stats" -> ((s, dir) =>
+      Curation.domainStats(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
+    // curation: quality-weighted deterministic sampling — survival
+    // probability equals the doc's quality score, hash-derived (no rand())
+    "q_weighted_sample" -> ((s, dir) => {
+      val q = TextAnalysis.qualityScore(col("text"))
+      t(s, dir, "documents")
+        .filter(Curation.weightedSampleFilter(col("doc_id"),
+          floor(q * 10000).cast("long")))
+        .select(col("doc_id"), q.as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // curation: cross-source shingle overlap (corpus-mixing report) —
+    // array-local pair generation from bounded postings, no self-join
+    "q_source_overlap" -> ((s, dir) =>
+      Curation.sourceOverlap(t(s, dir, "documents"), "source", "text",
+        n = 3, maxSources = 64)
+        .orderBy("src1", "src2")),
+
+    // multimodal: WAV/RIFF header decode over a BinaryType column —
+    // little-endian field reassembly with pure scan-local expressions
+    // (the PNG/JPEG sibling is q_multimodal_dims). Blobs synthesized
+    // deterministically from doc_id; every 5th row an ID3/MP3 prefix →
+    // is_wav=false, null fields. Oracle builds the same bytes and parses
+    // them back through the hex roundtrip.
+    "q_multimodal_wav" -> ((s, dir) => {
+      val ch = (col("doc_id") % 2 + 1).cast("long")
+      val rate = element_at(
+        array(lit(8000L), lit(16000L), lit(22050L), lit(44100L)),
+        (col("doc_id") % 4 + 1).cast("int"))
+      val dataSize = ((col("doc_id") % 1000 + 1) * 1024).cast("long")
+      val byteRate = rate * ch * 2
+      val blockAlign = ch * 2
+      val hx = when(col("doc_id") % 5 === 0, lit("494433040000"))
+        .otherwise(concat(lit("52494646"), leHexCol(dataSize + 36, 4),
+          lit("57415645666D7420"), leHexCol(lit(16L), 4),
+          leHexCol(lit(1L), 2), leHexCol(ch, 2), leHexCol(rate, 4),
+          leHexCol(byteRate, 4), leHexCol(blockAlign, 2),
+          leHexCol(lit(16L), 2), lit("64617461"), leHexCol(dataSize, 4)))
+      t(s, dir, "documents").select(col("doc_id"), unhex(hx).as("wav"))
+        .select(col("doc_id"),
+          Multimodal.wavIsValid(col("wav")).as("is_wav"),
+          Multimodal.wavChannels(col("wav")).as("channels"),
+          Multimodal.wavSampleRate(col("wav")).as("sample_rate"),
+          Multimodal.wavBitsPerSample(col("wav")).as("bits_per_sample"),
+          Multimodal.wavDataSize(col("wav")).as("data_size"),
+          Multimodal.wavDurationMs(col("wav")).as("duration_ms"))
+        .orderBy("doc_id")
     })
   )
+
+  /** Little-endian hex encoding of a long column into `nBytes` bytes
+    * (query-synthesis helper; the parse inverse is Multimodal.leUint). */
+  private def leHexCol(c: Column, nBytes: Int): Column = {
+    val be = lpad(hex(c), nBytes * 2, "0")
+    concat(((nBytes - 1) to 0 by -1).map(i => substring(be, i * 2 + 1, 2)): _*)
+  }
 
   // ---- DuckDB oracles -----------------------------------------------------
 
@@ -1388,6 +1502,182 @@ object SparkEntry {
          |       count(DISTINCT b.doc_id) AS bench_docs
          |FROM sh s JOIN sh b ON s.g = b.g AND s.doc_id >= 10 AND b.doc_id < 10
          |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_dedup_paragraph" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 8)) AS s
+        |  FROM tokf WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx,
+        |         md5(array_to_string(list_slice(toks, s, least(s + 7, len(toks))), ' ')) AS h
+        |  FROM st),
+        |rk AS (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |       count(*) FILTER (rk = 1) AS n_kept,
+        |       floor(count(*) FILTER (rk = 1)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_frac
+        |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_incremental" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+      s"""$shinglesCte,
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |seenb AS (SELECT DISTINCT band, band_key FROM bk WHERE doc_id % 5 <> 0),
+         |neardup AS (
+         |  SELECT DISTINCT n.doc_id FROM bk n JOIN seenb s USING (band, band_key)
+         |  WHERE n.doc_id % 5 = 0),
+         |seenh AS (SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 5 <> 0)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 5 = 0
+         |  AND md5(d.text) NOT IN (SELECT ch FROM seenh)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM neardup)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_cluster_keeper" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+      s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (SELECT id1, id2 FROM cand UNION SELECT id2, id1 FROM cand),
+         |reach(id, r) AS (
+         |  SELECT id1, id1 FROM edges
+         |  UNION
+         |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |$qualityCtes,
+         |mem AS (
+         |  SELECT cl.cluster, cl.id, qual.quality,
+         |         row_number() OVER (PARTITION BY cl.cluster ORDER BY qual.quality DESC, cl.id ASC) AS rk,
+         |         count(*) OVER (PARTITION BY cl.cluster) AS n_members
+         |  FROM cl JOIN qual ON qual.doc_id = cl.id)
+         |SELECT cluster, id AS keeper_id, quality AS keeper_quality, n_members
+         |FROM mem WHERE rk = 1 ORDER BY cluster""".stripMargin
+    },
+
+    "q_gopher_rules" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || (CASE WHEN doc_id % 3 = 0 THEN ' ### flag ... end' ELSE ' plain end' END) AS payload
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, payload,
+        |         list_filter(regexp_split_to_array(lower(payload), '\W+'), x -> x <> '') AS toks
+        |  FROM p),
+        |m AS (
+        |  SELECT doc_id, len(toks) AS ntok,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE floor(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) * 10000.0 + 0.5) / 10000.0 END AS mean_word_len,
+        |         (length(payload) - length(replace(payload, '#', '')))
+        |           + (length(payload) - length(replace(payload, '...', ''))) / 3 AS nsym,
+        |         CASE WHEN len(toks) = 0 THEN 0.0
+        |              ELSE floor(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks) * 10000.0 + 0.5) / 10000.0 END AS alpha_word_frac
+        |  FROM tk),
+        |r AS (
+        |  SELECT doc_id, mean_word_len,
+        |         CASE WHEN ntok = 0 THEN 0.0
+        |              ELSE floor(nsym::DOUBLE / ntok * 10000.0 + 0.5) / 10000.0 END AS symbol_ratio,
+        |         alpha_word_frac
+        |  FROM m)
+        |SELECT doc_id, mean_word_len, symbol_ratio, alpha_word_frac,
+        |       (mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |        AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8) AS gopher_keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_ngram_topk" ->
+      s"""$shinglesCte
+         |SELECT g AS shingle, count(*) AS df FROM sh
+         |GROUP BY g ORDER BY df DESC, shingle LIMIT 50""".stripMargin,
+
+    "q_domain_stats" ->
+      """WITH a AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         sum(len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')))::BIGINT AS total_tokens,
+        |         sum(length(text))::BIGINT AS total_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, total_tokens, total_chars,
+        |       ntile(3) OVER (ORDER BY total_tokens DESC, source)::BIGINT AS size_bucket
+        |FROM a ORDER BY source""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH $qualityCtes
+         |SELECT doc_id, quality FROM qual
+         |WHERE ('0x' || substr(md5('w|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 10000
+         |      < floor(quality * 10000)::BIGINT
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""$shinglesCte,
+         |ssrc AS (SELECT DISTINCT source, g FROM sh),
+         |cnt AS (SELECT g, count(*) AS c FROM ssrc GROUP BY g),
+         |ok AS (SELECT s.source, s.g FROM ssrc s JOIN cnt USING (g) WHERE c BETWEEN 2 AND 64)
+         |SELECT a.source AS src1, b.source AS src2, count(*) AS shared_shingles
+         |FROM ok a JOIN ok b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_multimodal_wav" -> {
+      val body =
+        s"""'52494646' || ${leHexSql("data_size + 36", 4)} || '57415645666D7420' ||
+           |${leHexSql("16", 4)} || ${leHexSql("1", 2)} || ${leHexSql("ch", 2)} ||
+           |${leHexSql("rate", 4)} || ${leHexSql("byte_rate", 4)} || ${leHexSql("block_align", 2)} ||
+           |${leHexSql("16", 2)} || '64617461' || ${leHexSql("data_size", 4)}"""
+          .stripMargin.replace("\n", " ")
+      s"""WITH f AS (
+         |  SELECT doc_id, (doc_id % 2 + 1) AS ch,
+         |         (CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000 WHEN 2 THEN 22050 ELSE 44100 END) AS rate,
+         |         ((doc_id % 1000 + 1) * 1024) AS data_size
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, ch, rate, data_size, rate * ch * 2 AS byte_rate, ch * 2 AS block_align
+         |  FROM f),
+         |p AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0 THEN '494433040000' ELSE $body END AS hx
+         |  FROM g),
+         |b AS (SELECT doc_id, unhex(hx) AS wav FROM p),
+         |hh AS (SELECT doc_id, hex(wav) AS h, octet_length(wav) AS blen FROM b),
+         |v AS (
+         |  SELECT doc_id, h,
+         |         (blen >= 44 AND substr(h, 1, 8) = '52494646'
+         |          AND substr(h, 17, 16) = '57415645666D7420') AS is_wav
+         |  FROM hh)
+         |SELECT doc_id, is_wav,
+         |       CASE WHEN is_wav THEN ${leParseSql(23, 2)} END AS channels,
+         |       CASE WHEN is_wav THEN ${leParseSql(25, 4)} END AS sample_rate,
+         |       CASE WHEN is_wav THEN ${leParseSql(35, 2)} END AS bits_per_sample,
+         |       CASE WHEN is_wav THEN ${leParseSql(41, 4)} END AS data_size,
+         |       CASE WHEN is_wav AND ${leParseSql(29, 4)} > 0
+         |            THEN floor(${leParseSql(41, 4)} * 1000.0 / ${leParseSql(29, 4)})::BIGINT END AS duration_ms
+         |FROM v ORDER BY doc_id""".stripMargin
     }
   )
 
@@ -1465,8 +1755,11 @@ object SparkEntry {
    * engine-portable floor-based rounding (see TextAnalysis.pround4 —
    * `round(double)` tie-breaking differs between Spark and DuckDB).
    */
-  private def qualitySql: String =
-    """WITH b AS (
+  /** Quality-score CTE chain: `qb`, `qr`, `qual(doc_id, punct_ratio,
+    * stopword_ratio, quality)` — shared by q_quality, q_cluster_keeper and
+    * q_weighted_sample so the formula cannot drift between oracles. */
+  private val qualityCtes: String =
+    """qb AS (
       |  SELECT doc_id, text,
       |         CASE WHEN length(text) = 0 THEN 0.0
       |              ELSE floor(length(regexp_replace(text, '[\w\s]', '', 'g'))::DOUBLE / length(text) * 10000.0 + 0.5) / 10000.0 END AS punct_ratio,
@@ -1474,14 +1767,32 @@ object SparkEntry {
       |         len(list_filter(regexp_split_to_array(lower(text), '\W+'),
       |             x -> x <> '' AND list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as'], x))) AS nstop
       |  FROM documents),
-      |r AS (
+      |qr AS (
       |  SELECT doc_id, text, punct_ratio,
       |         CASE WHEN ntok = 0 THEN 0.0 ELSE floor(nstop::DOUBLE / ntok * 10000.0 + 0.5) / 10000.0 END AS stopword_ratio
-      |  FROM b)
-      |SELECT doc_id, punct_ratio, stopword_ratio,
+      |  FROM qb),
+      |qual AS (
+      |  SELECT doc_id, punct_ratio, stopword_ratio,
       |       CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0
       |            ELSE floor((0.4 * least(length(text) / 500.0, 1.0)
       |                      + 0.3 * (1.0 - punct_ratio)
       |                      + 0.3 * least(stopword_ratio / 0.4, 1.0)) * 10000.0 + 0.5) / 10000.0 END AS quality
-      |FROM r ORDER BY doc_id""".stripMargin
+      |  FROM qr)""".stripMargin
+
+  private def qualitySql: String =
+    s"WITH $qualityCtes\nSELECT doc_id, punct_ratio, stopword_ratio, quality FROM qual ORDER BY doc_id"
+
+  /** Little-endian hex encoding of an integer SQL expression (oracle-side
+    * twin of [[leHexCol]]). */
+  private def leHexSql(expr: String, nBytes: Int): String =
+    ((nBytes - 1) to 0 by -1)
+      .map(i => s"substr(lpad(hex($expr), ${nBytes * 2}, '0'), ${i * 2 + 1}, 2)")
+      .mkString(" || ")
+
+  /** Parse a little-endian uint of `nBytes` at 1-based byte `off` from the
+    * hex-roundtrip column `h` (oracle-side twin of Multimodal.leUint). */
+  private def leParseSql(off: Int, nBytes: Int): String =
+    "('0x' || " + ((nBytes - 1) to 0 by -1)
+      .map(i => s"substr(h, ${2 * (off + i - 1) + 1}, 2)")
+      .mkString(" || ") + ")::UBIGINT::BIGINT"
 }

@@ -144,4 +144,145 @@ object Curation {
       .agg(countDistinct(col("shingle")).as("shared_grams"),
         countDistinct(col("bench_id")).as("bench_docs"))
   }
+
+  /**
+   * Gopher-style heuristic quality rules (Rae et al. 2021 §A1.1, public):
+   * mean word length, symbol-to-word ratio (# and … occurrences per
+   * token), and the fraction of words containing an alphabetic character —
+   * with the paper's keep-bands as a boolean gate. Pure scan-local
+   * expressions, zero shuffle; line-based rules (bullet/ellipsis line
+   * fractions) live in [[dupLineFraction]]'s family and degenerate on the
+   * newline-less synthetic corpus, so they are not emitted here.
+   */
+  def gopherSignals(text: Column): (Column, Column, Column, Column) = {
+    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    val ntok = size(toks)
+    // bind the token array once — interpreted HOFs do no CSE (see gramRows)
+    def over1(f: Column => Column): Column =
+      element_at(transform(array(toks), ts => f(ts)), 1)
+    val meanLen = when(ntok === 0, 0.0).otherwise(pround4(
+      over1(ts => aggregate(ts, lit(0L), (acc, t) => acc + length(t)))
+        .cast("double") / ntok))
+    val nSym = (length(text) - length(regexp_replace(text, "#", ""))) +
+      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    val symRatio = when(ntok === 0, 0.0)
+      .otherwise(pround4(nSym.cast("double") / ntok))
+    val alphaFrac = when(ntok === 0, 0.0).otherwise(pround4(
+      over1(ts => size(filter(ts, t => t.rlike("[a-z]"))))
+        .cast("double") / ntok))
+    val keep = meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio < 0.1 && alphaFrac > 0.8
+    (meanLen, symRatio, alphaFrac, keep)
+  }
+
+  /**
+   * Corpus-wide paragraph-level exact dedup — "paragraph" = fixed
+   * non-overlapping token window ([[tokenChunks]] with overlap 0; the
+   * synthetic corpus has no newlines, so the window IS the paragraph
+   * boundary; with real webtext pass pre-split paragraphs through the same
+   * hash path). A chunk survives iff it is the globally FIRST occurrence
+   * of its content hash, ordered by (doc id, chunk idx) — the standard
+   * C4/RefinedWeb repeated-passage rule.
+   *
+   * Plan: chunking is array-local (zero shuffle); first-occurrence is ONE
+   * hash-shuffle window (row_number over md5(chunk), partitions are
+   * duplicate-sets — tiny by nature); the per-doc roll-up is a second
+   * shuffle on id with map-side combine. At 100 TB the md5 keyspace
+   * spreads uniformly — no skew exposure; a pathological hot paragraph
+   * ("lorem lorem…" boilerplate) still sorts only its own duplicates.
+   */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = tokenChunks(docs, idCol, textCol,
+      chunkSize = chunkTokens, overlap = 0)
+      .withColumn("h", md5(col("chunk")))
+    val firstSeen = org.apache.spark.sql.functions.row_number().over(
+      Window.partitionBy(col("h")).orderBy(col(idCol), col("chunk_idx")))
+    chunks.withColumn("rk", firstSeen)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        pround4(col("n_kept").cast("double") / col("n_chunks")))
+  }
+
+  /**
+   * Quality-weighted deterministic sampling: keep a row iff
+   * hash(id) mod 10000 < weight-in-basis-points. The usual composition is
+   * weightBp = floor(quality·10⁴): a doc survives with probability equal
+   * to its quality score. Same md5-prefix hash family as
+   * [[stratifiedSampleFilter]] — engine-portable, partitioning-independent,
+   * resume-stable; zero shuffle.
+   */
+  def weightedSampleFilter(id: Column, weightBp: Column): Column = {
+    val h = pmod(conv(substring(
+      md5(concat(lit("w|"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(10000L))
+    h < weightBp
+  }
+
+  /**
+   * Corpus-wide n-gram document-frequency top-k (contamination / memorized-
+   * boilerplate analysis primitive). Shingles are distinct-per-doc
+   * ([[Dedup.shingles]]), so the count IS document frequency. ONE shuffle
+   * (partial count → final count), then TakeOrderedAndProject — the top-k
+   * never materializes a global sort. Total order (df desc, gram asc) so
+   * the k-boundary is deterministic.
+   */
+  def ngramDocFreqTopK(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, k: Int): DataFrame =
+    Dedup.shingles(docs, idCol, textCol, n)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle").asc)
+      .limit(k)
+
+  /**
+   * Per-source corpus composition report: doc counts, token and char
+   * totals, and a head/middle/tail size bucket (ntile 3 over total tokens).
+   * The aggregate is ONE shuffle with map-side combine; the ntile window
+   * runs over #sources rows (domain-count scale, ~10⁶ at 100 TB — a
+   * single-partition sort of the AGGREGATED table, not the corpus).
+   * Integer-only outputs: cross-engine exact.
+   */
+  def domainStats(docs: DataFrame, srcCol: String,
+                  textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val agg = docs
+      .select(col(srcCol), size(toks).cast("long").as("ntok"),
+        length(col(textCol)).cast("long").as("nchar"))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("total_tokens"),
+        sum(col("nchar")).as("total_chars"))
+    val w = Window.orderBy(col("total_tokens").desc, col(srcCol).asc)
+    agg.withColumn("size_bucket",
+      org.apache.spark.sql.functions.ntile(3).over(w).cast("long"))
+  }
+
+  /**
+   * Cross-source shingle overlap: for every unordered source pair, how
+   * many distinct word n-grams they share — the corpus-mixing /
+   * provenance-leak report. Distinct (source, shingle) rows roll up to a
+   * per-shingle sorted postings list of sources (bounded by the source
+   * count; `maxSources` caps a boilerplate shingle present everywhere,
+   * the same df-cap license as [[Dedup.ngramJaccardPairs]]); pairs are
+   * generated ARRAY-LOCALLY from the bounded list — never a self-join of
+   * the shingle table.
+   */
+  def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                    n: Int = 3, maxSources: Int = 64): DataFrame = {
+    val sh = Dedup.shingles(docs, srcCol, textCol, n).distinct()
+    val pairsOf = (ss: Column) =>
+      flatten(transform(sequence(lit(1), size(ss) - 1), i =>
+        transform(sequence(i + 1, size(ss)), j =>
+          struct(element_at(ss, i).as("src1"),
+            element_at(ss, j).as("src2")))))
+    sh.groupBy(col("shingle"))
+      .agg(sort_array(collect_set(col(srcCol))).as("ss"))
+      .filter(size(col("ss")).between(2, maxSources))
+      .select(explode(pairsOf(col("ss"))).as("p"))
+      .groupBy(col("p.src1").as("src1"), col("p.src2").as("src2"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
 }

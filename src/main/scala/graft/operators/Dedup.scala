@@ -189,6 +189,60 @@ object Dedup {
     labels
   }
 
+  /**
+   * Incremental (cross-snapshot) dedup: drop a NEW batch's documents that
+   * duplicate the already-ingested SEEN corpus — the standard "dedup crawl
+   * N+1 against the index of crawls 1..N" operation. Two independent
+   * rejection channels, both anti-joins:
+   *   1. exact: content md5 present in the seen corpus;
+   *   2. near: any MinHash LSH band key present in the seen corpus's
+   *      band-bucket index (the same signature index
+   *      [[bucketsFromSignatures]] builds for within-corpus dedup — at
+   *      scale the seen side is a STORED table, computed once per
+   *      snapshot, not recomputed per batch).
+   * Plan: both anti-joins are hash joins on short keys; the seen side
+   * ships only (hash) / (band, band_key) columns — never text. No window,
+   * no self-join; AQE broadcasts whichever side is small.
+   */
+  def incrementalDedup(newDocs: DataFrame, seenDocs: DataFrame,
+                       idCol: String, textCol: String,
+                       n: Int = 3): DataFrame = {
+    val seenHashes = seenDocs.select(md5(col(textCol)).as("content_hash"))
+      .distinct()
+    val seenBands = bucketsFromSignatures(
+      minhashSignatures(seenDocs, idCol, textCol, n), idCol)
+      .select(col("band"), col("band_key")).distinct()
+    val newBands = bucketsFromSignatures(
+      minhashSignatures(newDocs, idCol, textCol, n), idCol)
+    val nearDupIds = newBands
+      .join(seenBands, Seq("band", "band_key"), "left_semi")
+      .select(col(idCol)).distinct()
+    newDocs
+      .join(seenHashes, md5(newDocs(textCol)) === col("content_hash"),
+        "left_anti")
+      .join(nearDupIds, Seq(idCol), "left_anti")
+  }
+
+  /**
+   * Canonical-document selection per near-dup cluster: keep the highest-
+   * quality member (ties → smallest id). `clusters` is [[dedupClusters]]
+   * output (id, cluster); `quality` carries (idCol, qualityCol). The
+   * argmax is a struct-max AGGREGATE — one shuffle on cluster with
+   * map-side combine, no window sort: at 100 TB a window over cluster
+   * would sort every member list, while max(struct(q, -id)) reduces them
+   * pairwise.
+   */
+  def clusterKeepers(clusters: DataFrame, quality: DataFrame,
+                     idCol: String, qualityCol: String): DataFrame =
+    clusters
+      .join(quality.select(col(idCol).as("id"), col(qualityCol).as("q")),
+        Seq("id"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q").as("q"), (-col("id")).as("nid"))).as("best"))
+      .select(col("cluster"), (-col("best.nid")).as("keeper_id"),
+        col("best.q").as("keeper_quality"), col("n_members"))
+
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: Column, b: Column): Column =
     size(filter(zip_with(split(a, ""), split(b, ""), (x, y) => x =!= y),

@@ -112,6 +112,36 @@ object Multimodal {
   def pngHeight(bin: Column): Column =
     when(pngIsValid(bin), beUint(bin, 21, 4))
 
+  // ---- WAV/RIFF audio headers --------------------------------------------
+  // Canonical 44-byte PCM WAV header: "RIFF" + size(LE4) + "WAVE" +
+  // "fmt " + 16(LE4) + format(LE2) + channels(LE2) + sampleRate(LE4) +
+  // byteRate(LE4) + blockAlign(LE2) + bitsPerSample(LE2) + "data" +
+  // dataSize(LE4). All multi-byte fields LITTLE-endian — the parse
+  // reassembles bytes in reverse before the hex→int conversion. Like the
+  // PNG path, pure codegen'd expressions inside the scan.
+
+  /** Little-endian unsigned int from `nBytes` at 1-based byte offset. */
+  def leUint(bin: Column, off: Int, nBytes: Int): Column =
+    conv(concat(((nBytes - 1) to 0 by -1)
+      .map(i => hex(substring(bin, off + i, 1))): _*), 16, 10).cast("long")
+
+  /** True iff the blob carries the RIFF/WAVE/fmt magic at a 44-byte+ size. */
+  def wavIsValid(bin: Column): Column =
+    length(bin) >= 44 && hex(substring(bin, 1, 4)) === lit("52494646") &&
+      hex(substring(bin, 9, 8)) === lit("57415645666D7420")
+
+  def wavChannels(bin: Column): Column = when(wavIsValid(bin), leUint(bin, 23, 2))
+  def wavSampleRate(bin: Column): Column = when(wavIsValid(bin), leUint(bin, 25, 4))
+  def wavByteRate(bin: Column): Column = when(wavIsValid(bin), leUint(bin, 29, 4))
+  def wavBitsPerSample(bin: Column): Column = when(wavIsValid(bin), leUint(bin, 35, 2))
+  def wavDataSize(bin: Column): Column = when(wavIsValid(bin), leUint(bin, 41, 4))
+
+  /** Clip duration in whole milliseconds: dataSize·1000 / byteRate
+    * (values ≤ 2⁵³ — the double floor is exact). */
+  def wavDurationMs(bin: Column): Column =
+    when(wavIsValid(bin) && wavByteRate(bin) > 0,
+      floor(wavDataSize(bin) * lit(1000.0) / wavByteRate(bin)).cast("long"))
+
   /** Build a MediaRow dataset from any binary column (helper). */
   def fromBinary(spark: SparkSession, df: DataFrame, idCol: String,
                  binCol: String, kind: String): Dataset[MediaRow] = {

@@ -137,4 +137,85 @@ class CurationSpec extends SparkSuite {
     val exp = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
     assert(math.abs(r - exp) < 1e-12)
   }
+
+  test("paragraph dedup: globally-first chunk survives, later copies drop") {
+    // 4-token chunks; doc 1 = [A B], doc 2 = [B C], doc 3 = [A]
+    // first-occurrence rule: doc1 keeps both, doc2 keeps C only (B first
+    // seen in doc1), doc3 keeps nothing (A first seen in doc1)
+    val a = "alpha beta gamma delta"
+    val b = "epsilon zeta eta theta"
+    val c = "iota kappa lambda mu"
+    val d = Seq((1L, s"$a $b"), (2L, s"$b $c"), (3L, a)).toDF("doc_id", "text")
+    val got = Curation.paragraphDedup(d, "doc_id", "text", chunkTokens = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("gopher signals: mean word length, planted symbols, alpha fraction, gate") {
+    val d = Seq(
+      (1L, "solid normal words here"),        // keep: ml=5, sym=0, alpha=1
+      (2L, "## ### #### ...... text"),        // symbol-heavy, mostly non-alpha
+      (3L, "ab xy if at no up")).toDF("doc_id", "text") // ml=2 -> below band
+    val (ml, sr, af, keep) = Curation.gopherSignals($"text")
+    val got = d.select($"doc_id", ml.as("ml"), sr.as("sr"), af.as("af"),
+      keep.as("k")).as[(Long, Double, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 5.0 && got(1L)._3 == 0.0 && got(1L)._4 == 1.0 && got(1L)._5)
+    assert(got(2L)._3 > 0.1 && !got(2L)._5) // 9 '#' + 2 '...' over 1 token
+    assert(got(3L)._2 == 2.0 && !got(3L)._5)
+  }
+
+  test("weighted sample: p=0 drops all, p=1 keeps all, monotone in weight, " +
+    "rate tracks the weight") {
+    val d = (1L to 4000L).toDF("doc_id")
+    def kept(bp: Long) =
+      d.filter(Curation.weightedSampleFilter($"doc_id", lit(bp)))
+        .as[Long].collect().toSet
+    assert(kept(0).isEmpty && kept(10000).size == 4000)
+    assert(kept(3000).subsetOf(kept(7000)))
+    assert(math.abs(kept(2500).size - 1000) < 140, s"got ${kept(2500).size}")
+  }
+
+  test("ngram doc-frequency top-k: counts distinct docs, deterministic ties") {
+    val d = Seq(
+      (1L, "shared phrase here and more stuff"),
+      (2L, "shared phrase here again today"),
+      (3L, "shared phrase here yet again")).toDF("doc_id", "text")
+    val top = Curation.ngramDocFreqTopK(d, "doc_id", "text", n = 3, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top.head == ("shared phrase here", 3L))
+    assert(top(1)._2 < 3L) // every other trigram appears in fewer docs
+  }
+
+  test("domain stats: ntile size buckets follow total tokens, integer outputs") {
+    val d = Seq(
+      (1L, "a b c d e f", "big"), (2L, "g h i j k l", "big"),
+      (3L, "m n o", "mid"), (4L, "p q", "small"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.domainStats(d, "source", "text")
+      .select($"source", $"n_docs", $"total_tokens", $"size_bucket")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("big") == (("big", 2L, 12L, 1L)))
+    assert(got("mid") == (("mid", 1L, 3L, 2L)))
+    assert(got("small") == (("small", 1L, 2L, 3L)))
+  }
+
+  test("source overlap: shared shingles counted per unordered pair, " +
+    "everywhere-shingles capped out") {
+    val common = "one two three" // trigram shared by all three sources
+    val d = Seq(
+      (1L, s"$common apple pie", "s1"), (2L, s"$common apple pie", "s2"),
+      (3L, common, "s3")).toDF("doc_id", "text", "source")
+    val all = Curation.sourceOverlap(d, "source", "text", n = 3)
+      .as[(String, String, Long)].collect().toSet
+    // s1/s2 share 4 trigrams ("one two three","two three apple",
+    // "three apple pie" + "apple pie"? no — distinct trigrams only):
+    // tokens = one two three apple pie -> trigrams OTT, TTA, TAP... check:
+    assert(all.contains(("s1", "s2", 3L)))
+    assert(all.contains(("s1", "s3", 1L)) && all.contains(("s2", "s3", 1L)))
+    // maxSources=2 drops the everywhere-trigram: s1/s3 and s2/s3 vanish
+    val capped = Curation.sourceOverlap(d, "source", "text", n = 3,
+      maxSources = 2).as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("s1", "s2", 2L)))
+  }
 }

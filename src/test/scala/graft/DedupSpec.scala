@@ -189,4 +189,30 @@ class DedupSpec extends SparkSuite {
       .toDF("t", "i").select(TextAnalysis.fingerprint($"t")).as[String].collect()
     assert(fp(0) == fp(1) && fp(1) != fp(2))
   }
+
+  test("incremental dedup: exact dup of seen dropped, LSH near-dup of seen " +
+    "dropped, novel doc survives") {
+    // seen corpus = docs 1,3,5 ; new batch = exact dup of 1, near-dup of 3
+    // (shares all but one trailing token), and a novel doc
+    val seen = docs.filter($"doc_id".isin(1L, 3L, 5L))
+    val newBatch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank", "s1"),
+      (13L, "a fast crimson fox jumps over the lazy dog near the river bank forever", "s1"),
+      (15L, "entirely novel observations on functional programming language design", "s1"))
+      .toDF("doc_id", "text", "source")
+    val kept = Dedup.incrementalDedup(newBatch, seen, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(15L), s"got $kept")
+  }
+
+  test("cluster keepers: argmax quality per cluster, quality tie -> min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "cluster")
+    val quality = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.4), (8L, 0.4))
+      .toDF("doc_id", "q")
+    val got = Dedup.clusterKeepers(clusters, quality, "doc_id", "q")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // cluster 1: 2 and 3 tie at 0.9 -> keeper 2; cluster 7: tie at 0.4 -> 7
+    assert(got == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.4, 2L)))
+  }
 }

@@ -245,4 +245,32 @@ class SimilaritySpec extends SparkSuite {
       .select(TextAnalysis.bpeishTokenCount($"t")).as[Int].collect()(0)
     assert(bpe == 6) // a - b , c !
   }
+
+  test("WAV header decode: little-endian fields from real RIFF bytes; " +
+    "non-WAV and truncated -> invalid") {
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    // canonical 44-byte PCM header: stereo, 44100 Hz, 16-bit, 1s of audio
+    val dataSize = 44100L * 2 * 2
+    val wav = "RIFF".getBytes ++ le(36 + dataSize, 4) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+      le(44100, 4) ++ le(44100 * 4, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes ++ le(dataSize, 4)
+    val mp3 = Array[Byte]('I', 'D', '3', 4, 0, 0)
+    val truncated = wav.take(20)
+    val got = Seq((1L, wav), (2L, mp3), (3L, truncated)).toDF("id", "b")
+      .select($"id", Multimodal.wavIsValid($"b").as("ok"),
+        Multimodal.wavChannels($"b").as("ch"),
+        Multimodal.wavSampleRate($"b").as("sr"),
+        Multimodal.wavBitsPerSample($"b").as("bits"),
+        Multimodal.wavDataSize($"b").as("ds"),
+        Multimodal.wavDurationMs($"b").as("ms"))
+      .as[(Long, Boolean, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, true, Some(2L), Some(44100L), Some(16L),
+      Some(dataSize), Some(1000L))))
+    assert(got(2L)._2 == false && got(2L)._3.isEmpty)
+    assert(got(3L)._2 == false)
+  }
 }

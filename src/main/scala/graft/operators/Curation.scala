@@ -272,7 +272,11 @@ object Curation {
    */
   def sourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
                     n: Int = 3, maxSources: Int = 64): DataFrame = {
-    val sh = Dedup.shingles(docs, srcCol, textCol, n).distinct()
+    // no pre-distinct: collect_set dedups sources per shingle, and its
+    // map-side partial aggregation absorbs same-source duplicates before
+    // the shuffle — a .distinct() here would only add a second full
+    // exchange of the shingle table
+    val sh = Dedup.shingles(docs, srcCol, textCol, n)
     val pairsOf = (ss: Column) =>
       flatten(transform(sequence(lit(1), size(ss) - 1), i =>
         transform(sequence(i + 1, size(ss)), j =>

@@ -838,7 +838,30 @@ object SparkEntry {
           Multimodal.wavDataSize(col("wav")).as("data_size"),
           Multimodal.wavDurationMs(col("wav")).as("duration_ms"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // similarity: per-source mean embedding (mixture-shift monitor) —
+    // DECIMAL-exact component sums, long (source, dim, c) output
+    "q_source_centroid" -> ((s, dir) => {
+      val j = t(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(t(s, dir, "embeddings"),
+          col("vec_id") === col("doc_id"))
+      Similarity.groupCentroids(j, "source", "embedding")
+        .orderBy("source", "dim")
+    }),
+
+    // curation: training-sequence packing — 256-token bins per source,
+    // documents straddle bin boundaries (GPT-style packed layout)
+    "q_seq_packing" -> ((s, dir) =>
+      Curation.sequencePack(t(s, dir, "documents"), "doc_id", "text",
+        "source", capacity = 256)
+        .orderBy("doc_id")),
+
+    // curation: log2-bucketed length histogram (integer-exact buckets via
+    // binary-string length, no floating log)
+    "q_length_histogram" -> ((s, dir) =>
+      Curation.lengthHistogram(t(s, dir, "documents"), "text")
+        .orderBy("log2_bucket"))
   )
 
   /** Little-endian hex encoding of a long column into `nBytes` bytes
@@ -1678,7 +1701,44 @@ object SparkEntry {
          |       CASE WHEN is_wav AND ${leParseSql(29, 4)} > 0
          |            THEN floor(${leParseSql(41, 4)} * 1000.0 / ${leParseSql(29, 4)})::BIGINT END AS duration_ms
          |FROM v ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // embedding::DOUBLE[] before the DECIMAL sum: DuckDB's direct
+    // FLOAT->DECIMAL cast decimalizes the float32 bits (garbage past ~7
+    // digits) while Spark rounds the widened double — the double hop is
+    // the shared exact domain (same recipe as the k-means oracle)
+    "q_source_centroid" ->
+      """WITH j AS (
+        |  SELECT d.source, e.embedding::DOUBLE[] AS embedding
+        |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+        |x AS (
+        |  SELECT source, unnest(embedding) AS v, generate_subscripts(embedding, 1) AS p
+        |  FROM j)
+        |SELECT source, (p - 1)::BIGINT AS dim,
+        |       sum(v::DECIMAL(28,12))::DOUBLE / count(*) AS c
+        |FROM x GROUP BY 1, 2 ORDER BY source, dim""".stripMargin,
+
+    "q_seq_packing" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prefix
+        |  FROM n)
+        |SELECT source, doc_id, n_tokens,
+        |       floor(prefix / 256)::BIGINT AS bin_idx,
+        |       (prefix % 256)::BIGINT AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_length_histogram" ->
+      """WITH n AS (
+        |  SELECT len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))::BIGINT AS ntok
+        |  FROM documents)
+        |SELECT length(bin(ntok))::BIGINT AS log2_bucket, count(*) AS n_docs,
+        |       min(ntok) AS min_tokens, max(ntok) AS max_tokens, sum(ntok)::BIGINT AS total_tokens
+        |FROM n GROUP BY 1 ORDER BY log2_bucket""".stripMargin
   )
 
   /**

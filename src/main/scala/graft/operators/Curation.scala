@@ -261,6 +261,53 @@ object Curation {
   }
 
   /**
+   * Training-sequence packing: concatenate documents in deterministic
+   * (group, id) order and split the token stream into fixed-`capacity`
+   * bins — the GPT-style "packed sequences" layout (documents straddle
+   * bin boundaries; no padding waste). bin_idx/bin_offset derive from the
+   * running token prefix-sum: bin_idx = prefix/capacity,
+   * bin_offset = prefix mod capacity, where prefix = cumulative tokens
+   * BEFORE this doc.
+   *
+   * Scale: ONE window per group partition (partitionBy group, orderBy id)
+   * — per-group sorted prefix sums run in parallel across groups; there
+   * is no global ordering and no single-partition window. Packing is
+   * per-group by design (a training shard = a group); a global pack
+   * would serialize the corpus through one sort.
+   */
+  def sequencePack(docs: DataFrame, idCol: String, textCol: String,
+                   grpCol: String, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0, "capacity must be positive")
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
+    docs.select(col(grpCol), col(idCol),
+      size(toks).cast("long").as("n_tokens"))
+      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(grpCol), col(idCol), col("n_tokens"),
+        // floor, not a double→long cast: Spark's cast truncates but
+        // DuckDB's rounds — floor is the portable integer division
+        floor(col("prefix") / capacity).cast("long").as("bin_idx"),
+        (col("prefix") % capacity).as("bin_offset"))
+  }
+
+  /**
+   * Log₂-bucketed document-length histogram: bucket = bit length of the
+   * token count (floor(log₂ n)+1 via the binary-string length — integer-
+   * exact, no floating log at power-of-two boundaries). One partial-agg
+   * shuffle; output rows = O(log max-length).
+   */
+  def lengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    docs.select(length(bin(size(toks).cast("long"))).cast("long")
+        .as("log2_bucket"),
+      size(toks).cast("long").as("ntok"))
+      .groupBy(col("log2_bucket"))
+      .agg(count(lit(1)).as("n_docs"), min(col("ntok")).as("min_tokens"),
+        max(col("ntok")).as("max_tokens"), sum(col("ntok")).as("total_tokens"))
+  }
+
+  /**
    * Cross-source shingle overlap: for every unordered source pair, how
    * many distinct word n-grams they share — the corpus-mixing /
    * provenance-leak report. Distinct (source, shingle) rows roll up to a

@@ -338,9 +338,11 @@ object Dedup {
    * Output is identical to the window formulation (the DuckDB oracle keeps
    * the lead() form and matches).
    */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
-               carryCols: Seq[String] = Nil): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+  /** Per-row distinct word n-gram ARRAY (the scan-local builder behind
+    * [[shingles]]; exposed for stateless per-row consumers like the
+    * streaming contamination gate). */
+  def shingleArray(text: Column, n: Int): Column = {
+    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
     def gramsOf(ts: Column): Column =
       when(size(ts) >= n,
         array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),
@@ -350,12 +352,15 @@ object Dedup {
     // once per row. Inlining `toks` into the lambda body would re-split the
     // whole document for every element_at — interpreted HOFs do no
     // common-subexpression elimination (measured 62 s vs <1 s at sf0.1).
-    val grams = element_at(transform(array(toks), ts => gramsOf(ts)), 1)
+    element_at(transform(array(toks), ts => gramsOf(ts)), 1)
+  }
+
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+               carryCols: Seq[String] = Nil): DataFrame =
     // carryCols ride along in the SAME scan — a consumer that needs e.g.
     // the blocking column gets it here instead of re-scanning + joining
     docs.select((Seq(col(idCol)) ++ carryCols.map(col) :+
-      explode(grams).as("shingle")): _*)
-  }
+      explode(shingleArray(col(textCol), n)).as("shingle")): _*)
 
   /**
    * N-gram Jaccard near-dup pairs, blocked by a grouping column (e.g.

@@ -145,6 +145,24 @@ object Similarity {
   }
 
   /**
+   * Component-wise mean embedding per group (e.g. per source/domain) —
+   * the corpus-composition companion to k-means: drift between a
+   * source's centroid and the corpus centroid is the standard
+   * mixture-shift monitor. LONG output (group, dim, c), one row per
+   * (group, component): posexplode → ONE shuffle on (group, dim) with
+   * map-side partial sums; the same DECIMAL(28,12) exact-sum recipe as
+   * [[kmeansCentroids]] (order-independent, engine-portable — a double
+   * sum would be partitioning-dependent). Row count = groups × dims,
+   * aggregate-scale, never corpus-scale.
+   */
+  def groupCentroids(joined: DataFrame, grpCol: String,
+                     vecCol: String): DataFrame =
+    joined.select(col(grpCol), posexplode(col(vecCol)))
+      .groupBy(col(grpCol), col("pos").cast("long").as("dim"))
+      .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("c"))
+
+  /**
    * IVF cell assignment: each vector's cell is its max-cosine centroid
    * (ties → smaller centroid id). The centroid table is tiny and broadcast.
    * argmax is `max(struct(cosine, −cid))` — lexicographic struct max ≡

@@ -149,6 +149,34 @@ object StreamPipeline {
         (col("session_end_s") - col("session_start_s")).as("duration_s"))
 
   /**
+   * Streaming benchmark-contamination gate — the ingest-time twin of
+   * [[graft.operators.Curation.contamination]]: documents arriving on the
+   * stream are flagged the moment they share any word n-gram with the
+   * static benchmark set, so contaminated docs never reach the corpus and
+   * no after-the-fact corpus re-scan is needed.
+   *
+   * Deliberately STATELESS (append-mode, zero streaming state): the
+   * benchmark shingle set is pre-aggregated to ONE bounded array row and
+   * broadcast into every micro-batch; each document's shingle set is
+   * built array-locally and intersected per row. An explode + stream-
+   * static join + groupBy would compute the same counts but register as a
+   * stateful streaming aggregate — state the operator has no need for,
+   * since a doc carries all its shingles within one input row.
+   */
+  def contaminationStream(docs: DataFrame, idCol: String, textCol: String,
+                          benchDocs: DataFrame, n: Int = 8): DataFrame = {
+    import graft.operators.Dedup
+    val benchSet = Dedup.shingles(benchDocs, idCol, textCol, n)
+      .agg(collect_set(col("shingle")).as("bench_shingles"))
+    docs.select(col(idCol), Dedup.shingleArray(col(textCol), n).as("sh"))
+      .crossJoin(broadcast(benchSet))
+      .select(col(idCol),
+        size(array_intersect(col("sh"), col("bench_shingles")))
+          .cast("long").as("shared_grams"))
+      .filter(col("shared_grams") > 0)
+  }
+
+  /**
    * F3 as an incremental streaming aggregate: 1-hour event-time windows
    * per severity, 10-minute watermark bounding state (late rows beyond it
    * are dropped — the streaming trade-off the batch gap-fill never makes).

@@ -200,6 +200,32 @@ class CurationSpec extends SparkSuite {
     assert(got("small") == (("small", 1L, 2L, 3L)))
   }
 
+  test("sequence packing: bins fill in id order per group, docs straddle " +
+    "boundaries, groups pack independently") {
+    val d = Seq(
+      (1L, "a b c d e f", "g1"),   // 6 tokens, prefix 0  -> bin 0 off 0
+      (2L, "g h i j k", "g1"),     // 5 tokens, prefix 6  -> bin 0 off 6
+      (3L, "l m n o", "g1"),       // 4 tokens, prefix 11 -> bin 1 off 3 (straddle)
+      (9L, "x y z", "g2")).toDF("doc_id", "text", "source") // fresh group
+    val got = Curation.sequencePack(d, "doc_id", "text", "source", capacity = 8)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5))).toMap
+    assert(got(1L) == ((6L, 0L, 0L)))
+    assert(got(2L) == ((5L, 0L, 6L)))
+    assert(got(3L) == ((4L, 1L, 3L)))
+    assert(got(9L) == ((3L, 0L, 0L)), "second group starts at bin 0")
+  }
+
+  test("length histogram: log2 buckets are bit lengths, stats per bucket") {
+    val d = Seq((1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, (1 to 8).map("t" + _).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Curation.lengthHistogram(d, "text")
+      .as[(Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L)))      // ntok 1 -> bucket 1
+    assert(got(2L) == ((2L, 2L, 2L, 3L, 5L)))      // ntok 2,3 -> bucket 2
+    assert(got(4L) == ((4L, 1L, 8L, 8L, 8L)))      // ntok 8 -> bucket 4
+  }
+
   test("source overlap: shared shingles counted per unordered pair, " +
     "everywhere-shingles capped out") {
     val common = "one two three" // trigram shared by all three sources

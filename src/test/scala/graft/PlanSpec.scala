@@ -125,4 +125,55 @@ class PlanSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
   }
+
+  test("source overlap: pair generation is array-local — no join operator, " +
+    "exactly two aggregate exchanges") {
+    val p = planOf(Curation.sourceOverlap(docs, "source", "text", n = 3))
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"expected the shingle agg + pair agg exchanges only:\n$p")
+  }
+
+  test("paragraph dedup: one hash-window shuffle + one roll-up, no join") {
+    val p = planOf(Curation.paragraphDedup(docs, "doc_id", "text", 4))
+    assert(!p.contains("Join"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+  }
+
+  test("incremental dedup: both rejection channels are anti-joins on short " +
+    "keys, never a cross product") {
+    val p = planOf(Dedup.incrementalDedup(
+      docs.filter($"doc_id" % 5 === 0), docs.filter($"doc_id" % 5 =!= 0),
+      "doc_id", "text"))
+    assert("LeftAnti".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("cluster keepers: argmax is an aggregate (map-side combine), " +
+    "not a window sort") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (7L, 7L)).toDF("id", "cluster")
+    val quality = docs.select($"doc_id", lit(0.5).as("q"))
+    val p = planOf(Dedup.clusterKeepers(clusters, quality, "doc_id", "q"))
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), s"expected partial aggregation:\n$p")
+  }
+
+  test("sequence packing: per-group window only — no global single-" +
+    "partition sort") {
+    val p = planOf(Curation.sequencePack(docs, "doc_id", "text", "source", 64))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global-order window would serialize the corpus:\n$p")
+  }
+
+  test("group centroids: one shuffle on (group, dim) with partial sums") {
+    val j = docs.select($"doc_id", $"source")
+      .join(emb, $"vec_id" === $"doc_id")
+    val p = planOf(Similarity.groupCentroids(j, "source", "v"))
+    assert(p.contains("partial_"), p)
+    // the posexplode blowup folds map-side before the only wide exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
+  }
 }

@@ -246,6 +246,16 @@ class SimilaritySpec extends SparkSuite {
     assert(bpe == 6) // a - b , c !
   }
 
+  test("group centroids: component-wise exact means per group, long output") {
+    val d = Seq(
+      ("s1", Seq(1.0f, 2.0f)), ("s1", Seq(3.0f, 6.0f)), ("s2", Seq(5.0f, 5.0f)))
+      .toDF("source", "embedding")
+    val got = Similarity.groupCentroids(d, "source", "embedding")
+      .as[(String, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("s1", 0L)) == 2.0 && got(("s1", 1L)) == 4.0)
+    assert(got(("s2", 0L)) == 5.0 && got(("s2", 1L)) == 5.0)
+  }
+
   test("WAV header decode: little-endian fields from real RIFF bytes; " +
     "non-WAV and truncated -> invalid") {
     def le(v: Long, n: Int): Array[Byte] =

@@ -187,9 +187,40 @@ class StreamingSpec extends SparkSuite {
       (ts(1), "WARN", 1L), (ts(3), "INFO", 1L)))
     q.stop()
   }
+
+  test("streaming contamination gate: stateless append-mode flagging matches " +
+    "the batch operator's counts") {
+    implicit val sq = spark.sqlContext
+    val bench = Seq(
+      (1L, "the secret benchmark answer is forty two exactly"),
+      (2L, "another held out evaluation prompt entirely"))
+      .toDF("doc_id", "text")
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val flagged = StreamPipeline.contaminationStream(mem.toDF(), "doc_id",
+      "text", bench, n = 5)
+    // zero streaming state: the plan must be append-mode runnable
+    val q = flagged.writeStream.outputMode("append").format("memory")
+      .queryName("contam_stream").start()
+    val docs = Seq(
+      StreamingSpec.Doc(10L, "prefix words the secret benchmark answer is forty two exactly suffix"),
+      StreamingSpec.Doc(11L, "totally clean document with no overlap at all here"),
+      StreamingSpec.Doc(12L, "another held out evaluation prompt entirely copied verbatim"))
+    mem.addData(docs: _*)
+    q.processAllAvailable()
+    val got = spark.table("contam_stream").as[(Long, Long)].collect().toMap
+    q.stop()
+    val batch = graft.operators.Curation.contamination(
+      docs.toDF(), "doc_id", "text", bench, n = 5)
+      .select($"doc_id", $"shared_grams").as[(Long, Long)].collect().toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(!got.contains(11L), "clean doc must not be flagged")
+    assert(got(10L) == 4L) // 8-token match window -> 4 shared 5-grams
+  }
 }
 
 object StreamingSpec {
   /** Top-level case class: MemoryStream encoders reject local classes. */
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
+
+  final case class Doc(doc_id: Long, text: String)
 }

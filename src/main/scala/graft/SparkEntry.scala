@@ -861,7 +861,38 @@ object SparkEntry {
     // binary-string length, no floating log)
     "q_length_histogram" -> ((s, dir) =>
       Curation.lengthHistogram(t(s, dir, "documents"), "text")
-        .orderBy("log2_bucket"))
+        .orderBy("log2_bucket")),
+
+    // curation: URL canonicalization — synthetic messy URLs (mixed-case
+    // host, default port, utm/fbclid params in varying positions,
+    // fragment, trailing slash) planted per doc_id so every rule fires
+    "q_url_normalize" -> ((s, dir) => {
+      val messy = concat(
+        lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+        when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+        lit("/Path/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 3 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0, "?utm_source=feed&id=7&utm_medium=x")
+          .otherwise("?fbclid=abc123"),
+        when(col("doc_id") % 5 === 0, "#section-2").otherwise(""))
+      t(s, dir, "documents").select(col("doc_id"), messy.as("url"))
+        .select(col("doc_id"), col("url"),
+          Curation.normalizeUrl(col("url")).as("canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // curation: deterministic train/val/test split (98/1/1 hash bands)
+    "q_split_assign" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        Curation.splitAssign(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
+
+    // curation: per-source token-budget capping (head-domain down-
+    // weighting) — 800-token budget per source, docs admitted in id order
+    "q_token_budget" -> ((s, dir) =>
+      Curation.tokenBudgetFilter(t(s, dir, "documents"), "doc_id", "text",
+        "source", budget = 800L)
+        .orderBy("doc_id"))
   )
 
   /** Little-endian hex encoding of a long column into `nBytes` bytes
@@ -1738,7 +1769,46 @@ object SparkEntry {
         |  FROM documents)
         |SELECT length(bin(ntok))::BIGINT AS log2_bucket, count(*) AS n_docs,
         |       min(ntok) AS min_tokens, max(ntok) AS max_tokens, sum(ntok)::BIGINT AS total_tokens
-        |FROM n GROUP BY 1 ORDER BY log2_bucket""".stripMargin
+        |FROM n GROUP BY 1 ORDER BY log2_bucket""".stripMargin,
+
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |         'HTTPS://WWW.' || source || '.Example.COM'
+        |         || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |         || '/Path/' || doc_id::VARCHAR
+        |         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=7&utm_medium=x' ELSE '?fbclid=abc123' END)
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS c FROM u),
+        |s2 AS (SELECT doc_id, url,
+        |         lower(regexp_extract(c, '^([^/]*//[^/?#]*)', 1)) || regexp_replace(c, '^[^/]*//[^/?#]*', '') AS c
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, url, regexp_replace(c, '^(https?://[^/?#:]*):(?:80|443)([/?#]|$)', '\1\2') AS c FROM s2),
+        |s4 AS (SELECT doc_id, url, regexp_replace(c, '[?&](?:utm_[^&=]*|fbclid|gclid)=[^&]*', '', 'g') AS c FROM s3),
+        |s5 AS (SELECT doc_id, url, regexp_replace(c, '^([^?&]*)&', '\1?') AS c FROM s4)
+        |SELECT doc_id, url, regexp_replace(c, '([^/:])/$', '\1') AS canonical
+        |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      """SELECT doc_id,
+        |       CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 98 THEN 'train'
+        |            WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 99 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH n AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prefix
+        |  FROM n)
+        |SELECT source, doc_id, n_tokens FROM c
+        |WHERE prefix < 800 ORDER BY doc_id""".stripMargin
   )
 
   /**

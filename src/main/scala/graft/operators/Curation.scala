@@ -308,6 +308,72 @@ object Curation {
   }
 
   /**
+   * URL canonicalization for crawl-level dedup keys: lowercase scheme and
+   * host, strip the fragment, strip tracking query parameters (utm_*,
+   * fbclid, gclid — the '?' disappears with them when nothing survives),
+   * drop default ports (:80/:443), and drop a trailing slash. Scan-local
+   * codegen'd regexp chain; the result is the JOIN KEY for URL-level
+   * dedup, so every rule here directly changes dedup recall.
+   */
+  def normalizeUrl(url: Column): Column = {
+    // every pattern here is RE2-compatible (no lookaround, capture-group
+    // reassembly instead) so the DuckDB oracle can mirror it verbatim
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme://host[:port] only (path/query stay case-sensitive)
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([^/]*//[^/?#]*)", 1)),
+      regexp_replace(noFrag, "^[^/]*//[^/?#]*", ""))
+    val noPort = regexp_replace(lowered,
+      "^(https?://[^/?#:]*):(?:80|443)([/?#]|$)", "$1$2")
+    // tracking params go WITH their leading separator; if the first
+    // surviving param is then led by '&', promote it to '?'
+    val noTrack = regexp_replace(noPort,
+      "[?&](?:utm_[^&=]*|fbclid|gclid)=[^&]*", "")
+    val fixSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
+    regexp_replace(fixSep, "([^/:])/$", "$1")
+  }
+
+  /**
+   * Deterministic train/val/test split assignment: hash(id) mod 100 maps
+   * into cumulative percent bands (e.g. 98/1/1). Same md5-prefix hash
+   * family as [[stratifiedSampleFilter]] — the split is stable across
+   * runs, partitionings, and engines, and independent of the sampling
+   * hash (different salt), so sampling then splitting doesn't correlate.
+   * Zero shuffle.
+   */
+  def splitAssign(id: Column, trainPct: Int = 98, valPct: Int = 1): Column = {
+    require(trainPct + valPct < 100, "test band must be non-empty")
+    val h = pmod(conv(substring(
+      md5(concat(lit("split|"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(100L))
+    when(h < trainPct, "train")
+      .when(h < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /**
+   * Per-group token-budget capping (domain balancing): documents are
+   * admitted in deterministic (group, id) order until the group's
+   * cumulative token count exceeds `budget` — the standard head-domain
+   * down-weighting step in web-corpus mixing. The doc that CROSSES the
+   * budget is the last one admitted (budget is a low-water mark on the
+   * preceding prefix), so every group with any doc keeps at least one.
+   * One per-group prefix-sum window, parallel across groups — the same
+   * scale shape as [[sequencePack]].
+   */
+  def tokenBudgetFilter(docs: DataFrame, idCol: String, textCol: String,
+                        grpCol: String, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
+    docs.select(col(grpCol), col(idCol),
+      size(toks).cast("long").as("n_tokens"))
+      .withColumn("prefix", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .filter(col("prefix") < budget)
+      .select(col(grpCol), col(idCol), col("n_tokens"))
+  }
+
+  /**
    * Cross-source shingle overlap: for every unordered source pair, how
    * many distinct word n-grams they share — the corpus-mixing /
    * provenance-leak report. Distinct (source, shingle) rows roll up to a

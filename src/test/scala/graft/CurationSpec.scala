@@ -226,6 +226,48 @@ class CurationSpec extends SparkSuite {
     assert(got(4L) == ((4L, 1L, 8L, 8L, 8L)))      // ntok 8 -> bucket 4
   }
 
+  test("URL canonicalization: each rule fires; idempotent; clean URL unchanged") {
+    val cases = Seq(
+      (1L, "HTTPS://Ex.COM:443/A/b?utm_source=x&q=1&fbclid=z#top",
+        "https://ex.com/A/b?q=1"),
+      (2L, "http://h.io:80/p/", "http://h.io/p"),
+      (3L, "https://h.io/?utm_medium=m", "https://h.io"),
+      (4L, "https://h.io/a?gclid=g&utm_a=1", "https://h.io/a"),
+      (5L, "https://clean.example.org/path?q=2", "https://clean.example.org/path?q=2"))
+      .toDF("id", "url", "want")
+    val got = cases.select($"id", Curation.normalizeUrl($"url").as("c"),
+      Curation.normalizeUrl(Curation.normalizeUrl($"url")).as("cc"), $"want")
+      .as[(Long, String, String, String)].collect()
+    got.foreach { case (id, c, cc, want) =>
+      assert(c == want, s"case $id: got $c want $want")
+      assert(cc == c, s"case $id not idempotent: $c -> $cc")
+    }
+  }
+
+  test("split assignment: bands are exhaustive, deterministic, and sized " +
+    "to the percentages") {
+    val d = (1L to 10000L).toDF("doc_id")
+    val got = d.select(Curation.splitAssign($"doc_id").as("s"))
+      .groupBy($"s").count().as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("train", "val", "test"))
+    assert(got.values.sum == 10000L)
+    assert(math.abs(got("train") - 9800) < 150, s"train ${got("train")}")
+    assert(got("val") > 30 && got("val") < 250, s"val ${got("val")}")
+    assert(got("test") > 30 && got("test") < 250, s"test ${got("test")}")
+  }
+
+  test("token budget: admission in id order, crossing doc admitted, " +
+    "groups capped independently") {
+    val d = Seq(
+      (1L, "a b c d", "g1"),  // prefix 0  < 6 -> in
+      (2L, "e f g", "g1"),    // prefix 4  < 6 -> in (crosses the budget)
+      (3L, "h i", "g1"),      // prefix 7  >= 6 -> out
+      (9L, "x y z", "g2")).toDF("doc_id", "text", "source")
+    val kept = Curation.tokenBudgetFilter(d, "doc_id", "text", "source", 6L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 2L, 9L))
+  }
+
   test("source overlap: shared shingles counted per unordered pair, " +
     "everywhere-shingles capped out") {
     val common = "one two three" // trigram shared by all three sources

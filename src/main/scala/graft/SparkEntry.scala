@@ -752,6 +752,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // dedup: incremental against a STORED signature index — writes the
+    // seen corpus's hashes + band-partitioned LSH index, then dedups the
+    // new batch by probing the stored artifact (rolling-snapshot shape);
+    // oracle identical to q_dedup_incremental: the index roundtrip must
+    // not change a single surviving row
+    "q_dedup_incremental_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = s"/tmp/graft_sig_index_${s.sparkContext.applicationId}"
+      Dedup.writeSignatureIndex(d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", idx, n = 3)
+      Dedup.incrementalDedupAgainstIndex(s, idx,
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // dedup: canonical-keeper selection per near-dup cluster (argmax
     // quality, ties → min id) — struct-max aggregate, no window sort
     "q_cluster_keeper" -> ((s, dir) => {
@@ -1578,6 +1594,34 @@ object SparkEntry {
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_incremental" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+      s"""$shinglesCte,
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |seenb AS (SELECT DISTINCT band, band_key FROM bk WHERE doc_id % 5 <> 0),
+         |neardup AS (
+         |  SELECT DISTINCT n.doc_id FROM bk n JOIN seenb s USING (band, band_key)
+         |  WHERE n.doc_id % 5 = 0),
+         |seenh AS (SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 5 <> 0)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 5 = 0
+         |  AND md5(d.text) NOT IN (SELECT ch FROM seenh)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM neardup)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same result set as q_dedup_incremental: the stored-index roundtrip
+    // must be invisible to the survivors
+    "q_dedup_incremental_index" -> {
       val perms = graft.operators.Dedup.MinhashA
         .zip(graft.operators.Dedup.MinhashB).zipWithIndex
         .map { case ((a, b), i) =>

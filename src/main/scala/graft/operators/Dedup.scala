@@ -212,6 +212,14 @@ object Dedup {
     val seenBands = bucketsFromSignatures(
       minhashSignatures(seenDocs, idCol, textCol, n), idCol)
       .select(col("band"), col("band_key")).distinct()
+    incrementalDedupCore(newDocs, seenHashes, seenBands, idCol, textCol, n)
+  }
+
+  /** The anti-join core shared by the recompute-the-seen-side path above
+    * and the stored-index path below. */
+  private def incrementalDedupCore(newDocs: DataFrame, seenHashes: DataFrame,
+                                   seenBands: DataFrame, idCol: String,
+                                   textCol: String, n: Int): DataFrame = {
     val newBands = bucketsFromSignatures(
       minhashSignatures(newDocs, idCol, textCol, n), idCol)
     val nearDupIds = newBands
@@ -222,6 +230,34 @@ object Dedup {
         "left_anti")
       .join(nearDupIds, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Persist a corpus snapshot's dedup index — the artifact
+   * [[incrementalDedupAgainstIndex]] probes so that batch N+1's dedup
+   * never re-reads snapshots 1..N's text: `hashes/` (distinct content
+   * md5s) and `bands/` (distinct LSH band keys, partitioned by band so a
+   * per-band probe prunes to one partition). Both tables are short-key
+   * projections — the index is a small fraction of corpus bytes.
+   */
+  def writeSignatureIndex(docs: DataFrame, idCol: String, textCol: String,
+                          path: String, n: Int = 3): Unit = {
+    docs.select(md5(col(textCol)).as("content_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    bucketsFromSignatures(minhashSignatures(docs, idCol, textCol, n), idCol)
+      .select(col("band"), col("band_key")).distinct()
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+  }
+
+  /** [[incrementalDedup]] against a STORED [[writeSignatureIndex]]
+    * artifact instead of recomputing the seen side — the production shape
+    * for rolling snapshot ingestion. */
+  def incrementalDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                   indexPath: String, newDocs: DataFrame,
+                                   idCol: String, textCol: String,
+                                   n: Int = 3): DataFrame =
+    incrementalDedupCore(newDocs,
+      spark.read.parquet(s"$indexPath/hashes"),
+      spark.read.parquet(s"$indexPath/bands"), idCol, textCol, n)
 
   /**
    * Canonical-document selection per near-dup cluster: keep the highest-

@@ -205,6 +205,25 @@ class DedupSpec extends SparkSuite {
     assert(kept == Seq(15L), s"got $kept")
   }
 
+  test("incremental dedup via stored signature index: identical survivors " +
+    "to the direct path; band partitions on disk") {
+    val seen = docs.filter($"doc_id".isin(1L, 3L, 5L))
+    val newBatch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank", "s1"),
+      (13L, "a fast crimson fox jumps over the lazy dog near the river bank forever", "s1"),
+      (15L, "entirely novel observations on functional programming language design", "s1"))
+      .toDF("doc_id", "text", "source")
+    val idx = tmpDir("sigidx")
+    Dedup.writeSignatureIndex(seen, "doc_id", "text", idx)
+    val viaIndex = Dedup.incrementalDedupAgainstIndex(spark, idx, newBatch,
+      "doc_id", "text").select($"doc_id").as[Long].collect().sorted.toSeq
+    val direct = Dedup.incrementalDedup(newBatch, seen, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(viaIndex == direct && viaIndex == Seq(15L))
+    assert(new java.io.File(s"$idx/bands/band=0").exists(),
+      "band index must be partitioned by band")
+  }
+
   test("cluster keepers: argmax quality per cluster, quality tie -> min id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "cluster")

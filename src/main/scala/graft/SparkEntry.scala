@@ -908,7 +908,16 @@ object SparkEntry {
     "q_token_budget" -> ((s, dir) =>
       Curation.tokenBudgetFilter(t(s, dir, "documents"), "doc_id", "text",
         "source", budget = 800L)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // curation: top-3 best-quality docs per domain (representative
+    // selection) — per-group window rank, total order (quality desc, id)
+    "q_topk_per_domain" -> ((s, dir) =>
+      Curation.topKPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "source", k = 3, col("quality").desc, col("doc_id").asc)
+        .orderBy("source", "doc_id"))
   )
 
   /** Little-endian hex encoding of a long column into `nBytes` bytes
@@ -1852,7 +1861,16 @@ object SparkEntry {
         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prefix
         |  FROM n)
         |SELECT source, doc_id, n_tokens FROM c
-        |WHERE prefix < 800 ORDER BY doc_id""".stripMargin
+        |WHERE prefix < 800 ORDER BY doc_id""".stripMargin,
+
+    "q_topk_per_domain" ->
+      s"""WITH $qualityCtes,
+         |r AS (
+         |  SELECT d.doc_id, d.source, qual.quality,
+         |         row_number() OVER (PARTITION BY d.source ORDER BY qual.quality DESC, d.doc_id ASC) AS rk
+         |  FROM documents d JOIN qual ON qual.doc_id = d.doc_id)
+         |SELECT doc_id, source, quality FROM r WHERE rk <= 3
+         |ORDER BY source, doc_id""".stripMargin
   )
 
   /**

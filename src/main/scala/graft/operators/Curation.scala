@@ -374,6 +374,23 @@ object Curation {
   }
 
   /**
+   * Top-k rows per group (e.g. the k best-quality documents per domain —
+   * the per-domain representative-selection step in corpus mixing). One
+   * per-group window rank, parallel across groups. For a pathological
+   * giant group with tiny k the full per-group sort is wasteful — there
+   * the two-phase shape is rank within (group, salt) first, then rank the
+   * ≤ salt·k survivors; this single-window form is right whenever groups
+   * are partition-sized, and k is typically ≪ group size either way.
+   */
+  def topKPerGroup(df: DataFrame, grpCol: String, k: Int,
+                   order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grpCol)).orderBy(order: _*)
+    df.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rk") <= k).drop("rk")
+  }
+
+  /**
    * Cross-source shingle overlap: for every unordered source pair, how
    * many distinct word n-grams they share — the corpus-mixing /
    * provenance-leak report. Distinct (source, shingle) rows roll up to a

@@ -268,6 +268,16 @@ class CurationSpec extends SparkSuite {
     assert(kept == Seq(1L, 2L, 9L))
   }
 
+  test("top-k per group: rank order respected, ties broken by id, " +
+    "small groups kept whole") {
+    val d = Seq(
+      (1L, "g1", 0.9), (2L, "g1", 0.5), (3L, "g1", 0.9), (4L, "g1", 0.1),
+      (9L, "g2", 0.3)).toDF("id", "g", "q")
+    val got = Curation.topKPerGroup(d, "g", 2, $"q".desc, $"id".asc)
+      .select($"id").as[Long].collect().sorted.toSeq
+    assert(got == Seq(1L, 3L, 9L)) // g1: 0.9-tie -> ids 1,3; g2: all 1 doc
+  }
+
   test("source overlap: shared shingles counted per unordered pair, " +
     "everywhere-shingles capped out") {
     val common = "one two three" // trigram shared by all three sources

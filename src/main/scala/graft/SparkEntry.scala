@@ -917,7 +917,30 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality")),
         "source", k = 3, col("quality").desc, col("doc_id").asc)
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // curation: the round-3 operators composed END TO END in one lazy
+    // plan — Gopher gate ∧ quality floor → paragraph-dedup survivor gate
+    // (kept_frac ≥ 0.5 over the gated corpus) → per-source token budget →
+    // train/val/test split → per-split corpus stats. Every stage's
+    // semantics are individually oracled above; this row proves the
+    // COMPOSITION (gates applied in order, each over the previous stage's
+    // survivor set) matches the same chain in SQL.
+    "q_curation_v2" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val (_, _, _, keep) = Curation.gopherSignals(col("text"))
+      val gated = d.filter(keep &&
+        TextAnalysis.qualityScore(col("text")) >= 0.45)
+      val para = Curation.paragraphDedup(gated, "doc_id", "text", 8)
+        .filter(col("kept_frac") >= 0.5).select("doc_id")
+      val clean = gated.join(para, Seq("doc_id"))
+      Curation.tokenBudgetFilter(clean, "doc_id", "text", "source", 800L)
+        .select(Curation.splitAssign(col("doc_id")).as("split"),
+          col("n_tokens"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("split")
+    })
   )
 
   /** Little-endian hex encoding of a long column into `nBytes` bytes
@@ -1870,7 +1893,70 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY d.source ORDER BY qual.quality DESC, d.doc_id ASC) AS rk
          |  FROM documents d JOIN qual ON qual.doc_id = d.doc_id)
          |SELECT doc_id, source, quality FROM r WHERE rk <= 3
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+
+    // the same stage chain as the Spark plan, each gate over the previous
+    // stage's survivors
+    "q_curation_v2" ->
+      s"""WITH $qualityCtes,
+         |gtk AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+         |  FROM documents),
+         |gm AS (
+         |  SELECT doc_id, len(toks) AS ntok,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE floor(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) * 10000.0 + 0.5) / 10000.0 END AS mean_word_len,
+         |         CASE WHEN len(toks) = 0 THEN 0.0
+         |              ELSE floor(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(toks) * 10000.0 + 0.5) / 10000.0 END AS alpha_word_frac
+         |  FROM gtk),
+         |gsym AS (
+         |  SELECT d.doc_id,
+         |         (length(d.text) - length(replace(d.text, '#', '')))
+         |           + (length(d.text) - length(replace(d.text, '...', ''))) / 3 AS nsym
+         |  FROM documents d),
+         |gated AS (
+         |  SELECT d.doc_id, d.text, d.source FROM documents d
+         |  JOIN gm ON gm.doc_id = d.doc_id
+         |  JOIN gsym ON gsym.doc_id = d.doc_id
+         |  JOIN qual ON qual.doc_id = d.doc_id
+         |  WHERE gm.mean_word_len >= 3.0 AND gm.mean_word_len <= 10.0
+         |    AND (CASE WHEN gm.ntok = 0 THEN 0.0 ELSE floor(gsym.nsym::DOUBLE / gm.ntok * 10000.0 + 0.5) / 10000.0 END) < 0.1
+         |    AND gm.alpha_word_frac > 0.8
+         |    AND qual.quality >= 0.45),
+         |ptok AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM gated),
+         |pst AS (
+         |  SELECT doc_id, toks, unnest(generate_series(1, greatest(len(toks), 1), 8)) AS s
+         |  FROM ptok WHERE len(toks) > 0),
+         |pch AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY s) AS chunk_idx,
+         |         md5(array_to_string(list_slice(toks, s, least(s + 7, len(toks))), ' ')) AS h
+         |  FROM pst),
+         |prk AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
+         |  FROM pch),
+         |pfrac AS (
+         |  SELECT doc_id,
+         |         floor(count(*) FILTER (rk = 1)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_frac
+         |  FROM prk GROUP BY doc_id),
+         |clean AS (
+         |  SELECT g.doc_id, g.text, g.source FROM gated g
+         |  JOIN pfrac p ON p.doc_id = g.doc_id WHERE p.kept_frac >= 0.5),
+         |ctok AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> ''))::BIGINT AS n_tokens
+         |  FROM clean),
+         |budg AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prefix
+         |  FROM ctok)
+         |SELECT CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 98 THEN 'train'
+         |            WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 99 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+         |FROM budg WHERE prefix < 800
+         |GROUP BY 1 ORDER BY split""".stripMargin
   )
 
   /**

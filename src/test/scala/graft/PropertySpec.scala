@@ -151,4 +151,50 @@ class PropertySpec extends SparkSuite {
       assert(got(i) == ((ew, eh)), s"case $i expected $exp got ${got(i)}")
     }
   }
+
+  test("property: normalizeUrl is idempotent and never grows the URL, " +
+    "over random scheme/host/port/path/param/fragment combos") {
+    import graft.operators.Curation
+    val urls: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTPS", "https")
+      host <- Gen.oneOf("Ex.COM", "a.b.io", "WWW.Site.ORG")
+      port <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/", "/A/b", "/x/", "/p.html")
+      ps <- Gen.someOf(Seq("utm_source=x", "q=1", "fbclid=z", "utm_m=2", "id=5"))
+      frag <- Gen.oneOf("", "#f", "#sec-2")
+    } yield s"$scheme://$host$port$path" +
+      (if (ps.isEmpty) "" else "?" + ps.mkString("&")) + frag
+    val cases = sample(Gen.listOfN(300, urls), 23)
+    val rows = cases.toDF("u").select($"u",
+      Curation.normalizeUrl($"u").as("c"),
+      Curation.normalizeUrl(Curation.normalizeUrl($"u")).as("cc"))
+      .as[(String, String, String)].collect()
+    rows.foreach { case (u, c, cc) =>
+      assert(cc == c, s"not idempotent: $u -> $c -> $cc")
+      assert(c.length <= u.length, s"grew: $u -> $c")
+      assert(!c.contains("#") && !c.contains("utm_") && !c.contains("fbclid"),
+        s"residual junk: $u -> $c")
+    }
+  }
+
+  test("property: sequencePack conserves tokens — offsets chain (next " +
+    "prefix = prev prefix + n_tokens) and bins advance monotonically") {
+    import graft.operators.Curation
+    val docs = sample(Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 40), Gen.oneOf("g1", "g2", "g3"))), 31)
+      .zipWithIndex.map { case ((n, g), i) =>
+        (i.toLong, (1 to n).map("w" + _).mkString(" "), g) }
+    val got = Curation.sequencePack(docs.toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", capacity = 64)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (g, rs) => g -> rs.sortBy(_._2) }
+    got.foreach { case (g, rs) =>
+      var prefix = 0L
+      rs.foreach { case (_, id, n, binIdx, binOff) =>
+        assert(binIdx == prefix / 64, s"$g/$id bin")
+        assert(binOff == prefix % 64, s"$g/$id off")
+        prefix += n
+      }
+    }
+  }
 }

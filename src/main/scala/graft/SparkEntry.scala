@@ -787,11 +787,12 @@ object SparkEntry {
       val payload = concat(col("text"),
         when(col("doc_id") % 3 === 0, lit(" ### flag ... end"))
           .otherwise(lit(" plain end")))
-      val (meanLen, symRatio, alphaFrac, keep) =
-        Curation.gopherSignals(payload)
-      t(s, dir, "documents").select(col("doc_id"),
-        meanLen.as("mean_word_len"), symRatio.as("symbol_ratio"),
-        alphaFrac.as("alpha_word_frac"), keep.as("gopher_keep"))
+      // project the signal struct ONCE, read fields from the projected
+      // column — each interpreted-HOF signal tree evaluates once per row
+      t(s, dir, "documents")
+        .select(col("doc_id"), Curation.gopherStruct(payload).as("g"))
+        .select(col("doc_id"), col("g.mean_word_len"), col("g.symbol_ratio"),
+          col("g.alpha_word_frac"), col("g.gopher_keep"))
         .orderBy("doc_id")
     }),
 
@@ -928,7 +929,7 @@ object SparkEntry {
     // survivor set) matches the same chain in SQL.
     "q_curation_v2" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val (_, _, _, keep) = Curation.gopherSignals(col("text"))
+      val keep = Curation.gopherStruct(col("text")).getField("gopher_keep")
       val gated = d.filter(keep &&
         TextAnalysis.qualityScore(col("text")) >= 0.45)
       val para = Curation.paragraphDedup(gated, "doc_id", "text", 8)
@@ -1798,7 +1799,8 @@ object SparkEntry {
          |v AS (
          |  SELECT doc_id, h,
          |         (blen >= 44 AND substr(h, 1, 8) = '52494646'
-         |          AND substr(h, 17, 16) = '57415645666D7420') AS is_wav
+         |          AND substr(h, 17, 16) = '57415645666D7420'
+         |          AND substr(h, 73, 8) = '64617461') AS is_wav
          |  FROM hh)
          |SELECT doc_id, is_wav,
          |       CASE WHEN is_wav THEN ${leParseSql(23, 2)} END AS channels,
@@ -1862,9 +1864,18 @@ object SparkEntry {
         |         lower(regexp_extract(c, '^([^/]*//[^/?#]*)', 1)) || regexp_replace(c, '^[^/]*//[^/?#]*', '') AS c
         |       FROM s1),
         |s3 AS (SELECT doc_id, url, regexp_replace(c, '^(https?://[^/?#:]*):(?:80|443)([/?#]|$)', '\1\2') AS c FROM s2),
-        |s4 AS (SELECT doc_id, url, regexp_replace(c, '[?&](?:utm_[^&=]*|fbclid|gclid)=[^&]*', '', 'g') AS c FROM s3),
-        |s5 AS (SELECT doc_id, url, regexp_replace(c, '^([^?&]*)&', '\1?') AS c FROM s4)
-        |SELECT doc_id, url, regexp_replace(c, '([^/:])/$', '\1') AS canonical
+        |s4 AS (
+        |  SELECT doc_id, url,
+        |         CASE WHEN strpos(c, '?') = 0 THEN c ELSE substr(c, 1, strpos(c, '?') - 1) END AS p,
+        |         CASE WHEN strpos(c, '?') = 0 THEN '' ELSE substr(c, strpos(c, '?') + 1) END AS q
+        |  FROM s3),
+        |s5 AS (
+        |  SELECT doc_id, url,
+        |         regexp_replace(p, '([^/:])/$', '\1') AS pc,
+        |         regexp_replace(regexp_replace(q, '(?:^|&)(?:utm_[^&=]*|fbclid|gclid)=[^&]*', '', 'g'), '^&+', '') AS qc
+        |  FROM s4)
+        |SELECT doc_id, url,
+        |       CASE WHEN qc = '' THEN pc ELSE pc || '?' || qc END AS canonical
         |FROM s5 ORDER BY doc_id""".stripMargin,
 
     "q_split_assign" ->

@@ -153,8 +153,12 @@ object Curation {
    * expressions, zero shuffle; line-based rules (bullet/ellipsis line
    * fractions) live in [[dupLineFraction]]'s family and degenerate on the
    * newline-less synthetic corpus, so they are not emitted here.
+   *
+   * Returns ONE struct column (mean_word_len, symbol_ratio,
+   * alpha_word_frac, gopher_keep): project it once and read fields from
+   * the projected column — each signal tree then evaluates once per row.
    */
-  def gopherSignals(text: Column): (Column, Column, Column, Column) = {
+  def gopherStruct(text: Column): Column = {
     val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
     val ntok = size(toks)
     // bind the token array once — interpreted HOFs do no CSE (see gramRows)
@@ -170,9 +174,21 @@ object Curation {
     val alphaFrac = when(ntok === 0, 0.0).otherwise(pround4(
       over1(ts => size(filter(ts, t => t.rlike("[a-z]"))))
         .cast("double") / ntok))
-    val keep = meanLen >= 3.0 && meanLen <= 10.0 &&
-      symRatio < 0.1 && alphaFrac > 0.8
-    (meanLen, symRatio, alphaFrac, keep)
+    // the keep gate derives from the three signals WITHOUT re-embedding
+    // their expression trees: bind the signal struct to a lambda variable
+    // (the same no-CSE discipline as the token array above) and read the
+    // fields — otherwise selecting all four outputs re-splits and
+    // re-aggregates the document once per signal per output
+    val base = struct(meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"))
+    element_at(transform(array(base), b =>
+      struct(b.getField("mean_word_len").as("mean_word_len"),
+        b.getField("symbol_ratio").as("symbol_ratio"),
+        b.getField("alpha_word_frac").as("alpha_word_frac"),
+        (b.getField("mean_word_len") >= 3.0 &&
+          b.getField("mean_word_len") <= 10.0 &&
+          b.getField("symbol_ratio") < 0.1 &&
+          b.getField("alpha_word_frac") > 0.8).as("gopher_keep"))), 1)
   }
 
   /**
@@ -325,12 +341,19 @@ object Curation {
       regexp_replace(noFrag, "^[^/]*//[^/?#]*", ""))
     val noPort = regexp_replace(lowered,
       "^(https?://[^/?#:]*):(?:80|443)([/?#]|$)", "$1$2")
-    // tracking params go WITH their leading separator; if the first
-    // surviving param is then led by '&', promote it to '?'
-    val noTrack = regexp_replace(noPort,
-      "[?&](?:utm_[^&=]*|fbclid|gclid)=[^&]*", "")
-    val fixSep = regexp_replace(noTrack, "^([^?&]*)&", "$1?")
-    regexp_replace(fixSep, "([^/:])/$", "$1")
+    // split at the FIRST '?' and rewrite only the query component — a
+    // literal '&' in the path must never trigger param surgery, and a
+    // tracking param must never swallow path text
+    val path = substring_index(noPort, "?", 1)
+    val query = when(instr(noPort, "?") > 0,
+      noPort.substr(instr(noPort, "?") + 1, length(noPort)))
+      .otherwise("")
+    val qClean = regexp_replace(
+      regexp_replace(query, "(?:^|&)(?:utm_[^&=]*|fbclid|gclid)=[^&]*", ""),
+      "^&+", "")
+    // trailing slash drops from the PATH, so /p/?q=1 and /p?q=1 unify
+    val pClean = regexp_replace(path, "([^/:])/$", "$1")
+    when(qClean === "", pClean).otherwise(concat(pClean, lit("?"), qClean))
   }
 
   /**
@@ -346,7 +369,12 @@ object Curation {
     val h = pmod(conv(substring(
       md5(concat(lit("split|"), id.cast("string"))), 1, 15), 16, 10)
       .cast("long"), lit(100L))
-    when(h < trainPct, "train")
+    // null id → null split (caller filters), NOT the otherwise() branch —
+    // a bare otherwise("test") would concentrate every malformed record
+    // into the 1% eval band; matches the family's null-drops convention
+    // (see stratifiedSampleFilter)
+    when(id.isNull, lit(null).cast("string"))
+      .when(h < trainPct, "train")
       .when(h < trainPct + valPct, "val")
       .otherwise("test")
   }
@@ -386,8 +414,11 @@ object Curation {
                    order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(grpCol)).orderBy(order: _*)
-    df.withColumn("rk", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("rk") <= k).drop("rk")
+    // collision-safe internal name: withColumn REPLACES an existing
+    // column, so a caller-supplied "rk" would be silently destroyed
+    val rk = "__graft_topk_rk"
+    df.withColumn(rk, org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col(rk) <= k).drop(rk)
   }
 
   /**

@@ -246,38 +246,61 @@ object Dedup {
     bucketsFromSignatures(minhashSignatures(docs, idCol, textCol, n), idCol)
       .select(col("band"), col("band_key")).distinct()
       .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // the shingle width is part of the artifact's identity: band keys are
+    // md5s over n-gram min-signatures, so probing with a different n
+    // would match NOTHING and silently disable the near-dup channel
+    docs.sparkSession.range(1).select(lit(n).as("shingle_n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** [[incrementalDedup]] against a STORED [[writeSignatureIndex]]
     * artifact instead of recomputing the seen side — the production shape
-    * for rolling snapshot ingestion. */
+    * for rolling snapshot ingestion. Refuses an `n` that differs from the
+    * one the index was built with (the probe would silently match no
+    * band key otherwise). */
   def incrementalDedupAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                    indexPath: String, newDocs: DataFrame,
                                    idCol: String, textCol: String,
-                                   n: Int = 3): DataFrame =
+                                   n: Int = 3): DataFrame = {
+    val storedN = spark.read.parquet(s"$indexPath/meta")
+      .head().getAs[Int]("shingle_n")
+    require(storedN == n,
+      s"signature index at $indexPath was built with n=$storedN, probed with n=$n")
     incrementalDedupCore(newDocs,
       spark.read.parquet(s"$indexPath/hashes"),
       spark.read.parquet(s"$indexPath/bands"), idCol, textCol, n)
+  }
 
   /**
    * Canonical-document selection per near-dup cluster: keep the highest-
    * quality member (ties → smallest id). `clusters` is [[dedupClusters]]
    * output (id, cluster); `quality` carries (idCol, qualityCol). The
-   * argmax is a struct-max AGGREGATE — one shuffle on cluster with
-   * map-side combine, no window sort: at 100 TB a window over cluster
-   * would sort every member list, while max(struct(q, -id)) reduces them
-   * pairwise.
+   * argmax is AGGREGATES (max-quality roll-up, then min-id over the
+   * maximal members) — co-partitioned shuffles on cluster with map-side
+   * combine, no window sort: at 100 TB a window over cluster would sort
+   * every member list, while max/min reduce them pairwise. Works for any
+   * id type (string URL/UUID ids included).
    */
   def clusterKeepers(clusters: DataFrame, quality: DataFrame,
-                     idCol: String, qualityCol: String): DataFrame =
-    clusters
+                     idCol: String, qualityCol: String): DataFrame = {
+    val members = clusters
       .join(quality.select(col(idCol).as("id"), col(qualityCol).as("q")),
         Seq("id"))
+    // two co-partitioned aggregates on cluster instead of max(struct(q,
+    // -id)): arithmetic negation only exists for numeric ids — crawl
+    // pipelines routinely key on URL/UUID strings, where "-id" casts to
+    // null and every keeper_id silently comes back null
+    val best = members.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("q")).as("keeper_quality"))
+    members.join(best, Seq("cluster"))
+      .filter(col("q") === col("keeper_quality"))
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_members"),
-        max(struct(col("q").as("q"), (-col("id")).as("nid"))).as("best"))
-      .select(col("cluster"), (-col("best.nid")).as("keeper_id"),
-        col("best.q").as("keeper_quality"), col("n_members"))
+      .agg(min(col("id")).as("keeper_id"),
+        first(col("keeper_quality")).as("keeper_quality"),
+        first(col("n_members")).as("n_members"))
+      .select(col("cluster"), col("keeper_id"), col("keeper_quality"),
+        col("n_members"))
+  }
 
   /** Hamming distance between two equal-length bit strings. */
   def hamming(a: Column, b: Column): Column =

@@ -125,10 +125,15 @@ object Multimodal {
     conv(concat(((nBytes - 1) to 0 by -1)
       .map(i => hex(substring(bin, off + i, 1))): _*), 16, 10).cast("long")
 
-  /** True iff the blob carries the RIFF/WAVE/fmt magic at a 44-byte+ size. */
+  /** True iff the blob is a CANONICAL 44-byte-header PCM WAV: RIFF/WAVE/
+    * "fmt " magic AND the "data" chunk tag at byte 37 — the field offsets
+    * below assume exactly this layout, so a RIFF with an interposed LIST/
+    * fact chunk (common from real encoders) must read invalid rather than
+    * return other chunks' bytes as lengths. */
   def wavIsValid(bin: Column): Column =
     length(bin) >= 44 && hex(substring(bin, 1, 4)) === lit("52494646") &&
-      hex(substring(bin, 9, 8)) === lit("57415645666D7420")
+      hex(substring(bin, 9, 8)) === lit("57415645666D7420") &&
+      hex(substring(bin, 37, 4)) === lit("64617461")
 
   def wavChannels(bin: Column): Column = when(wavIsValid(bin), leUint(bin, 23, 2))
   def wavSampleRate(bin: Column): Column = when(wavIsValid(bin), leUint(bin, 25, 4))

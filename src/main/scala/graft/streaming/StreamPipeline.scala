@@ -162,6 +162,13 @@ object StreamPipeline {
    * static join + groupBy would compute the same counts but register as a
    * stateful streaming aggregate — state the operator has no need for,
    * since a doc carries all its shingles within one input row.
+   *
+   * PRECONDITION: stream and benchmark id spaces must be disjoint. The
+   * batch operator excludes self-matches per bench id
+   * ([[graft.operators.Curation.contamination]]'s `idCol =!= bench_id`);
+   * the aggregated bench set here cannot, so a streamed doc whose id IS a
+   * bench doc would count its own shingles. Equality with the batch
+   * counts (asserted in StreamingSpec) holds under this precondition.
    */
   def contaminationStream(docs: DataFrame, idCol: String, textCol: String,
                           benchDocs: DataFrame, n: Int = 8): DataFrame = {

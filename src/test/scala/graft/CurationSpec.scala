@@ -156,9 +156,10 @@ class CurationSpec extends SparkSuite {
       (1L, "solid normal words here"),        // keep: ml=5, sym=0, alpha=1
       (2L, "## ### #### ...... text"),        // symbol-heavy, mostly non-alpha
       (3L, "ab xy if at no up")).toDF("doc_id", "text") // ml=2 -> below band
-    val (ml, sr, af, keep) = Curation.gopherSignals($"text")
-    val got = d.select($"doc_id", ml.as("ml"), sr.as("sr"), af.as("af"),
-      keep.as("k")).as[(Long, Double, Double, Double, Boolean)]
+    val got = d.select($"doc_id", Curation.gopherStruct($"text").as("g"))
+      .select($"doc_id", $"g.mean_word_len", $"g.symbol_ratio",
+        $"g.alpha_word_frac", $"g.gopher_keep")
+      .as[(Long, Double, Double, Double, Boolean)]
       .collect().map(r => r._1 -> r).toMap
     assert(got(1L)._2 == 5.0 && got(1L)._3 == 0.0 && got(1L)._4 == 1.0 && got(1L)._5)
     assert(got(2L)._3 > 0.1 && !got(2L)._5) // 9 '#' + 2 '...' over 1 token
@@ -233,7 +234,14 @@ class CurationSpec extends SparkSuite {
       (2L, "http://h.io:80/p/", "http://h.io/p"),
       (3L, "https://h.io/?utm_medium=m", "https://h.io"),
       (4L, "https://h.io/a?gclid=g&utm_a=1", "https://h.io/a"),
-      (5L, "https://clean.example.org/path?q=2", "https://clean.example.org/path?q=2"))
+      (5L, "https://clean.example.org/path?q=2", "https://clean.example.org/path?q=2"),
+      // '&' in the PATH is data, not a parameter separator: no surgery
+      (6L, "https://ex.com/a&b=c", "https://ex.com/a&b=c"),
+      (7L, "https://ex.com/x&gclid=1/page?q=2", "https://ex.com/x&gclid=1/page?q=2"),
+      // trailing slash drops from the path even when a query survives
+      (8L, "https://h.io/p/?q=1", "https://h.io/p?q=1"),
+      // consecutive tracking params all go, in one pass
+      (9L, "https://h.io/a?utm_a=1&utm_b=2&q=3", "https://h.io/a?q=3"))
       .toDF("id", "url", "want")
     val got = cases.select($"id", Curation.normalizeUrl($"url").as("c"),
       Curation.normalizeUrl(Curation.normalizeUrl($"url")).as("cc"), $"want")

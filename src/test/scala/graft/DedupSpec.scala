@@ -222,6 +222,13 @@ class DedupSpec extends SparkSuite {
     assert(viaIndex == direct && viaIndex == Seq(15L))
     assert(new java.io.File(s"$idx/bands/band=0").exists(),
       "band index must be partitioned by band")
+    // probing with a different shingle width than the index was built
+    // with must FAIL, not silently match nothing
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupAgainstIndex(spark, idx, newBatch,
+        "doc_id", "text", n = 5)
+    }
+    assert(e.getMessage.contains("built with n=3"))
   }
 
   test("cluster keepers: argmax quality per cluster, quality tie -> min id") {
@@ -233,5 +240,12 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
     // cluster 1: 2 and 3 tie at 0.9 -> keeper 2; cluster 7: tie at 0.4 -> 7
     assert(got == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.4, 2L)))
+    // STRING ids (URL-keyed crawl pipelines) must work too — the argmax
+    // is pure aggregates, no arithmetic id negation
+    val sClusters = Seq(("u/a", "u/a"), ("u/b", "u/a")).toDF("id", "cluster")
+    val sQuality = Seq(("u/a", 0.2), ("u/b", 0.9)).toDF("doc_id", "q")
+    val sGot = Dedup.clusterKeepers(sClusters, sQuality, "doc_id", "q")
+      .as[(String, String, Double, Long)].collect().toSeq
+    assert(sGot == Seq(("u/a", "u/b", 0.9, 2L)))
   }
 }

@@ -159,7 +159,7 @@ class PropertySpec extends SparkSuite {
       scheme <- Gen.oneOf("http", "HTTPS", "https")
       host <- Gen.oneOf("Ex.COM", "a.b.io", "WWW.Site.ORG")
       port <- Gen.oneOf("", ":443", ":80", ":8080")
-      path <- Gen.oneOf("", "/", "/A/b", "/x/", "/p.html")
+      path <- Gen.oneOf("", "/", "/A/b", "/x/", "/p.html", "/a&b=c", "/x&gclid=1/p")
       ps <- Gen.someOf(Seq("utm_source=x", "q=1", "fbclid=z", "utm_m=2", "id=5"))
       frag <- Gen.oneOf("", "#f", "#sec-2")
     } yield s"$scheme://$host$port$path" +

@@ -268,7 +268,11 @@ class SimilaritySpec extends SparkSuite {
       "data".getBytes ++ le(dataSize, 4)
     val mp3 = Array[Byte]('I', 'D', '3', 4, 0, 0)
     val truncated = wav.take(20)
-    val got = Seq((1L, wav), (2L, mp3), (3L, truncated)).toDF("id", "b")
+    // RIFF/WAVE/fmt magic but a LIST chunk where 'data' belongs: must be
+    // invalid (canonical-44-byte layout only) rather than garbage lengths
+    val listChunk = wav.take(36) ++ "LIST".getBytes ++ le(4, 4) ++ le(0, 4)
+    val got = Seq((1L, wav), (2L, mp3), (3L, truncated), (4L, listChunk))
+      .toDF("id", "b")
       .select($"id", Multimodal.wavIsValid($"b").as("ok"),
         Multimodal.wavChannels($"b").as("ch"),
         Multimodal.wavSampleRate($"b").as("sr"),
@@ -282,5 +286,7 @@ class SimilaritySpec extends SparkSuite {
       Some(dataSize), Some(1000L))))
     assert(got(2L)._2 == false && got(2L)._3.isEmpty)
     assert(got(3L)._2 == false)
+    assert(got(4L)._2 == false && got(4L)._6.isEmpty,
+      "non-canonical chunk layout must not be parsed as lengths")
   }
 }

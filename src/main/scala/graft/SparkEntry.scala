@@ -579,6 +579,17 @@ object SparkEntry {
         .limit(10)
     }),
 
+    // similarity: two-stage Matryoshka retrieval — 16-dim prefix coarse
+    // rank → 50-candidate pool → full 64-dim re-rank, top 10
+    "q_ann_matryoshka" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.matryoshkaTopK(
+        e.filter(col("vec_id") =!= 0), "vec_id", "v",
+        e.filter(col("vec_id") === 0), "v",
+        prefixDim = 16, pool = 50, k = 10)
+    }),
+
     // similarity: sign-LSH bucketed ANN top-k (the scale path)
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -920,6 +931,20 @@ object SparkEntry {
         "source", k = 3, col("quality").desc, col("doc_id").asc)
         .orderBy("source", "doc_id")),
 
+    // curation: corpus-trained unigram-LM surprisal score (CCNet-style
+    // perplexity pre-filter without an external model) — vocab minCount=2,
+    // OOV floor count 1, mean −ln p(w) per doc
+    "q_unigram_lm" -> ((s, dir) =>
+      Curation.unigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 2L)
+        .orderBy("doc_id")),
+
+    // curation: BPE vocab-induction merge selection — corpus-wide
+    // adjacent-token pair counts, top 50 (count desc, pair asc)
+    "q_bpe_pairs" -> ((s, dir) =>
+      Curation.bpePairTopK(t(s, dir, "documents"), "doc_id", "text",
+        k = 50)),
+
     // curation: the round-3 operators composed END TO END in one lazy
     // plan — Gopher gate ∧ quality floor → paragraph-dedup survivor gate
     // (kept_frac ≥ 0.5 over the gated corpus) → per-source token budget →
@@ -930,8 +955,13 @@ object SparkEntry {
     "q_curation_v2" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val keep = Curation.gopherStruct(col("text")).getField("gopher_keep")
+      // the gated survivor set feeds TWO consumers (the paragraph-dedup
+      // pass and the budget join) — stage it ONCE instead of re-running
+      // the gopher+quality gate scan per consumer (localCheckpoint here;
+      // at production scale a staged intermediate table, same seam)
       val gated = d.filter(keep &&
         TextAnalysis.qualityScore(col("text")) >= 0.45)
+        .localCheckpoint()
       val para = Curation.paragraphDedup(gated, "doc_id", "text", 8)
         .filter(col("kept_frac") >= 0.5).select("doc_id")
       val clean = gated.join(para, Seq("doc_id"))
@@ -1464,6 +1494,17 @@ object SparkEntry {
         |FROM e, q WHERE e.vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
+    "q_ann_matryoshka" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |coarse AS (
+        |  SELECT e.vec_id, e.v, q.qv,
+        |         round(list_cosine_similarity(e.v[1:16], q.qv[1:16]), 4) AS cs
+        |  FROM e, q WHERE e.vec_id <> 0
+        |  ORDER BY cs DESC, vec_id LIMIT 50)
+        |SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
+        |FROM coarse ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
     "q_ann_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -1748,6 +1789,30 @@ object SparkEntry {
       s"""$shinglesCte
          |SELECT g AS shingle, count(*) AS df FROM sh
          |GROUP BY g ORDER BY df DESC, shingle LIMIT 50""".stripMargin,
+
+    "q_unigram_lm" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::DOUBLE AS s FROM freq),
+        |kept AS (SELECT tok, c FROM freq WHERE c >= 2)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |       floor(avg(-ln(coalesce(k.c, 1)::DOUBLE / (SELECT s FROM tot))) * 10000.0 + 0.5) / 10000.0 AS lm_score
+        |FROM tok t LEFT JOIN kept k USING (tok)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_pairs" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |  FROM tokf WHERE len(toks) >= 2)
+        |SELECT pair, count(*) AS c FROM pairs
+        |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
 
     "q_domain_stats" ->
       """WITH a AS (

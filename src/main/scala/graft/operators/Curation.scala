@@ -380,6 +380,67 @@ object Curation {
   }
 
   /**
+   * Corpus-trained unigram language-model score per document — the
+   * CCNet-style perplexity pre-filter recast without an external model:
+   * train p(w) = count(w)/total over the corpus itself, then score each
+   * document by its mean token surprisal −ln p(w) (low = head-vocabulary
+   * prose, high = rare-token noise). Tokens whose corpus count is below
+   * `minCount` — and unseen tokens when scoring a different corpus — fall
+   * back to a count of 1 (the standard OOV floor); the denominator stays
+   * the FULL pre-cutoff token total, so kept-token probabilities are
+   * cutoff-independent.
+   *
+   * Scale: the vocabulary aggregate is one partial-agg shuffle (map-side
+   * combine collapses the token stream to distinct tokens per partition
+   * first). The min-count cut is exactly what makes the trained vocab
+   * broadcastable at 100 TB — under a Zipf law the tail below any fixed
+   * cutoff holds most DISTINCT tokens but the kept head is model-sized
+   * (productionized LM filters ship a fixed vocab for the same reason) —
+   * so scoring is a broadcast hash join against the token scan, never a
+   * token-level shuffle.
+   *
+   * Output: (id, n_tokens, lm_score); token-less docs absent. lm_score is
+   * pround4-rounded: the per-doc mean sums doubles in engine-dependent
+   * order; 4dp absorbs the ~1e-12 noise (same trade as
+   * [[Analytics.textRankBm25]]).
+   */
+  def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                     minCount: Long = 2L): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val tok = docs.select(col(idCol), explode(toks).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).cast("double").as("s"))
+    val kept = freq.filter(col("c") >= minCount)
+    tok.join(broadcast(kept), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        pround4(avg(-log(coalesce(col("c"), lit(1L)).cast("double")
+          / col("s")))).as("lm_score"))
+  }
+
+  /**
+   * Corpus-wide adjacent-token pair frequencies, top-k — the merge-
+   * selection step of BPE vocabulary induction (word-level pairs here;
+   * byte-level BPE has the identical plan shape, only the tokenizer
+   * differs). Pairs are built array-locally per document via [[gramRows]]
+   * (no window, no per-token shuffle), then ONE partial-agg shuffle
+   * counts occurrences and TakeOrderedAndProject takes the head — the
+   * occurrence-counting sibling of [[ngramDocFreqTopK]] (which counts
+   * document frequency over distinct-per-doc shingles). Total order
+   * (count desc, pair asc) makes the k-boundary deterministic. Iterated
+   * BPE training re-runs this after applying the chosen merge — each
+   * round is the same single-shuffle job.
+   */
+  def bpePairTopK(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int): DataFrame =
+    gramRows(docs, idCol, textCol, n = 2)
+      .groupBy(col("gram").as("pair"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pair").asc)
+      .limit(k)
+
+  /**
    * Per-group token-budget capping (domain balancing): documents are
    * admitted in deterministic (group, id) order until the group's
    * cumulative token count exceeds `budget` — the standard head-domain

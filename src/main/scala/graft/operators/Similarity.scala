@@ -77,6 +77,36 @@ object Similarity {
   }
 
   /**
+   * Two-stage Matryoshka retrieval: rank the corpus by cosine over the
+   * PREFIX of the embedding (Matryoshka-trained representations
+   * front-load information, so a short prefix is a cheap coarse scorer —
+   * Kusupati et al. 2022, public), keep a `pool`-sized candidate set,
+   * then re-rank only those `pool` rows by full-dimension cosine.
+   *
+   * Scale: the coarse stage is the only corpus-wide pass and touches
+   * prefixDim/d of each vector (with the prefix stored as its own column
+   * in a columnar layout, the scan prunes to those bytes); the exact
+   * stage is O(pool·d). Both stages plan as TakeOrderedAndProject — no
+   * global sort. Coarse scores are rounded to 4dp with an id tiebreak so
+   * the pool boundary is deterministic and engine-portable (same trade
+   * as the final ranking in [[bruteForceTopK]]).
+   */
+  def matryoshkaTopK(emb: DataFrame, idCol: String, vecCol: String,
+                     queryDf: DataFrame, qCol: String,
+                     prefixDim: Int, pool: Int, k: Int): DataFrame = {
+    val withQ = emb.crossJoin(broadcast(queryDf.select(col(qCol).as("_qv"))))
+    val coarse = withQ.select(col(idCol), col(vecCol), col("_qv"),
+      round(cosine(slice(col(vecCol), 1, prefixDim),
+        slice(col("_qv"), 1, prefixDim)), 4).as("_coarse"))
+      .orderBy(col("_coarse").desc, col(idCol).asc)
+      .limit(pool)
+    coarse.select(col(idCol),
+      round(cosine(col(vecCol), col("_qv")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * The query's sign bucket plus every flip-1-bit neighbor — the standard
    * multi-probe set (nBits+1 of the 2^nBits buckets). A vector whose sign
    * pattern differs from the query's in at most one component is reachable;

@@ -304,4 +304,38 @@ class CurationSpec extends SparkSuite {
       maxSources = 2).as[(String, String, Long)].collect().toSet
     assert(capped == Set(("s1", "s2", 2L)))
   }
+
+  test("unigram LM score: common-token docs score lower than rare-token " +
+    "docs, OOV floor applies below minCount, token-less docs absent") {
+    // corpus: "the" x 6, "cat" x 2, "zyx" x 1 (below minCount=2 -> OOV)
+    val d = Seq(
+      (1L, "the the the"), (2L, "the the the"),   // only head tokens
+      (3L, "cat cat zyx"),                         // rare + OOV
+      (4L, "")).toDF("doc_id", "text")             // token-less -> absent
+    val got = Curation.unigramLmScore(d, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!got.contains(4L))
+    assert(got(1L) == got(2L), "identical docs score identically")
+    // total = 9; p(the)=6/9, p(cat)=2/9, p(zyx)-> OOV count 1 -> 1/9
+    val pr = (x: Double) => math.floor(x * 10000 + 0.5) / 10000
+    assert(got(1L) == (3L, pr(-math.log(6.0 / 9))))
+    assert(got(3L) == (3L,
+      pr((-2 * math.log(2.0 / 9) - math.log(1.0 / 9)) / 3)))
+    assert(got(3L)._2 > got(1L)._2, "rare-token doc is higher surprisal")
+  }
+
+  test("BPE pair top-k: adjacent-pair occurrences counted across docs, " +
+    "deterministic tie order, single-token docs contribute nothing") {
+    val d = Seq(
+      (1L, "a b a b"),   // pairs: "a b" x2, "b a" x1
+      (2L, "a b c"),     // "a b", "b c"
+      (3L, "z")).toDF("doc_id", "text")
+    val got = Curation.bpePairTopK(d, "doc_id", "text", k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)),
+      "count desc then pair asc; the z doc yields no pairs")
+    val top1 = Curation.bpePairTopK(d, "doc_id", "text", k = 1)
+      .as[(String, Long)].collect().toSeq
+    assert(top1 == Seq(("a b", 3L)), "k bounds the output")
+  }
 }

@@ -56,6 +56,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("unigram LM: vocab and total join the token scan as broadcasts; " +
+    "per-doc roll-up is the only token-keyed shuffle") {
+    val p = planOf(Curation.unigramLmScore(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("BPE pair top-k: array-local pair build, partial-agg shuffle, " +
+    "TakeOrderedAndProject head — no global sort, no window") {
+    val p = planOf(Curation.bpePairTopK(docs, "doc_id", "text", 10))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert("(?s).*HashAggregate.*HashAggregate.*".r.matches(p),
+      "pair counts must partial-aggregate map-side\n" + p)
+  }
+
+  test("matryoshka: both stages are TakeOrderedAndProject, query side " +
+    "broadcast — no global sort, no shuffle of the corpus") {
+    val qDf = emb.filter($"vec_id" === 1).select($"v".as("qv"))
+    val p = planOf(Similarity.matryoshkaTopK(emb.filter($"vec_id" =!= 1),
+      "vec_id", "v", qDf, "qv", prefixDim = 4, pool = 20, k = 5))
+    assert("(?s).*TakeOrderedAndProject.*TakeOrderedAndProject.*".r.matches(p), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("Exchange hashpartitioning"), p)
+  }
+
   test("cosine expression runs inside whole-stage codegen") {
     // spark.range source: a local Seq would be pre-evaluated by
     // ConvertToLocalRelation and show no physical operators at all

@@ -79,6 +79,29 @@ class SimilaritySpec extends SparkSuite {
     assert(top.map(_._1).toSeq == exact.toSeq)
   }
 
+  test("matryoshka two-stage: full pool equals brute force; prefix pool " +
+    "recovers winners the coarse stage under-ranks; recall measured") {
+    val q = vec(3)
+    val qDf = Seq(Tuple1(q)).toDF("qv")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "v",
+      q.map(_.toFloat), 10).as[(Long, Double)].collect().toSeq
+    // pool = corpus -> the re-rank sees everything: identical to brute force
+    val full = Similarity.matryoshkaTopK(emb, "vec_id", "v", qDf, "qv",
+      prefixDim = 4, pool = 200, k = 10).as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // half-dim coarse with a 40-candidate pool: measured recall well above
+    // what a 4-of-8-dim TOP-10 cut would give on gaussian vectors
+    val m = Similarity.matryoshkaTopK(emb, "vec_id", "v", qDf, "qv",
+      prefixDim = 4, pool = 40, k = 10).as[(Long, Double)].collect()
+    assert(m.head._1 == 3L && m.head._2 == 1.0,
+      "query's own vector survives the coarse cut and ranks first")
+    val recall = (brute.map(_._1).toSet & m.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.5, s"pool-40 recall unreasonably low: $recall")
+    // scores of recovered ids are the FULL-dim scores, not coarse ones
+    val bruteScores = brute.toMap
+    m.foreach { case (id, s) => assert(bruteScores.get(id).forall(_ == s)) }
+  }
+
   test("LSH bucket search: query's own bucket found, recall vs brute force measured") {
     val q = vec(7).map(_.toFloat)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "v", q, 10)

@@ -945,6 +945,18 @@ object SparkEntry {
       Curation.bpePairTopK(t(s, dir, "documents"), "doc_id", "text",
         k = 50)),
 
+    // curation: bigram LM with stupid-backoff (0.4) to the unigram model
+    "q_bigram_lm" -> ((s, dir) =>
+      Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
+        minCount = 2L)
+        .orderBy("doc_id")),
+
+    // curation: hashing-trick featurizer — 64-bucket signed sparse vectors
+    "q_hash_features" -> ((s, dir) =>
+      Curation.hashFeaturize(t(s, dir, "documents"), "doc_id", "text",
+        dim = 64)
+        .orderBy("doc_id", "bucket")),
+
     // curation: the round-3 operators composed END TO END in one lazy
     // plan — Gopher gate ∧ quality floor → paragraph-dedup survivor gate
     // (kept_frac ≥ 0.5 over the gated corpus) → per-source token budget →
@@ -1813,6 +1825,47 @@ object SparkEntry {
         |  FROM tokf WHERE len(toks) >= 2)
         |SELECT pair, count(*) AS c FROM pairs
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
+
+    "q_bigram_lm" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |uni AS (SELECT tok, count(*) AS uc FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(uc)::DOUBLE AS s FROM uni),
+        |unik AS (SELECT tok, uc FROM uni WHERE uc >= 2),
+        |bi AS (
+        |  SELECT pair AS gram, count(*) AS bc FROM (
+        |    SELECT unnest(list_transform(range(1, len(toks)),
+        |                                 i -> toks[i] || ' ' || toks[i + 1])) AS pair
+        |    FROM tokf WHERE len(toks) >= 2)
+        |  GROUP BY 1 HAVING count(*) >= 2),
+        |pos AS (
+        |  SELECT doc_id, tok, CASE WHEN p > 1 THEN toks[p - 1] END AS prev,
+        |         CASE WHEN p > 1 THEN toks[p - 1] || ' ' || tok ELSE tok END AS gram
+        |  FROM (SELECT doc_id, toks, unnest(toks) AS tok,
+        |               generate_subscripts(toks, 1) AS p FROM tokf)),
+        |scored AS (
+        |  SELECT pos.doc_id,
+        |         CASE WHEN pos.prev IS NOT NULL AND bi.bc IS NOT NULL AND pu.uc IS NOT NULL
+        |              THEN bi.bc::DOUBLE / pu.uc
+        |              ELSE 0.4 * coalesce(u.uc, 1)::DOUBLE / (SELECT s FROM tot) END AS p
+        |  FROM pos LEFT JOIN bi USING (gram)
+        |           LEFT JOIN unik pu ON pu.tok = pos.prev
+        |           LEFT JOIN unik u ON u.tok = pos.tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       floor(avg(-ln(p)) * 10000.0 + 0.5) / 10000.0 AS lm2_score
+        |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q_hash_features" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, md5(unnest(toks)) AS hx FROM tokf)
+        |SELECT doc_id,
+        |       (('0x' || substr(hx, 1, 15))::UBIGINT % 64)::BIGINT AS bucket,
+        |       sum(CASE WHEN substr(hx, 16, 1) >= '8' THEN -1 ELSE 1 END)::BIGINT AS weight
+        |FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     "q_domain_stats" ->
       """WITH a AS (

@@ -420,6 +420,60 @@ object Curation {
   }
 
   /**
+   * Corpus-trained BIGRAM language-model score per document: mean token
+   * surprisal −ln p(w_i | w_{i-1}) with stupid-backoff to the unigram
+   * model (Brants et al. 2007: p = count(w_{i-1} w_i)/count(w_{i-1}) when
+   * the bigram is attested ≥ `minCount` times, else 0.4 · p_unigram(w_i))
+   * — catches shuffled-word salad that unigram scoring cannot (every
+   * token frequent, no attested transitions). The first token of each
+   * doc is scored by its unigram probability (no history).
+   *
+   * Scale: same shape as [[unigramLmScore]] — two count aggregates (one
+   * over tokens, one over adjacent pairs, both map-side combined), both
+   * model tables min-count-cut to broadcastable Zipf heads, then ONE
+   * corpus-side pass joins each position against the bigram and unigram
+   * models by broadcast. Output: (id, n_tokens, lm2_score), token-less
+   * docs absent; pround4 for the engine-order float sum.
+   */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 2L): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val tok = docs.select(col(idCol), explode(toks).as("tok"))
+    val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
+    val total = uni.agg(sum(col("uc")).cast("double").as("s"))
+    val uniKept = uni.filter(col("uc") >= minCount)
+    val pairs = gramRows(docs, idCol, textCol, n = 2)
+    val bi = pairs.groupBy(col("gram")).agg(count(lit(1)).as("bc"))
+      .filter(col("bc") >= minCount)
+    // per-position rows with the previous token attached array-locally
+    // (no lag window): posexplode yields 0-based p, so the 1-based
+    // element_at(ts, p) IS the predecessor; p=0 → null history. A
+    // history-less gram is the bare token — it can never collide with a
+    // real bigram gram (those always contain a space).
+    val pos = docs.select(col(idCol), toks.as("_ts"))
+      .select(col(idCol), col("_ts"),
+        posexplode(col("_ts")).as(Seq("p", "tok")))
+      .withColumn("prev", when(col("p") > 0, element_at(col("_ts"), col("p"))))
+      .select(col(idCol), col("tok"), col("prev"),
+        concat_ws(" ", col("prev"), col("tok")).as("gram"))
+    val punw = coalesce(col("uc"), lit(1L)).cast("double") / col("s")
+    val scored = pos
+      .join(broadcast(bi), Seq("gram"), "left")
+      .join(broadcast(uniKept.select(col("tok").as("prev"),
+        col("uc").as("prev_uc"))), Seq("prev"), "left")
+      .join(broadcast(uniKept), Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        when(col("prev").isNotNull && col("bc").isNotNull &&
+             col("prev_uc").isNotNull,
+          col("bc").cast("double") / col("prev_uc"))
+          .otherwise(lit(0.4) * punw).as("p"))
+    scored.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        pround4(avg(-log(col("p")))).as("lm2_score"))
+  }
+
+  /**
    * Corpus-wide adjacent-token pair frequencies, top-k — the merge-
    * selection step of BPE vocabulary induction (word-level pairs here;
    * byte-level BPE has the identical plan shape, only the tokenizer
@@ -439,6 +493,35 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("pair").asc)
       .limit(k)
+
+  /**
+   * Feature hashing (the hashing trick, Weinberger et al. 2009): project
+   * each document's token multiset into a fixed `dim`-bucket sparse
+   * vector — bucket = md5-hash mod dim, sign = one extra hash bit (sign
+   * cancellation keeps the estimator unbiased), weight = signed token
+   * count. Output is the SPARSE relational form (id, bucket, weight) —
+   * exactly what downstream per-bucket aggregates ([[Similarity.groupCentroids]]
+   * takes the same shape) and sparse dot products consume; a dense array
+   * per doc is one `map_from_entries`/`transform` projection away, with
+   * no extra shuffle.
+   *
+   * Scale: explode → one partial-agg shuffle on (id, bucket); rows out
+   * ≤ min(n_tokens, dim) per doc. md5-derived bucket and sign are
+   * engine-portable (same construction as [[stratifiedSampleFilter]]) —
+   * no JVM `hashCode` dependence.
+   */
+  def hashFeaturize(docs: DataFrame, idCol: String, textCol: String,
+                    dim: Int): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val h = md5(col("tok"))
+    docs.select(col(idCol), explode(toks).as("tok"))
+      .select(col(idCol),
+        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"),
+        when(substring(h, 16, 1) >= "8", -1L).otherwise(1L).as("sgn"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(sum(col("sgn")).as("weight"))
+  }
 
   /**
    * Per-group token-budget capping (domain balancing): documents are

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.{Pipeline, Synth}
@@ -181,6 +181,46 @@ object StreamPipeline {
         size(array_intersect(col("sh"), col("bench_shingles")))
           .cast("long").as("shared_grams"))
       .filter(col("shared_grams") > 0)
+  }
+
+  /**
+   * Streaming unigram-LM quality gate — the ingest-time twin of
+   * [[graft.operators.Curation.unigramLmScore]]: documents arriving on
+   * the stream are scored by mean token surprisal against a model TRAINED
+   * ON THE STATIC CORPUS (the already-curated snapshot), so low-quality
+   * docs are gated before they ever land. The batch operator trains and
+   * scores on the same corpus; here train-time and score-time corpora
+   * differ by design — that is what the OOV floor is for.
+   *
+   * STATELESS like [[contaminationStream]]: the trained model (min-count
+   * vocab map + pre-cut total) is ONE bounded row broadcast into every
+   * micro-batch, and each doc is scored array-locally by folding its own
+   * token array — no explode, no stream-side groupBy, zero streaming
+   * state. The fold accumulates in array order, which is exactly the
+   * order the batch operator's per-doc mean sees, so for identical
+   * train/score corpora the two agree to the last bit (asserted in
+   * StreamingSpec).
+   */
+  def lmScoreStream(docs: DataFrame, idCol: String, textCol: String,
+                    vocabDocs: DataFrame, minCount: Long = 2L): DataFrame = {
+    def toksOf(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    val freq = vocabDocs.select(explode(toksOf(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // one model row: full-corpus total + min-count-cut vocab map
+    // (collect_list drops the nulls the `when` leaves for cut tokens)
+    val model = freq.agg(
+      sum(col("c")).cast("double").as("s"),
+      map_from_entries(collect_list(when(col("c") >= minCount,
+        struct(col("tok"), col("c"))))).as("vocab"))
+    docs.select(col(idCol), toksOf(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) > 0)
+      .crossJoin(broadcast(model))
+      .select(col(idCol), size(col("_ts")).cast("long").as("n_tokens"),
+        graft.operators.TextAnalysis.pround4(
+          aggregate(col("_ts"), lit(0.0), (acc, t) =>
+            acc - log(coalesce(element_at(col("vocab"), t), lit(1L))
+              .cast("double") / col("s")))
+            / size(col("_ts"))).as("lm_score"))
   }
 
   /**

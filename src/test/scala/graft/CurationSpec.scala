@@ -324,6 +324,42 @@ class CurationSpec extends SparkSuite {
     assert(got(3L)._2 > got(1L)._2, "rare-token doc is higher surprisal")
   }
 
+  test("bigram LM with stupid-backoff: attested transitions use the " +
+    "conditional, first tokens and unseen pairs back off to 0.4x unigram") {
+    // uni: a=3 b=3 c=1 (c < minCount -> OOV); total=7
+    // bi (minCount 2): "a b"=2, "b a"=2
+    val d = Seq((1L, "a b a b"), (2L, "b a"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = Curation.bigramLmScore(d, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val pr = (x: Double) => math.floor(x * 10000 + 0.5) / 10000
+    val ln = (x: Double) => math.log(x)
+    // doc2 = [b, a]: first token backoff 0.4*3/7; then p(a|b)=bc/uc(b)=2/3
+    assert(got(2L) == (2L, pr((-ln(0.4 * 3.0 / 7) - ln(2.0 / 3)) / 2)))
+    // doc3 = [c]: OOV floor -> 0.4 * 1/7
+    assert(got(3L) == (1L, pr(-ln(0.4 * 1.0 / 7))))
+    // doc1 = [a b a b]: backoff(a) then three attested 2/3 transitions
+    assert(got(1L) == (4L,
+      pr((-ln(0.4 * 3.0 / 7) - 3 * ln(2.0 / 3)) / 4)))
+    assert(got(3L)._2 > got(1L)._2, "word salad scores higher surprisal")
+  }
+
+  test("feature hashing: deterministic buckets in range, duplicate tokens " +
+    "accumulate signed weight, disjoint docs hash independently") {
+    val d = Seq((1L, "alpha alpha beta"), (2L, "alpha alpha beta"),
+      (3L, "gamma")).toDF("doc_id", "text")
+    val rows = Curation.hashFeaturize(d, "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 16), "buckets in [0, dim)")
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).toSet == byDoc(2L).toSet.map((t: (Long, Long, Long)) =>
+      (1L, t._2, t._3)), "identical text -> identical sparse vector")
+    // alpha appears twice: its bucket's |weight| is 2 unless beta collides
+    assert(byDoc(1L).map(r => math.abs(r._3)).sum <= 3,
+      "total |weight| bounded by token count")
+    assert(byDoc(3L).length == 1 && math.abs(byDoc(3L).head._3) == 1)
+  }
+
   test("BPE pair top-k: adjacent-pair occurrences counted across docs, " +
     "deterministic tie order, single-token docs contribute nothing") {
     val d = Seq(

@@ -64,6 +64,21 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("bigram LM: all three model tables broadcast to the corpus pass — " +
+    "no token-keyed sort-merge join") {
+    val p = planOf(Curation.bigramLmScore(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("feature hashing: explode + one partial-agg shuffle, no join, " +
+    "no window") {
+    val p = planOf(Curation.hashFeaturize(docs, "doc_id", "text", 32))
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    assert("(?s).*HashAggregate.*HashAggregate.*".r.matches(p),
+      "signed counts must partial-aggregate map-side\n" + p)
+  }
+
   test("BPE pair top-k: array-local pair build, partial-agg shuffle, " +
     "TakeOrderedAndProject head — no global sort, no window") {
     val p = planOf(Curation.bpePairTopK(docs, "doc_id", "text", 10))

@@ -216,6 +216,37 @@ class StreamingSpec extends SparkSuite {
     assert(!got.contains(11L), "clean doc must not be flagged")
     assert(got(10L) == 4L) // 8-token match window -> 4 shared 5-grams
   }
+
+  test("streaming LM gate: stateless append-mode scoring; equals the batch " +
+    "operator bit-for-bit when train and score corpora coincide; OOV floor " +
+    "prices unseen tokens") {
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      StreamingSpec.Doc(1L, "the quick brown fox jumps over the lazy dog"),
+      StreamingSpec.Doc(2L, "the quick brown cat naps under the warm sun"),
+      StreamingSpec.Doc(3L, "the slow green turtle walks past the quick dog"))
+    val staticDf = corpus.toDF()
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val scored = StreamPipeline.lmScoreStream(mem.toDF(), "doc_id", "text",
+      staticDf, minCount = 2L)
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("lm_stream").start()
+    // stream the SAME corpus -> must equal the batch self-trained scores,
+    // plus one novel doc full of unseen tokens -> OOV-floor surprisal
+    mem.addData(corpus :+ StreamingSpec.Doc(9L, "zzq xxv wwu unseen gibberish"): _*)
+    q.processAllAvailable()
+    val got = spark.table("lm_stream").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    q.stop()
+    val batch = graft.operators.Curation.unigramLmScore(staticDf,
+      "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    corpus.foreach(d => assert(got(d.doc_id) == batch(d.doc_id),
+      s"doc ${d.doc_id}: stream ${got(d.doc_id)} vs batch ${batch(d.doc_id)}"))
+    // all-OOV doc: every token prices at -ln(1/total), the maximum
+    assert(got(9L)._2 > corpus.map(d => got(d.doc_id)._2).max,
+      "unseen-vocabulary doc must out-score every in-corpus doc")
+  }
 }
 
 object StreamingSpec {

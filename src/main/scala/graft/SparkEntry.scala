@@ -590,6 +590,15 @@ object SparkEntry {
         prefixDim = 16, pool = 50, k = 10)
     }),
 
+    // similarity: int8 scalar-quantized ANN — corpus-range SQ8 round-trip
+    // on both sides, rank by cosine of the reconstructions
+    "q_ann_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.sqTopK(e.filter(col("vec_id") =!= 0), "vec_id", "v",
+        e.filter(col("vec_id") === 0), "v", k = 10)
+    }),
+
     // similarity: sign-LSH bucketed ANN top-k (the scale path)
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1516,6 +1525,28 @@ object SparkEntry {
         |  ORDER BY cs DESC, vec_id LIMIT 50)
         |SELECT vec_id, round(list_cosine_similarity(v, qv), 4) AS cos_sim
         |FROM coarse ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_sq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id <> 0),
+        |dims AS (
+        |  SELECT pos, min(x) AS lo, max(x) AS hi
+        |  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM c)
+        |  GROUP BY pos),
+        |par AS (SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM dims),
+        |qz AS (
+        |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
+        |           CASE WHEN his[i] = los[i] THEN 0.0
+        |                ELSE floor((v[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) END) AS code
+        |  FROM e, par),
+        |rec AS (
+        |  SELECT vec_id, list_transform(range(1, len(code) + 1), i ->
+        |           los[i] + code[i] * (his[i] - los[i]) / 255.0) AS vh
+        |  FROM qz, par)
+        |SELECT r.vec_id, round(list_cosine_similarity(r.vh, q.vh), 4) AS cos_sim
+        |FROM rec r, (SELECT vh FROM rec WHERE vec_id = 0) q
+        |WHERE r.vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_lsh" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

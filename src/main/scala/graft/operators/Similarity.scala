@@ -107,6 +107,87 @@ object Similarity {
   }
 
   /**
+   * Per-dimension scalar-quantization parameters: corpus min/max of each
+   * component, packed into two ordered arrays (`los`, `his`) in ONE model
+   * row. The aggregate is a single shuffle of (pos, partial-min/max) rows
+   * — dim-bounded, map-side combined — and the packing sort runs over dim
+   * rows, not the corpus. min/max are exact (no float-order dependence),
+   * so the parameters are engine- and partitioning-independent.
+   */
+  def sqParams(emb: DataFrame, vecCol: String): DataFrame = {
+    val dims = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    dims.agg(
+      transform(array_sort(collect_list(struct(col("pos"), col("lo")))),
+        s => s.getField("lo")).as("los"),
+      transform(array_sort(collect_list(struct(col("pos"), col("hi")))),
+        s => s.getField("hi")).as("his"))
+  }
+
+  /**
+   * Int8 scalar quantization (SQ8) for embedding columns: each component
+   * maps to an integer code in [0,255] via the corpus per-dimension range
+   * (code = floor((x−lo)/(hi−lo)·255 + 0.5); degenerate dims code to 0),
+   * an 8×-fewer-bytes representation — the standard memory-bound ANN
+   * serving layout (FAISS SQ8, public). `sqCodes` emits (id, code array);
+   * `sqReconstruct` maps codes back to the cell midpoint domain
+   * (x̂ = lo + code·(hi−lo)/255) for distance evaluation.
+   *
+   * All arithmetic is fixed-order double ops mirrored verbatim by the
+   * DuckDB oracle — codes are integer-exact cross-engine, reconstruction
+   * bit-identical. Array-local per row (one broadcast of the dim-sized
+   * params row); codegen'd transforms, no UDF.
+   */
+  def sqCodes(emb: DataFrame, idCol: String, vecCol: String,
+              params: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(params))
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col(vecCol))), i => {
+          val lo = element_at(col("los"), i)
+          val hi = element_at(col("his"), i)
+          when(hi === lo, 0.0).otherwise(
+            floor((element_at(col(vecCol), i) - lo) / (hi - lo) * 255.0
+              + 0.5))
+        }).cast("array<long>").as("code"))
+
+  /** Midpoint reconstruction x̂ from SQ8 codes (see [[sqCodes]]). */
+  def sqReconstruct(codes: DataFrame, idCol: String,
+                    params: DataFrame): DataFrame =
+    codes.crossJoin(broadcast(params))
+      .select(col(idCol),
+        transform(sequence(lit(1), size(col("code"))), i => {
+          val lo = element_at(col("los"), i)
+          val hi = element_at(col("his"), i)
+          lo + element_at(col("code"), i).cast("double") * (hi - lo) / 255.0
+        }).as("vhat"))
+
+  /**
+   * ANN top-k over the QUANTIZED corpus: both query and corpus vectors
+   * pass through the same SQ8 round-trip, then rank by cosine of the
+   * reconstructions. At serving scale the scan reads 1-byte codes instead
+   * of 8-byte doubles (the win this operator exists for); recall vs the
+   * exact ranking is measured in SimilaritySpec and the error bound
+   * (≤ range/255 per component) is what makes pool-free serving viable.
+   */
+  def sqTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryDf: DataFrame, qCol: String, k: Int): DataFrame = {
+    val params = sqParams(emb, vecCol)
+    val corpus = sqReconstruct(sqCodes(emb, idCol, vecCol, params),
+      idCol, params)
+    val q = sqReconstruct(
+      sqCodes(queryDf.select(col(qCol), lit(0L).as("_qid")), "_qid", qCol,
+        params), "_qid", params)
+      .select(col("vhat").as("_qhat"))
+    corpus.crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(cosine(col("vhat"), col("_qhat")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * The query's sign bucket plus every flip-1-bit neighbor — the standard
    * multi-probe set (nBits+1 of the 2^nBits buckets). A vector whose sign
    * pattern differs from the query's in at most one component is reachable;

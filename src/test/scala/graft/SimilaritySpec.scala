@@ -102,6 +102,35 @@ class SimilaritySpec extends SparkSuite {
     m.foreach { case (id, s) => assert(bruteScores.get(id).forall(_ == s)) }
   }
 
+  test("SQ8 quantization: codes bounded to [0,255], reconstruction error " +
+    "within half a cell, quantized ranking tracks the exact one") {
+    val params = Similarity.sqParams(emb, "v")
+    val codes = Similarity.sqCodes(emb, "vec_id", "v", params)
+    val allCodes = codes.select(explode($"code")).as[Long].collect()
+    assert(allCodes.forall(c => c >= 0 && c <= 255), "int8 code range")
+    val p = params.as[(Array[Double], Array[Double])].collect()(0)
+    val joined = emb.join(Similarity.sqReconstruct(codes, "vec_id", params),
+      "vec_id").select($"vec_id", $"v", $"vhat")
+      .as[(Long, Array[Double], Array[Double])].collect()
+    joined.foreach { case (_, v, vh) =>
+      v.indices.foreach { i =>
+        val halfCell = (p._2(i) - p._1(i)) / 255.0 / 2
+        assert(math.abs(v(i) - vh(i)) <= halfCell + 1e-12,
+          s"dim $i error ${math.abs(v(i) - vh(i))} > half-cell $halfCell")
+      }
+    }
+    val q = vec(5)
+    val qDf = Seq(Tuple1(q)).toDF("qv")
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "v",
+      q.map(_.toFloat), 10).as[(Long, Double)].collect().map(_._1).toSet
+    val sq = Similarity.sqTopK(emb, "vec_id", "v", qDf, "qv", k = 10)
+      .as[(Long, Double)].collect()
+    assert(sq.head._1 == 5L && sq.head._2 == 1.0,
+      "query == corpus vector 5: identical codes -> identical reconstruction")
+    val recall = (brute & sq.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.8, s"SQ8 recall unreasonably low: $recall")
+  }
+
   test("LSH bucket search: query's own bucket found, recall vs brute force measured") {
     val q = vec(7).map(_.toFloat)
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "v", q, 10)

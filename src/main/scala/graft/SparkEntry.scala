@@ -954,6 +954,11 @@ object SparkEntry {
       Curation.bpePairTopK(t(s, dir, "documents"), "doc_id", "text",
         k = 50)),
 
+    // curation: per-source token-distribution drift — KL(source ‖ corpus)
+    "q_source_kl" -> ((s, dir) =>
+      Curation.sourceTokenDrift(t(s, dir, "documents"), "source", "text")
+        .orderBy("source")),
+
     // curation: bigram LM with stupid-backoff (0.4) to the unigram model
     "q_bigram_lm" -> ((s, dir) =>
       Curation.bigramLmScore(t(s, dir, "documents"), "doc_id", "text",
@@ -973,6 +978,29 @@ object SparkEntry {
     // semantics are individually oracled above; this row proves the
     // COMPOSITION (gates applied in order, each over the previous stage's
     // survivor set) matches the same chain in SQL.
+    // curation: v3 composition over THIS round's LM operators — unigram-LM
+    // band gate (drop both tails: boilerplate scores low, gibberish high;
+    // band [3.39, 3.41] is non-degenerate at every SF, distribution
+    // probed SF-stable) → exact-dedup keeper on the whitespace/case
+    // fingerprint (min doc_id per fingerprint) → per-source corpus stats
+    // with mean LM score. The gate compares the ALREADY-4dp-rounded
+    // lm_score, which is hash-match-proven bit-identical cross-engine, so
+    // the band boundary cannot diverge.
+    "q_curation_v3" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = Curation.unigramLmScore(d, "doc_id", "text", minCount = 2L)
+      val g = d.join(lm, "doc_id")
+        .filter(col("lm_score") >= 3.39 && col("lm_score") <= 3.41)
+      val fp = g.withColumn("f", TextAnalysis.fingerprint(col("text")))
+      val keep = fp.groupBy(col("f")).agg(min(col("doc_id")).as("doc_id"))
+      fp.join(keep, Seq("f", "doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          TextAnalysis.pround4(avg(col("lm_score"))).as("avg_lm"))
+        .orderBy("source")
+    }),
+
     "q_curation_v2" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val keep = Curation.gopherStruct(col("text")).getField("gopher_keep")
@@ -1856,6 +1884,43 @@ object SparkEntry {
         |  FROM tokf WHERE len(toks) >= 2)
         |SELECT pair, count(*) AS c FROM pairs
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
+
+    "q_curation_v3" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::DOUBLE AS s FROM freq),
+        |keptv AS (SELECT tok, c FROM freq WHERE c >= 2),
+        |lm AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         floor(avg(-ln(coalesce(k.c, 1)::DOUBLE / (SELECT s FROM tot))) * 10000.0 + 0.5) / 10000.0 AS lm_score
+        |  FROM tok t LEFT JOIN keptv k USING (tok) GROUP BY 1),
+        |g AS (
+        |  SELECT d.doc_id, d.source, d.text, lm.n_tokens, lm.lm_score
+        |  FROM documents d JOIN lm USING (doc_id)
+        |  WHERE lm.lm_score >= 3.39 AND lm.lm_score <= 3.41),
+        |fp AS (SELECT *, md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS f FROM g),
+        |keep AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+        |SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+        |       floor(avg(lm_score) * 10000.0 + 0.5) / 10000.0 AS avg_lm
+        |FROM fp JOIN keep USING (f, doc_id)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
+
+    "q_source_kl" ->
+      """WITH tokf AS (
+        |  SELECT source, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT source, unnest(toks) AS tok FROM tokf),
+        |st AS (SELECT source, tok, count(*) AS sc FROM tok GROUP BY 1, 2),
+        |corpus AS (SELECT tok, sum(sc) AS cc FROM st GROUP BY 1),
+        |totals AS (SELECT source, sum(sc) AS stot FROM st GROUP BY 1),
+        |ct AS (SELECT sum(cc)::DOUBLE AS c FROM corpus)
+        |SELECT st.source, max(stot)::BIGINT AS n_tokens,
+        |       floor(sum(sc::DOUBLE / stot * ln((sc::DOUBLE / stot) / (cc::DOUBLE / (SELECT c FROM ct)))) * 10000.0 + 0.5) / 10000.0 AS kl
+        |FROM st JOIN corpus USING (tok) JOIN totals USING (source)
+        |GROUP BY 1 ORDER BY source""".stripMargin,
 
     "q_bigram_lm" ->
       """WITH tokf AS (

@@ -495,6 +495,43 @@ object Curation {
       .limit(k)
 
   /**
+   * Per-source token-distribution drift: KL divergence of each source's
+   * unigram distribution from the corpus-wide one,
+   * KL(source ‖ corpus) = Σ_w p_s(w) · ln(p_s(w)/p(w)) — the standard
+   * corpus-mixture drift monitor (a source whose language shifts, or a
+   * scraper gone wrong, spikes its KL long before eyeballing samples
+   * finds it). Summed over the source's OWN support only (p_s(w)=0 terms
+   * contribute 0), so no smoothing is needed: p(w) > 0 wherever
+   * p_s(w) > 0 by construction.
+   *
+   * Scale: one (source, token) partial-agg shuffle + one token-keyed
+   * broadcast join of the corpus marginals (min-count-cuttable to a
+   * Zipf head exactly like [[unigramLmScore]]'s vocab — kept exact here
+   * because the oracle sums the full support); the final per-source
+   * roll-up is source-count-sized. Output (source, n_tokens, kl),
+   * pround4 for the float sum order.
+   */
+  def sourceTokenDrift(docs: DataFrame, srcCol: String,
+                       textCol: String): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val st = docs.select(col(srcCol), explode(toks).as("tok"))
+      .groupBy(col(srcCol), col("tok")).agg(count(lit(1)).as("sc"))
+    val corpus = st.groupBy(col("tok")).agg(sum(col("sc")).as("cc"))
+    val totals = st.groupBy(col(srcCol)).agg(sum(col("sc")).as("stot"))
+    val ctot = corpus.agg(sum(col("cc")).cast("double").as("ct"))
+    st.join(broadcast(corpus), Seq("tok"))
+      .join(broadcast(totals), Seq(srcCol))
+      .crossJoin(broadcast(ctot))
+      .select(col(srcCol), col("stot"),
+        (col("sc") / col("stot") *
+          log((col("sc").cast("double") / col("stot")) /
+              (col("cc").cast("double") / col("ct")))).as("term"))
+      .groupBy(col(srcCol))
+      .agg(max(col("stot")).as("n_tokens"),
+        pround4(sum(col("term"))).as("kl"))
+  }
+
+  /**
    * Feature hashing (the hashing trick, Weinberger et al. 2009): project
    * each document's token multiset into a fixed `dim`-bucket sparse
    * vector — bucket = md5-hash mod dim, sign = one extra hash bit (sign

@@ -344,6 +344,28 @@ class CurationSpec extends SparkSuite {
     assert(got(3L)._2 > got(1L)._2, "word salad scores higher surprisal")
   }
 
+  test("source token drift: hand-computed KL values, non-negativity, and " +
+    "zero divergence when one source IS the corpus") {
+    val d = Seq((1L, "a a b", "s1"), (2L, "a b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Curation.sourceTokenDrift(d, "source", "text")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val pr = (x: Double) => math.floor(x * 10000 + 0.5) / 10000
+    // corpus: a=3, b=4, total 7; s1: a=2,b=1 of 3; s2: a=1,b=3 of 4
+    val kl1 = 2.0 / 3 * math.log((2.0 / 3) / (3.0 / 7)) +
+      1.0 / 3 * math.log((1.0 / 3) / (4.0 / 7))
+    val kl2 = 1.0 / 4 * math.log((1.0 / 4) / (3.0 / 7)) +
+      3.0 / 4 * math.log((3.0 / 4) / (4.0 / 7))
+    assert(got("s1") == (3L, pr(kl1)) && got("s2") == (4L, pr(kl2)))
+    assert(got.values.forall(_._2 >= 0), "Gibbs: KL is non-negative")
+    val solo = Curation.sourceTokenDrift(
+      Seq((1L, "x y x", "sA")).toDF("doc_id", "text", "source"),
+      "source", "text").as[(String, Long, Double)].collect()
+    assert(solo.toSeq == Seq(("sA", 3L, 0.0)),
+      "a lone source coincides with the corpus -> zero drift")
+  }
+
   test("feature hashing: deterministic buckets in range, duplicate tokens " +
     "accumulate signed weight, disjoint docs hash independently") {
     val d = Seq((1L, "alpha alpha beta"), (2L, "alpha alpha beta"),

@@ -954,6 +954,25 @@ object SparkEntry {
       Curation.bpePairTopK(t(s, dir, "documents"), "doc_id", "text",
         k = 50)),
 
+    // web graph: anchor extraction from html bytes → domain edge list.
+    // Anchors planted deterministically (the synthetic corpus has none):
+    // two <a> tags per doc targeting site{f(doc_id)}.com
+    "q_link_graph" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.domainEdges(pages, "source", "doc_id", "html")
+        .orderBy("src_domain", "dst_domain")
+    }),
+
+    // web graph: one PageRank power-iteration step over the same edges
+    "q_pagerank" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.pagerankStep(
+        WebGraph.domainEdges(pages, "source", "doc_id", "html"))
+        .orderBy("domain")
+    }),
+
     // curation: per-source token-distribution drift — KL(source ‖ corpus)
     "q_source_kl" -> ((s, dir) =>
       Curation.sourceTokenDrift(t(s, dir, "documents"), "source", "text")
@@ -1022,6 +1041,16 @@ object SparkEntry {
         .orderBy("split")
     })
   )
+
+  /** Deterministic anchor-bearing html for the web-graph queries: two
+    * `<a>` tags per doc targeting site{f(doc_id)}.com (the corpus itself
+    * carries no markup). Mirrored verbatim by the DuckDB oracles. */
+  private def plantedHtml: Column =
+    concat(lit("<html><body><a href=\"http://site"),
+      col("doc_id") % 7, lit(".com/p"), col("doc_id") % 13,
+      lit("\">r1</a> mid <a href=\"http://site"),
+      (col("doc_id") * 3 + 1) % 7,
+      lit(".com/q\">r2</a></body></html>"))
 
   /** Little-endian hex encoding of a long column into `nBytes` bytes
     * (query-synthesis helper; the parse inverse is Multimodal.leUint). */
@@ -1884,6 +1913,52 @@ object SparkEntry {
         |  FROM tokf WHERE len(toks) >= 2)
         |SELECT pair, count(*) AS c FROM pairs
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
+
+    "q_link_graph" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
+        |         '">r1</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
+        |         '.com/q">r2</a></body></html>' AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT source, unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+        |  FROM h),
+        |e AS (
+        |  SELECT source AS src_domain,
+        |         lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+        |  FROM l)
+        |SELECT src_domain, dst_domain, count(*) AS n_links FROM e
+        |WHERE dst_domain <> '' AND dst_domain <> src_domain
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
+        |         '">r1</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
+        |         '.com/q">r2</a></body></html>' AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT source, unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+        |  FROM h),
+        |eg AS (
+        |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+        |    SELECT source AS src_domain,
+        |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+        |    FROM l)
+        |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+        |  GROUP BY 1, 2),
+        |outd AS (SELECT src_domain, sum(n) AS outw FROM eg GROUP BY 1),
+        |contrib AS (
+        |  SELECT dst_domain AS domain, sum(n::DOUBLE / outw) AS inflow
+        |  FROM eg JOIN outd USING (src_domain) GROUP BY 1),
+        |doms AS (
+        |  SELECT DISTINCT src_domain AS domain FROM eg
+        |  UNION SELECT DISTINCT dst_domain FROM eg)
+        |SELECT domain,
+        |       floor(((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(inflow, 0.0)) * 10000.0 + 0.5) / 10000.0 AS pr
+        |FROM doms LEFT JOIN contrib USING (domain) ORDER BY domain""".stripMargin,
 
     "q_curation_v3" ->
       """WITH tokf AS (

@@ -954,6 +954,27 @@ object SparkEntry {
       Curation.bpePairTopK(t(s, dir, "documents"), "doc_id", "text",
         k = 50)),
 
+    // web graph: main-text extraction from html bytes, with the
+    // north-rule round-trip invariant made explicit — wrapping the text
+    // in markup (style/script subtrees, tags, a double-escaped entity, a
+    // trailing anchor) and extracting must return the normalized text
+    // plus exactly the planted visible additions, asserted per row
+    "q_html_text" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val html = concat(
+        lit("<html><head><style>p {c:red}</style><script>var a=\"<x>\";</script></head><body><p>"),
+        col("text"),
+        lit("</p> &amp;amp; <a href=\"http://x.com/p\">tail link</a></body></html>"))
+        .cast("binary")
+      val normText = trim(regexp_replace(col("text"), "\\s+", " "))
+      val expected = trim(concat(normText, lit(" &amp; tail link")))
+      d.select(col("doc_id"),
+          WebGraph.extractText(html).as("extracted"),
+          coalesce(WebGraph.extractText(html) === expected, lit(false))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
+
     // web graph: anchor extraction from html bytes → domain edge list.
     // Anchors planted deterministically (the synthetic corpus has none):
     // two <a> tags per doc targeting site{f(doc_id)}.com
@@ -962,6 +983,15 @@ object SparkEntry {
         plantedHtml.cast("binary").as("html"))
       WebGraph.domainEdges(pages, "source", "doc_id", "html")
         .orderBy("src_domain", "dst_domain")
+    }),
+
+    // web graph: anchor-text index — per target domain, term counts of
+    // all anchors pointing at it (off-page relevance signal)
+    "q_anchor_text" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.anchorTextIndex(pages, "source", "doc_id", "html")
+        .orderBy("dst_domain", "term")
     }),
 
     // web graph: one PageRank power-iteration step over the same edges
@@ -1048,9 +1078,11 @@ object SparkEntry {
   private def plantedHtml: Column =
     concat(lit("<html><body><a href=\"http://site"),
       col("doc_id") % 7, lit(".com/p"), col("doc_id") % 13,
-      lit("\">r1</a> mid <a href=\"http://site"),
+      lit("\">ref "), col("doc_id") % 5,
+      lit("</a> mid <a href=\"http://site"),
       (col("doc_id") * 3 + 1) % 7,
-      lit(".com/q\">r2</a></body></html>"))
+      lit(".com/q\">link "), col("doc_id") % 3,
+      lit("</a></body></html>"))
 
   /** Little-endian hex encoding of a long column into `nBytes` bytes
     * (query-synthesis helper; the parse inverse is Multimodal.leUint). */
@@ -1914,12 +1946,35 @@ object SparkEntry {
         |SELECT pair, count(*) AS c FROM pairs
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
 
+    "q_html_text" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |         '<html><head><style>p {c:red}</style><script>var a="<x>";</script></head><body><p>' || text ||
+        |         '</p> &amp;amp; <a href="http://x.com/p">tail link</a></body></html>' AS html
+        |  FROM documents),
+    |noscript AS (SELECT doc_id, text, regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g') AS v FROM h),
+        |nostyle AS (SELECT doc_id, text, regexp_replace(v, '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS v FROM noscript),
+        |notags AS (SELECT doc_id, text, regexp_replace(v, '<[^>]+>', ' ', 'g') AS v FROM nostyle),
+        |ent AS (
+        |  SELECT doc_id, text,
+        |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(v,
+        |           '&nbsp;', ' ', 'g'),
+        |           '&lt;', '<', 'g'),
+        |           '&gt;', '>', 'g'),
+        |           '&quot;', '"', 'g'),
+        |           '&amp;', '&', 'g') AS v
+        |  FROM notags),
+        |x AS (SELECT doc_id, text, trim(regexp_replace(v, '\s+', ' ', 'g')) AS extracted FROM ent)
+        |SELECT doc_id, extracted,
+        |       coalesce(extracted = trim(trim(regexp_replace(text, '\s+', ' ', 'g')) || ' &amp; tail link'), false) AS roundtrip_ok
+        |FROM x ORDER BY doc_id""".stripMargin,
+
     "q_link_graph" ->
       """WITH h AS (
         |  SELECT doc_id, source,
         |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
-        |         '">r1</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
-        |         '.com/q">r2</a></body></html>' AS html
+        |         '">ref ' || (doc_id % 5) || '</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
+        |         '.com/q">link ' || (doc_id % 3) || '</a></body></html>' AS html
         |  FROM documents),
         |l AS (
         |  SELECT source, unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
@@ -1932,12 +1987,33 @@ object SparkEntry {
         |WHERE dst_domain <> '' AND dst_domain <> src_domain
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q_anchor_text" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
+        |         '">ref ' || (doc_id % 5) || '</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
+        |         '.com/q">link ' || (doc_id % 3) || '</a></body></html>' AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT source,
+        |         unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+        |         unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+        |  FROM h),
+        |t2 AS (
+        |  SELECT source AS src_domain,
+        |         lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain,
+        |         unnest(list_filter(regexp_split_to_array(lower(anchor), '\W+'), x -> x <> '')) AS term
+        |  FROM l)
+        |SELECT dst_domain, term, count(*) AS n FROM t2
+        |WHERE dst_domain <> '' AND dst_domain <> src_domain
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_pagerank" ->
       """WITH h AS (
         |  SELECT doc_id, source,
         |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
-        |         '">r1</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
-        |         '.com/q">r2</a></body></html>' AS html
+        |         '">ref ' || (doc_id % 5) || '</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
+        |         '.com/q">link ' || (doc_id % 3) || '</a></body></html>' AS html
         |  FROM documents),
         |l AS (
         |  SELECT source, unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href

@@ -36,6 +36,31 @@ object WebGraph {
         col("_l").getField("1").as("anchor"))
   }
 
+  /**
+   * Main-text extraction from html bytes — the canonical crawl→corpus
+   * step (trafilatura/jusText reduced to its deterministic core):
+   * script/style subtrees dropped, every remaining tag replaced by a
+   * space (so adjacent text nodes never fuse), the five ubiquitous
+   * entities decoded (`&amp;` LAST so `&amp;lt;` single-decodes, the
+   * standard order), whitespace collapsed, ends trimmed. Pure codegen
+   * regexp chain, RE2-portable (inline `(?s)` + non-greedy, no
+   * lookaround) so the DuckDB oracle mirrors it verbatim. For wrapper
+   * markup around a text body this is EXACTLY inverse to wrapping — the
+   * north-rule "extracted text per url" invariant is assertable
+   * byte-for-byte (q_html_text; ParseSpec in-pipeline gate).
+   */
+  def extractText(html: Column): Column = {
+    val s = html.cast("string")
+    val noScript = regexp_replace(s, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val ent = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+      "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** Registrable host of an URL (scheme-relative tolerant), null if none. */
   def hostOf(url: Column): Column = {
     val h = regexp_extract(url, "^(?:https?://)?([^/:?#]+)", 1)
@@ -58,6 +83,62 @@ object WebGraph {
         col("dst_domain") =!= col("src_domain"))
       .groupBy(col("src_domain"), col("dst_domain"))
       .agg(count(lit(1)).as("n_links"))
+
+  /**
+   * Anchor-text index: for every target domain, the term counts of all
+   * anchor texts pointing AT it — the classic off-page relevance signal
+   * (anchors describe the target better than the target describes
+   * itself; the reason link spam exists). Self-links excluded so a
+   * site's own nav anchors don't vote. One (dst, term) partial-agg
+   * shuffle over the (sublinear) extracted-anchor rows.
+   */
+  def anchorTextIndex(pages: DataFrame, srcCol: String, idCol: String,
+                      htmlCol: String): DataFrame =
+    extractLinks(pages, idCol, htmlCol)
+      .join(pages.select(col(idCol), col(srcCol).as("src_domain")), idCol)
+      .select(col("src_domain"), hostOf(col("href")).as("dst_domain"),
+        explode(filter(split(lower(col("anchor")), "\\W+"), t => t =!= ""))
+          .as("term"))
+      .filter(col("dst_domain").isNotNull &&
+        col("dst_domain") =!= col("src_domain"))
+      .groupBy(col("dst_domain"), col("term"))
+      .agg(count(lit(1)).as("n"))
+
+  /**
+   * PageRank iterated to a fixed number of power steps from the uniform
+   * start, unrounded between iterations (only the output is 4dp-rounded).
+   * Same relational shape as [[pagerankStep]] per round; the edge table
+   * with out-degrees and the domain universe are materialized ONCE
+   * (`localCheckpoint` — the label-propagation lineage pattern,
+   * [[Dedup.dedupClusters]]), and each round's rank table is checkpointed
+   * so lineage stays constant-depth across iterations.
+   */
+  def pagerank(edges: DataFrame, iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val withOut = edges
+      .join(broadcast(edges.groupBy(col("src_domain"))
+        .agg(sum(col("n_links")).as("outw"))), Seq("src_domain"))
+      .localCheckpoint()
+    val doms = edges.select(col("src_domain").as("domain"))
+      .union(edges.select(col("dst_domain").as("domain"))).distinct()
+      .localCheckpoint()
+    var pr = doms.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val inflow = withOut
+        .join(broadcast(pr.withColumnRenamed("domain", "src_domain")),
+          Seq("src_domain"))
+        .select(col("dst_domain").as("domain"),
+          (col("pr") * col("n_links").cast("double") / col("outw")).as("c"))
+        .groupBy(col("domain")).agg(sum(col("c")).as("inflow"))
+      pr = doms.join(inflow, Seq("domain"), "left")
+        .select(col("domain"),
+          (lit(1.0 - damping) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("domain"), pround4(col("pr")).as("pr"))
+  }
 
   /**
    * One PageRank power-iteration step over a domain edge list, from the

@@ -53,6 +53,55 @@ class WebGraphSpec extends SparkSuite {
     assert(math.abs(pr.values.sum - (0.45 + 1.7)) < 1e-3)
   }
 
+  test("anchor-text index: terms tokenized per inbound anchor, self-link " +
+    "anchors excluded, counts accumulate across sources") {
+    val p = pages(
+      (1L, "a.com", """<a href="http://t.com/x">Best Spark guide</a>"""),
+      (2L, "b.com", """<a href="http://t.com/y">spark GUIDE</a>"""),
+      (3L, "t.com", """<a href="http://t.com/self">own nav spark</a>"""))
+    val got = WebGraph.anchorTextIndex(p, "source", "doc_id", "html")
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(
+      ("t.com", "best", 1L), ("t.com", "spark", 2L), ("t.com", "guide", 2L)),
+      "case-folded terms summed across inbound anchors; self-link ignored")
+  }
+
+  test("text extraction: script/style dropped, tags become separators, " +
+    "entities single-decode in standard order, whitespace collapses") {
+    val d = Seq(
+      (1L, "<html><head><style>p{c}</style><script>if(a<b){}</script>" +
+        "</head><body><p>Hello</p><p>world</p></body></html>"),
+      (2L, "A &amp;amp; B &lt;tag&gt; &quot;q&quot;&nbsp;end"),
+      (3L, "<div>spaced   \n  text</div>"))
+      .toDF("doc_id", "h")
+      .select($"doc_id", $"h".cast("binary").as("html"))
+    val got = d.select($"doc_id", WebGraph.extractText($"html"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "Hello world",
+      "adjacent text nodes must not fuse; script body with < dropped whole")
+    assert(got(2L) == "A &amp; B <tag> \"q\" end",
+      "&amp;amp; decodes ONCE (amp last); lt/gt/quot/nbsp decoded")
+    assert(got(3L) == "spaced text")
+  }
+
+  test("iterated pagerank: step 1 equals pagerankStep; ranks move toward " +
+    "the stationary ordering and total mass is conserved per round") {
+    val edges = Seq(("A", "B", 1L), ("A", "C", 1L), ("B", "C", 1L),
+      ("C", "A", 1L)).toDF("src_domain", "dst_domain", "n_links")
+    val one = WebGraph.pagerank(edges, iters = 1)
+      .as[(String, Double)].collect().toMap
+    val step = WebGraph.pagerankStep(edges)
+      .as[(String, Double)].collect().toMap
+    assert(one == step, "one iteration must equal the single-step operator")
+    val ten = WebGraph.pagerank(edges, iters = 10)
+      .as[(String, Double)].collect().toMap
+    // strongly connected 4-edge cycle graph: C collects two in-edges and
+    // must dominate; mass stays ~n at every horizon (no dangling nodes)
+    assert(ten("C") > ten("A") && ten("C") > ten("B"))
+    assert(math.abs(ten.values.sum - 3.0) < 1e-2,
+      s"mass not conserved: ${ten.values.sum}")
+  }
+
   test("plan: extraction is scan-local; pagerank joins out-degree " +
     "broadcast — no sort-merge join anywhere") {
     val p = pages((1L, "a.com", """<a href="http://b.com">x</a>"""))

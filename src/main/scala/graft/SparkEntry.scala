@@ -954,6 +954,15 @@ object SparkEntry {
       Curation.bpePairTopK(t(s, dir, "documents"), "doc_id", "text",
         k = 50)),
 
+    // dedup: approximate exact-substring dedup (Lee et al. 2021 recast)
+    // — 16-token windows, content-defined anchors (token-hash ≡ 0 mod 4,
+    // Broder "mod m" selection: position-independent, so relocated
+    // copies of a span still collide)
+    "q_dedup_substring" -> ((s, dir) =>
+      Dedup.substringDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        window = 16, stride = 4)
+        .orderBy("doc_id")),
+
     // web graph: main-text extraction from html bytes, with the
     // north-rule round-trip invariant made explicit — wrapping the text
     // in markup (style/script subtrees, tags, a double-escaped entity, a
@@ -1945,6 +1954,26 @@ object SparkEntry {
         |  FROM tokf WHERE len(toks) >= 2)
         |SELECT pair, count(*) AS c FROM pairs
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
+
+    "q_dedup_substring" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |anch AS (
+        |  SELECT doc_id, toks,
+        |         list_filter(range(1, len(toks) - 14),
+        |                     p -> ('0x' || substr(md5(toks[p]), 1, 15))::UBIGINT % 4 = 0) AS ps
+        |  FROM tokf WHERE len(toks) >= 16),
+        |fullw AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string(list_slice(toks, unnest(ps), unnest(ps) + 15), ' ')) AS h
+        |  FROM anch),
+        |dfw AS (SELECT h, count(DISTINCT doc_id) AS df FROM fullw GROUP BY 1)
+        |SELECT f.doc_id, count(*) AS n_windows,
+        |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |       floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+        |FROM fullw f JOIN dfw USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_html_text" ->
       """WITH h AS (

@@ -504,4 +504,56 @@ object Dedup {
         greatest(a.getField("id"), b.getField("id")).as("id2"))
     })
   }
+
+  /**
+   * Approximate exact-substring dedup (Lee et al. 2021's suffix-array
+   * substring dedup recast for a relational engine): hash `window`-token
+   * windows and flag those whose hash occurs in MORE THAN ONE document.
+   * Window starts are CONTENT-DEFINED — position p anchors a window iff
+   * md5(token at p) ≡ 0 (mod `stride`), Broder's "mod m" shingle
+   * selection — so the sampled window set depends only on the text, not
+   * on where a span sits in its document: two copies of a span at
+   * different offsets anchor identical windows. (A fixed-phase stride
+   * would NEVER match copies at different offsets mod stride — the
+   * sampling must be position-independent or the operator is broken by
+   * construction.) A duplicated span is missed only if none of its
+   * eligible positions anchors: probability (1−1/stride)^(L−window+1) —
+   * the standard fingerprint-sampling trade; stride=1 degenerates to the
+   * exhaustive every-offset variant.
+   *
+   * Cross-doc only by choice: a hash repeating within one doc is
+   * internal repetition ([[Curation.dupLineFraction]] territory), not
+   * corpus duplication. Output per doc: anchored-window count,
+   * duplicated-window count, duplicated fraction (docs anchoring no
+   * window are absent).
+   *
+   * Scale: window hashes are short keys, text never ships past the
+   * window build; the df join is a hash-keyed shuffle of the window
+   * table — the honest cost of substring-granularity dedup at 100 TB;
+   * stride divides that table's expected size.
+   */
+  def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int = 32, stride: Int = 8): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    def windowsOf(ts: Column): Column =
+      when(size(ts) >= window,
+        transform(
+          filter(sequence(lit(1), size(ts) - (window - 1)), p =>
+            conv(substring(md5(element_at(ts, p)), 1, 15), 16, 10)
+              .cast("long") % stride === 0),
+          p => md5(concat_ws(" ", slice(ts, p, lit(window))))))
+        .otherwise(array().cast("array<string>"))
+    val windows = element_at(transform(array(toks), ts => windowsOf(ts)), 1)
+    val full = docs.select(col(idCol), explode(windows).as("h"))
+    val df = full.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    full.join(df, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        graft.operators.TextAnalysis.pround4(
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("dup_frac"))
+  }
 }

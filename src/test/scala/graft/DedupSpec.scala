@@ -248,4 +248,34 @@ class DedupSpec extends SparkSuite {
       .as[(String, String, Double, Long)].collect().toSeq
     assert(sGot == Seq(("u/a", "u/b", 0.9, 2L)))
   }
+
+  test("substring dup spans: RELOCATED copies of a span collide (content-" +
+    "defined anchors, not stride phase); unique docs clean; short docs " +
+    "absent; single-doc internal repeats not cross-flagged") {
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"p1 p2 p3 $span t1 t2"),        // span at token offset 4
+      (2L, s"q1 $span u1"),                  // same span at offset 2 — different
+                                             // phase mod any stride > 1
+      (3L, "v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11 v12 v13 v14 v15 v16 v17"),
+      (4L, "tiny doc"),                      // < window -> absent
+      (5L, "r1 r2 r1 r2 r1 r2 r1 r2 r1 r2 r1 r2 r1 r2 r1 r2 r1 r2"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(d, "doc_id", "text",
+      window = 4, stride = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 > 0 && got(2L)._3 > 0,
+      "shared span at DIFFERENT offsets must still collide — " +
+        "anchors are content-defined, not positional")
+    assert(got(3L)._3 == 0, "unique text carries no duplicated windows")
+    assert(!got.contains(4L), "docs shorter than the window are absent")
+    assert(got(5L)._3 == 0,
+      "within-doc repetition alone is not corpus duplication (df counts " +
+        "distinct docs)")
+    // determinism: same input -> same window counts
+    val again = Dedup.substringDupSpans(d, "doc_id", "text", 4, 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
 }

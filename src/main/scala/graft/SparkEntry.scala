@@ -1029,13 +1029,6 @@ object SparkEntry {
         dim = 64)
         .orderBy("doc_id", "bucket")),
 
-    // curation: the round-3 operators composed END TO END in one lazy
-    // plan — Gopher gate ∧ quality floor → paragraph-dedup survivor gate
-    // (kept_frac ≥ 0.5 over the gated corpus) → per-source token budget →
-    // train/val/test split → per-split corpus stats. Every stage's
-    // semantics are individually oracled above; this row proves the
-    // COMPOSITION (gates applied in order, each over the previous stage's
-    // survivor set) matches the same chain in SQL.
     // curation: v3 composition over THIS round's LM operators — unigram-LM
     // band gate (drop both tails: boilerplate scores low, gibberish high;
     // band [3.39, 3.41] is non-degenerate at every SF, distribution
@@ -1059,6 +1052,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // curation: the round-3 operators composed END TO END — Gopher gate
+    // ∧ quality floor → paragraph-dedup survivor gate (kept_frac ≥ 0.5
+    // over the gated corpus) → per-source token budget → train/val/test
+    // split → per-split corpus stats. Every stage's semantics are
+    // individually oracled above; this row proves the COMPOSITION (gates
+    // applied in order, each over the previous stage's survivor set)
+    // matches the same chain in SQL. One plan with a single staged seam:
+    // the gated set is materialized once (eager localCheckpoint) for its
+    // two consumers.
     "q_curation_v2" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val keep = Curation.gopherStruct(col("text")).getField("gopher_keep")
@@ -1084,6 +1086,11 @@ object SparkEntry {
   /** Deterministic anchor-bearing html for the web-graph queries: two
     * `<a>` tags per doc targeting site{f(doc_id)}.com (the corpus itself
     * carries no markup). Mirrored verbatim by the DuckDB oracles. */
+  /** SQL twin of [[plantedHtml]] — ONE definition interpolated into all
+    * web-graph oracles so the two recipes cannot drift independently. */
+  private val plantedHtmlSql: String =
+    """'<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) || '">ref ' || (doc_id % 5) || '</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) || '.com/q">link ' || (doc_id % 3) || '</a></body></html>'"""
+
   private def plantedHtml: Column =
     concat(lit("<html><body><a href=\"http://site"),
       col("doc_id") % 7, lit(".com/p"), col("doc_id") % 13,
@@ -1635,7 +1642,7 @@ object SparkEntry {
         |qz AS (
         |  SELECT vec_id, list_transform(range(1, len(v) + 1), i ->
         |           CASE WHEN his[i] = los[i] THEN 0.0
-        |                ELSE floor((v[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5) END) AS code
+        |                ELSE greatest(0.0, least(255.0, floor((v[i] - los[i]) / (his[i] - los[i]) * 255.0 + 0.5))) END) AS code
         |  FROM e, par),
         |rec AS (
         |  SELECT vec_id, list_transform(range(1, len(code) + 1), i ->
@@ -1999,14 +2006,11 @@ object SparkEntry {
         |FROM x ORDER BY doc_id""".stripMargin,
 
     "q_link_graph" ->
-      """WITH h AS (
-        |  SELECT doc_id, source,
-        |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
-        |         '">ref ' || (doc_id % 5) || '</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
-        |         '.com/q">link ' || (doc_id % 3) || '</a></body></html>' AS html
+      s"""WITH h AS (
+        |  SELECT doc_id, source, $plantedHtmlSql AS html
         |  FROM documents),
         |l AS (
-        |  SELECT source, unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+        |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
         |  FROM h),
         |e AS (
         |  SELECT source AS src_domain,
@@ -2017,35 +2021,29 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_anchor_text" ->
-      """WITH h AS (
-        |  SELECT doc_id, source,
-        |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
-        |         '">ref ' || (doc_id % 5) || '</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
-        |         '.com/q">link ' || (doc_id % 3) || '</a></body></html>' AS html
+      s"""WITH h AS (
+        |  SELECT doc_id, source, $plantedHtmlSql AS html
         |  FROM documents),
         |l AS (
         |  SELECT source,
-        |         unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
-        |         unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
+        |         unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href,
+        |         unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 2)) AS anchor
         |  FROM h),
         |t2 AS (
         |  SELECT source AS src_domain,
         |         lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain,
-        |         unnest(list_filter(regexp_split_to_array(lower(anchor), '\W+'), x -> x <> '')) AS term
+        |         unnest(list_filter(regexp_split_to_array(lower(anchor), '\\W+'), x -> x <> '')) AS term
         |  FROM l)
         |SELECT dst_domain, term, count(*) AS n FROM t2
         |WHERE dst_domain <> '' AND dst_domain <> src_domain
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_pagerank" ->
-      """WITH h AS (
-        |  SELECT doc_id, source,
-        |         '<html><body><a href="http://site' || (doc_id % 7) || '.com/p' || (doc_id % 13) ||
-        |         '">ref ' || (doc_id % 5) || '</a> mid <a href="http://site' || ((doc_id * 3 + 1) % 7) ||
-        |         '.com/q">link ' || (doc_id % 3) || '</a></body></html>' AS html
+      s"""WITH h AS (
+        |  SELECT doc_id, source, $plantedHtmlSql AS html
         |  FROM documents),
         |l AS (
-        |  SELECT source, unnest(regexp_extract_all(html, '<a href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+        |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
         |  FROM h),
         |eg AS (
         |  SELECT src_domain, dst_domain, count(*) AS n FROM (

@@ -406,7 +406,7 @@ object Curation {
    */
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                      minCount: Long = 2L): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = TextAnalysis.toks(col(textCol))
     val tok = docs.select(col(idCol), explode(toks).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).cast("double").as("s"))
@@ -426,7 +426,10 @@ object Curation {
    * the bigram is attested ≥ `minCount` times, else 0.4 · p_unigram(w_i))
    * — catches shuffled-word salad that unigram scoring cannot (every
    * token frequent, no attested transitions). The first token of each
-   * doc is scored by its unigram probability (no history).
+   * doc has no history and takes the same 0.4·p_unigram backoff branch
+   * (one uniform fall-through rather than Brants' context-free plain
+   * p(w) — a constant −ln 0.4 per doc, rank-neutral; pinned in
+   * CurationSpec and the oracle).
    *
    * Scale: same shape as [[unigramLmScore]] — two count aggregates (one
    * over tokens, one over adjacent pairs, both map-side combined), both
@@ -437,7 +440,7 @@ object Curation {
    */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
                     minCount: Long = 2L): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = TextAnalysis.toks(col(textCol))
     val tok = docs.select(col(idCol), explode(toks).as("tok"))
     val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
     val total = uni.agg(sum(col("uc")).cast("double").as("s"))
@@ -513,7 +516,7 @@ object Curation {
    */
   def sourceTokenDrift(docs: DataFrame, srcCol: String,
                        textCol: String): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = TextAnalysis.toks(col(textCol))
     val st = docs.select(col(srcCol), explode(toks).as("tok"))
       .groupBy(col(srcCol), col("tok")).agg(count(lit(1)).as("sc"))
     val corpus = st.groupBy(col("tok")).agg(sum(col("sc")).as("cc"))
@@ -550,7 +553,7 @@ object Curation {
   def hashFeaturize(docs: DataFrame, idCol: String, textCol: String,
                     dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = TextAnalysis.toks(col(textCol))
     val h = md5(col("tok"))
     docs.select(col(idCol), explode(toks).as("tok"))
       .select(col(idCol),

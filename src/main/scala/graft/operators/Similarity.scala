@@ -129,7 +129,9 @@ object Similarity {
   /**
    * Int8 scalar quantization (SQ8) for embedding columns: each component
    * maps to an integer code in [0,255] via the corpus per-dimension range
-   * (code = floor((x−lo)/(hi−lo)·255 + 0.5); degenerate dims code to 0),
+   * (code = floor((x−lo)/(hi−lo)·255 + 0.5), CLAMPED to [0,255] so a
+   * query vector outside the corpus-trained range stays
+   * int8-representable; degenerate dims code to 0),
    * an 8×-fewer-bytes representation — the standard memory-bound ANN
    * serving layout (FAISS SQ8, public). `sqCodes` emits (id, code array);
    * `sqReconstruct` maps codes back to the cell midpoint domain
@@ -147,9 +149,13 @@ object Similarity {
         transform(sequence(lit(1), size(col(vecCol))), i => {
           val lo = element_at(col("los"), i)
           val hi = element_at(col("his"), i)
+          // clamp: a QUERY vector quantized with corpus-trained params
+          // can fall outside the corpus per-dim range — codes must stay
+          // int8-representable
           when(hi === lo, 0.0).otherwise(
-            floor((element_at(col(vecCol), i) - lo) / (hi - lo) * 255.0
-              + 0.5))
+            greatest(lit(0.0), least(lit(255.0),
+              floor((element_at(col(vecCol), i) - lo) / (hi - lo) * 255.0
+                + 0.5))))
         }).cast("array<long>").as("code"))
 
   /** Midpoint reconstruction x̂ from SQ8 codes (see [[sqCodes]]). */

@@ -20,6 +20,17 @@ object TextAnalysis {
   def pround4(c: Column): Column = floor(c * 10000.0 + 0.5) / 10000.0
 
   /**
+   * THE parity-critical word tokenizer: case-folded split on non-word
+   * runs, empties dropped — mirrored by every oracle's
+   * `list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')`.
+   * Operators that deliberately tokenize differently (e.g. the
+   * whitespace-preserving [[Curation.tokenChunks]] family) do NOT use
+   * this helper, which is what makes the variant visible.
+   */
+  def toks(c: Column): Column =
+    filter(split(lower(c), "\\W+"), t => t =!= "")
+
+  /**
    * Heuristic language ID: presence of high-frequency function words per
    * language, first match wins (en → de → fr → es), else "und". A real
    * n-gram model is a broadcast lookup of n-gram→lang weights; the CASE

@@ -17,23 +17,31 @@ import graft.operators.TextAnalysis.pround4
 object WebGraph {
 
   /**
-   * Anchor extraction: every `<a href="...">text</a>` in the html bytes
-   * → one (href, anchor) row. Pure scan-local regexp (RE2-portable: no
-   * lookarounds, two capture groups extracted by index) over the binary
-   * column cast to string — the vectorized parse path; no DOM, which is
-   * exactly the right trade for link-graph construction at 10¹² pages
-   * (malformed markup degrades to missed edges, never to failures).
+   * Anchor extraction: every `<a ... href="...">text</a>` in the html
+   * bytes → one (href, anchor) row. Case-insensitive, attributes before
+   * or after href tolerated (the common well-formed shapes); unquoted
+   * hrefs and anchors containing nested tags are dropped quietly —
+   * malformed-or-exotic markup degrades to missed edges, never to
+   * failures, the right trade for link-graph construction at 10¹²
+   * pages. Pure scan-local regexp (RE2-portable: no lookarounds, two
+   * capture groups extracted by index) over the binary column cast to
+   * string — no DOM. `carryCols` ride along on the single scan so
+   * callers never re-join the pages table to recover their own columns.
    */
-  def extractLinks(pages: DataFrame, idCol: String,
-                   htmlCol: String): DataFrame = {
+  private[operators] val AnchorRe =
+    "(?i)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
+
+  def extractLinks(pages: DataFrame, idCol: String, htmlCol: String,
+                   carryCols: String*): DataFrame = {
     val s = col(htmlCol).cast("string")
-    val re = "<a href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
-    pages.select(col(idCol),
-        arrays_zip(regexp_extract_all(s, lit(re), lit(1)),
-          regexp_extract_all(s, lit(re), lit(2))).as("_z"))
-      .select(col(idCol), explode(col("_z")).as("_l"))
-      .select(col(idCol), col("_l").getField("0").as("href"),
-        col("_l").getField("1").as("anchor"))
+    pages.select(col(idCol) +: carryCols.map(col) :+
+        arrays_zip(regexp_extract_all(s, lit(AnchorRe), lit(1)),
+          regexp_extract_all(s, lit(AnchorRe), lit(2))).as("_z"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+
+        explode(col("_z")).as("_l"): _*)
+      .select(col(idCol) +: carryCols.map(col) :+
+        col("_l").getField("0").as("href") :+
+        col("_l").getField("1").as("anchor"): _*)
   }
 
   /**
@@ -70,15 +78,16 @@ object WebGraph {
   /**
    * Domain-level link graph from extracted anchors: distinct
    * (src_domain, dst_domain) edges with multiplicity, self-loops
-   * dropped. One partial-agg shuffle on the edge key; the domain-domain
-   * edge list is corpus-sublinear (Zipf hosts), which is what makes the
-   * downstream graph aggregates broadcast-friendly.
+   * dropped. ONE scan of the pages table (the source column rides the
+   * extraction via `carryCols` — no self-join to recover it) + one
+   * partial-agg shuffle on the edge key; the domain-domain edge list is
+   * corpus-sublinear (Zipf hosts), which is what makes the downstream
+   * graph aggregates broadcast-friendly.
    */
   def domainEdges(pages: DataFrame, srcCol: String, idCol: String,
                   htmlCol: String): DataFrame =
-    extractLinks(pages, idCol, htmlCol)
-      .join(pages.select(col(idCol), col(srcCol).as("src_domain")), idCol)
-      .select(col("src_domain"), hostOf(col("href")).as("dst_domain"))
+    extractLinks(pages, idCol, htmlCol, srcCol)
+      .select(col(srcCol).as("src_domain"), hostOf(col("href")).as("dst_domain"))
       .filter(col("dst_domain").isNotNull &&
         col("dst_domain") =!= col("src_domain"))
       .groupBy(col("src_domain"), col("dst_domain"))
@@ -89,14 +98,14 @@ object WebGraph {
    * anchor texts pointing AT it — the classic off-page relevance signal
    * (anchors describe the target better than the target describes
    * itself; the reason link spam exists). Self-links excluded so a
-   * site's own nav anchors don't vote. One (dst, term) partial-agg
-   * shuffle over the (sublinear) extracted-anchor rows.
+   * site's own nav anchors don't vote. One scan (source rides the
+   * extraction) + one (dst, term) partial-agg shuffle over the
+   * (sublinear) extracted-anchor rows.
    */
   def anchorTextIndex(pages: DataFrame, srcCol: String, idCol: String,
                       htmlCol: String): DataFrame =
-    extractLinks(pages, idCol, htmlCol)
-      .join(pages.select(col(idCol), col(srcCol).as("src_domain")), idCol)
-      .select(col("src_domain"), hostOf(col("href")).as("dst_domain"),
+    extractLinks(pages, idCol, htmlCol, srcCol)
+      .select(col(srcCol).as("src_domain"), hostOf(col("href")).as("dst_domain"),
         explode(filter(split(lower(col("anchor")), "\\W+"), t => t =!= ""))
           .as("term"))
       .filter(col("dst_domain").isNotNull &&

@@ -203,15 +203,19 @@ object StreamPipeline {
    */
   def lmScoreStream(docs: DataFrame, idCol: String, textCol: String,
                     vocabDocs: DataFrame, minCount: Long = 2L): DataFrame = {
-    def toksOf(c: Column) = filter(split(lower(c), "\\W+"), t => t =!= "")
+    def toksOf(c: Column) = graft.operators.TextAnalysis.toks(c)
     val freq = vocabDocs.select(explode(toksOf(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     // one model row: full-corpus total + min-count-cut vocab map
-    // (collect_list drops the nulls the `when` leaves for cut tokens)
+    // (collect_list drops the nulls the `when` leaves for cut tokens).
+    // localCheckpoint materializes the model ONCE — the static side of a
+    // stream-static join is otherwise re-evaluated per trigger, which
+    // would re-train on the full corpus every micro-batch
     val model = freq.agg(
       sum(col("c")).cast("double").as("s"),
       map_from_entries(collect_list(when(col("c") >= minCount,
         struct(col("tok"), col("c"))))).as("vocab"))
+      .localCheckpoint()
     docs.select(col(idCol), toksOf(col(textCol)).as("_ts"))
       .filter(size(col("_ts")) > 0)
       .crossJoin(broadcast(model))

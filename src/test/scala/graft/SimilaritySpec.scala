@@ -129,6 +129,12 @@ class SimilaritySpec extends SparkSuite {
       "query == corpus vector 5: identical codes -> identical reconstruction")
     val recall = (brute & sq.map(_._1).toSet).size / 10.0
     assert(recall >= 0.8, s"SQ8 recall unreasonably low: $recall")
+    // a query component OUTSIDE the corpus-trained range clamps to the
+    // int8 boundary instead of overflowing
+    val wild = Seq((0L, Array.fill(dim)(1e6))).toDF("vec_id", "v")
+    val wildCodes = Similarity.sqCodes(wild, "vec_id", "v", params)
+      .select(explode($"code")).as[Long].collect()
+    assert(wildCodes.forall(_ == 255L), "out-of-range clamps to 255")
   }
 
   test("LSH bucket search: query's own bucket found, recall vs brute force measured") {

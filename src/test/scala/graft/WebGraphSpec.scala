@@ -25,6 +25,17 @@ class WebGraphSpec extends SparkSuite {
       (1L, "https://y.com/q", "two"),
       (2L, "http://z.com", "z!")),
       "attribute-bearing anchor matched; quote-less href skipped quietly")
+    // the common well-formed shapes: attributes BEFORE href, uppercase tag
+    val p2 = pages(
+      (9L, "w.com",
+        """<a class="nav" rel="x" href="http://pre.com/a">pre</a>""" +
+          """<A HREF="http://up.com/b">up</A>"""))
+    val got2 = WebGraph.extractLinks(p2, "doc_id", "html")
+      .as[(Long, String, String)].collect().toSet
+    assert(got2 == Set(
+      (9L, "http://pre.com/a", "pre"),
+      (9L, "http://up.com/b", "up")),
+      "attributes before href and case-insensitive tags must match")
   }
 
   test("domain edges: host lowered, self-loops dropped, multiplicity " +

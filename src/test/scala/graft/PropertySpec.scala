@@ -197,4 +197,69 @@ class PropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("property: unigram LM score is invariant under within-doc token " +
+    "permutation and monotone under vocabulary rarity") {
+    import graft.operators.Curation
+    // random docs over a small vocab; doc 900/901 are permutations
+    val vocab = Vector("ax", "bx", "cx", "dx", "ex")
+    val docs = sample(Gen.listOfN(60,
+      Gen.nonEmptyListOf(Gen.oneOf(vocab))), 41)
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val perm = Seq((900L, "ax bx cx dx"), (901L, "dx cx bx ax"))
+    val all = (docs ++ perm).toDF("doc_id", "text")
+    val got = Curation.unigramLmScore(all, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(got(900L) == got(901L),
+      "unigram model: the score is a bag-of-words statistic")
+    // appending one OOV token never lowers mean surprisal below the
+    // all-common doc's score
+    val base = (docs ++ Seq((1L, "ax ax ax"), (2L, "ax ax zzz_rare")))
+      .toDF("doc_id", "text")
+    val g2 = Curation.unigramLmScore(base, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(g2(2L) > g2(1L), "an OOV token raises mean surprisal")
+  }
+
+  test("property: hashFeaturize weight bounds — per-bucket |weight| <= " +
+    "token count, total tokens = sum of |contributions|, stable across " +
+    "re-evaluation") {
+    import graft.operators.Curation
+    val docs = sample(Gen.listOfN(50,
+      Gen.nonEmptyListOf(Gen.identifier.map(_.take(6)))), 43)
+      .zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    val rows = Curation.hashFeaturize(df, "doc_id", "text", dim = 8)
+      .as[(Long, Long, Long)].collect()
+    val ntok = docs.map { case (i, t) =>
+      i -> t.split("\\W+").count(_.nonEmpty).toLong }.toMap
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(r => math.abs(r._3)).max <= ntok(id))
+      assert(rs.map(r => math.abs(r._3)).sum <= ntok(id),
+        "signed cancellation can only shrink mass")
+      assert(rs.forall(r => r._2 >= 0 && r._2 < 8))
+    }
+    val again = Curation.hashFeaturize(df, "doc_id", "text", dim = 8)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("property: substring dedup — duplicating a random doc verbatim " +
+    "flags ALL of both copies' windows; stride=1 window count is exact") {
+    import graft.operators.Dedup
+    val body = sample(Gen.listOfN(30, Gen.identifier.map(_.take(5))), 47)
+      .mkString(" ")
+    val d = Seq((1L, body), (2L, body), (3L, "solo " * 20))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(d, "doc_id", "text",
+      window = 8, stride = 1)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // stride 1: every offset anchors -> exactly len-7 windows
+    val n = body.split("\\s+").length
+    assert(got(1L)._2 == n - 7 && got(2L)._2 == n - 7)
+    assert(got(1L)._3 == got(1L)._2 && got(1L)._4 == 1.0,
+      "verbatim duplicate: every window of both copies is flagged")
+    assert(got(3L)._3 == 0L)
+  }
 }

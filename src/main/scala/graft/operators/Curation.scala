@@ -508,9 +508,13 @@ object Curation {
    * p_s(w) > 0 by construction.
    *
    * Scale: one (source, token) partial-agg shuffle + one token-keyed
-   * broadcast join of the corpus marginals (min-count-cuttable to a
-   * Zipf head exactly like [[unigramLmScore]]'s vocab — kept exact here
-   * because the oracle sums the full support); the final per-source
+   * join of the corpus marginals — NOT force-broadcast: the marginal
+   * table spans the FULL distinct-token support (kept exact so the
+   * oracle sums the full support), which at crawl scale exceeds
+   * broadcast size; AQE broadcasts it when small, shuffles when not
+   * (a production variant would min-count-cut it to a Zipf head exactly
+   * like [[unigramLmScore]]'s vocab). The per-source totals row set IS
+   * bounded (one row per source) and stays broadcast. The final per-source
    * roll-up is source-count-sized. Output (source, n_tokens, kl),
    * pround4 for the float sum order.
    */
@@ -522,7 +526,7 @@ object Curation {
     val corpus = st.groupBy(col("tok")).agg(sum(col("sc")).as("cc"))
     val totals = st.groupBy(col(srcCol)).agg(sum(col("sc")).as("stot"))
     val ctot = corpus.agg(sum(col("cc")).cast("double").as("ct"))
-    st.join(broadcast(corpus), Seq("tok"))
+    st.join(corpus, Seq("tok"))
       .join(broadcast(totals), Seq(srcCol))
       .crossJoin(broadcast(ctot))
       .select(col(srcCol), col("stot"),

@@ -126,8 +126,8 @@ object WebGraph {
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val withOut = edges
-      .join(broadcast(edges.groupBy(col("src_domain"))
-        .agg(sum(col("n_links")).as("outw"))), Seq("src_domain"))
+      .join(edges.groupBy(col("src_domain"))
+        .agg(sum(col("n_links")).as("outw")), Seq("src_domain"))
       .localCheckpoint()
     val doms = edges.select(col("src_domain").as("domain"))
       .union(edges.select(col("dst_domain").as("domain"))).distinct()
@@ -135,7 +135,7 @@ object WebGraph {
     var pr = doms.withColumn("pr", lit(1.0))
     for (_ <- 1 to iters) {
       val inflow = withOut
-        .join(broadcast(pr.withColumnRenamed("domain", "src_domain")),
+        .join(pr.withColumnRenamed("domain", "src_domain"),
           Seq("src_domain"))
         .select(col("dst_domain").as("domain"),
           (col("pr") * col("n_links").cast("double") / col("outw")).as("c"))
@@ -156,8 +156,11 @@ object WebGraph {
    * with w the edge multiplicity and out(s) = Σ_d w(s→d). Dangling
    * domains (no outlinks) receive the teleport term only — standard for
    * a single diagnostic iteration. Relational shape: out-degree is one
-   * aggregate of the (already sublinear) edge table, joined back
-   * BROADCAST; the contribution roll-up is ONE shuffle on dst. Iterating
+   * aggregate of the (already sublinear) edge table joined back on the
+   * same key — NOT a forced broadcast: the domain table is ~10⁶ rows for
+   * a curated corpus but can reach 10⁹ at full-crawl scale, so the
+   * planner (AQE) picks broadcast vs shuffle from its measured size; the
+   * contribution roll-up is ONE shuffle on dst. Iterating
    * to convergence is this same job in a loop with the label-propagation
    * checkpoint pattern ([[Dedup.dedupClusters]]); one step is what the
    * oracle can pin exactly.
@@ -165,7 +168,7 @@ object WebGraph {
   def pagerankStep(edges: DataFrame, damping: Double = 0.85): DataFrame = {
     val out = edges.groupBy(col("src_domain"))
       .agg(sum(col("n_links")).as("outw"))
-    val contrib = edges.join(broadcast(out), Seq("src_domain"))
+    val contrib = edges.join(out, Seq("src_domain"))
       .select(col("dst_domain"),
         (col("n_links").cast("double") / col("outw")).as("c"))
     val allDomains = edges.select(col("src_domain").as("domain"))

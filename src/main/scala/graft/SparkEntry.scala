@@ -963,6 +963,15 @@ object SparkEntry {
         window = 16, stride = 4)
         .orderBy("doc_id")),
 
+    // dedup: winnowing fingerprints (Schleimer et al. 2003) — every
+    // 8-token window hashed, leftmost-min of each 4-hash selection
+    // window kept: DETERMINISTIC guarantee that common spans ≥ 11 tokens
+    // share a fingerprint (vs q_dedup_substring's probabilistic mod-m)
+    "q_dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowedDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+        .orderBy("doc_id")),
+
     // web graph: main-text extraction from html bytes, with the
     // north-rule round-trip invariant made explicit — wrapping the text
     // in markup (style/script subtrees, tags, a double-escaped entity, a
@@ -1961,6 +1970,29 @@ object SparkEntry {
         |  FROM tokf WHERE len(toks) >= 2)
         |SELECT pair, count(*) AS c FROM pairs
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
+
+    "q_dedup_winnow" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |hsx AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(toks) - 6),
+        |                        p -> md5(array_to_string(list_slice(toks, p, p + 7), ' '))) AS hs
+        |  FROM tokf WHERE len(toks) >= 11),
+        |selx AS (
+        |  SELECT doc_id, hs,
+        |         list_distinct(list_transform(range(1, len(hs) - 2),
+        |           s -> s - 1 + list_indexof(list_slice(hs, s, s + 3),
+        |                                     list_min(list_slice(hs, s, s + 3))))) AS ps
+        |  FROM hsx),
+        |fullw AS (SELECT doc_id, hs[unnest(ps)] AS h FROM selx),
+        |dfw AS (SELECT h, count(DISTINCT doc_id) AS df FROM fullw GROUP BY 1)
+        |SELECT f.doc_id, count(*) AS n_windows,
+        |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |       floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+        |FROM fullw f JOIN dfw USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_substring" ->
       """WITH tokf AS (

@@ -532,6 +532,58 @@ object Dedup {
    * table — the honest cost of substring-granularity dedup at 100 TB;
    * stride divides that table's expected size.
    */
+  /**
+   * Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash EVERY
+   * `k`-token window, then slide a selection window of `w` consecutive
+   * hashes and keep the leftmost minimum of each — ~2/(w+1) of all
+   * hashes survive, and unlike [[substringDupSpans]]'s mod-m sampling
+   * the guarantee is DETERMINISTIC: any common span of at least
+   * k + w − 1 tokens shares at least one selected fingerprint (both
+   * copies see the same hash run, and the same leftmost-min rule picks
+   * the same content-relative position). Leftmost tie-break is pinned by
+   * both engines' first-match semantics (`array_position` /
+   * `list_indexof`). Docs with fewer than k + w − 1 tokens are absent.
+   *
+   * Same output schema and df roll-up as [[substringDupSpans]]; the
+   * selection is array-local (O(n·w) comparisons per doc), so the only
+   * shuffle is still the fingerprint-df join.
+   */
+  def winnowedDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 16, w: Int = 8): DataFrame = {
+    require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    // both the token array AND the hash array are lambda-bound via the
+    // array()/element_at trick — interpreted HOFs do no CSE, and an
+    // unbound `hs` inside the selection lambdas would rebuild the whole
+    // O(n·k) hash array once per window
+    def selOf(hs: Column): Column = {
+      val sel = array_distinct(transform(
+        sequence(lit(1), size(hs) - (w - 1)),
+        s => {
+          val sub = slice(hs, s, lit(w))
+          s - 1 + array_position(sub, array_min(sub))
+        }))
+      transform(sel, p => element_at(hs, p.cast("int")))
+    }
+    def hsOf(ts: Column): Column =
+      transform(sequence(lit(1), size(ts) - (k - 1)),
+        p => md5(concat_ws(" ", slice(ts, p, lit(k)))))
+    val fps = when(size(toks) >= k + w - 1,
+      element_at(transform(array(toks), ts =>
+        element_at(transform(array(hsOf(ts)), hs => selOf(hs)), 1)), 1))
+      .otherwise(array().cast("array<string>"))
+    val full = docs.select(col(idCol), explode(fps).as("h"))
+    val df = full.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    full.join(df, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"),
+        graft.operators.TextAnalysis.pround4(
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double")
+            / count(lit(1))).as("dup_frac"))
+  }
+
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         window: Int = 32, stride: Int = 8): DataFrame = {
     require(stride >= 1, "stride must be >= 1")

@@ -249,6 +249,37 @@ class DedupSpec extends SparkSuite {
     assert(sGot == Seq(("u/a", "u/b", 0.9, 2L)))
   }
 
+  test("winnowing: DETERMINISTIC shared-fingerprint guarantee — a span of " +
+    "k+w-1 tokens collides at EVERY offset pairing; selection densifies " +
+    "below the full hash set") {
+    // k=4, w=3 -> guarantee for spans >= 6 tokens, at any offsets
+    val span = (1 to 6).map(i => s"z$i").mkString(" ")
+    val docs = (0 to 5).map { off =>
+      val prefix = (1 to off).map(i => s"f${off}_$i").mkString(" ")
+      val suffix = (1 to 4).map(i => s"t${off}_$i").mkString(" ")
+      (off.toLong, s"$prefix $span $suffix".trim)
+    }
+    val got = Dedup.winnowedDupSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k = 4, w = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    docs.foreach { case (id, _) =>
+      assert(got(id)._3 > 0,
+        s"doc $id (offset $id) must share a span fingerprint — the " +
+          "winnowing guarantee is deterministic, not probabilistic")
+    }
+    // density: selected fingerprints are a strict subset of all k-gram
+    // hashes for any doc long enough to have multiple selection windows
+    val long = Seq((9L, (1 to 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sel = Dedup.winnowedDupSpans(long, "doc_id", "text", k = 4, w = 3)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(sel._2 < 40 - 3, s"selection must densify: ${sel._2} of ${40 - 3}")
+    // short docs (< k+w-1 tokens) are absent
+    val short = Dedup.winnowedDupSpans(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+    assert(short.count() == 0)
+  }
+
   test("substring dup spans: RELOCATED copies of a span collide (content-" +
     "defined anchors, not stride phase); unique docs clean; short docs " +
     "absent; single-doc internal repeats not cross-flagged") {

@@ -924,6 +924,17 @@ object SparkEntry {
         Curation.splitAssign(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
+    // curation: SHARD MANIFEST — the trainer-facing artifact: hash-split
+    // assignment feeds per-split sequence packing, yielding each doc's
+    // (split, bin, offset) address. Split → pack composition of two
+    // individually-oracled operators; 512-token bins
+    "q_shard_manifest" -> ((s, dir) =>
+      Curation.sequencePack(
+        t(s, dir, "documents").withColumn("split",
+          Curation.splitAssign(col("doc_id"))),
+        "doc_id", "text", "split", capacity = 512)
+        .orderBy("split", "doc_id")),
+
     // curation: per-source token-budget capping (head-domain down-
     // weighting) — 800-token budget per source, docs admitted in id order
     "q_token_budget" -> ((s, dir) =>
@@ -2301,6 +2312,23 @@ object SparkEntry {
         |SELECT doc_id, url,
         |       CASE WHEN qc = '' THEN pc ELSE pc || '?' || qc END AS canonical
         |FROM s5 ORDER BY doc_id""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         CASE WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 98 THEN 'train'
+        |              WHEN ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 100 < 99 THEN 'val'
+        |              ELSE 'test' END AS split,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, split, n_tokens,
+        |         sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id) - n_tokens AS prefix
+        |  FROM n)
+        |SELECT split, doc_id, n_tokens,
+        |       floor(prefix / 512)::BIGINT AS bin_idx,
+        |       (prefix % 512)::BIGINT AS bin_offset
+        |FROM c ORDER BY split, doc_id""".stripMargin,
 
     "q_split_assign" ->
       """SELECT doc_id,

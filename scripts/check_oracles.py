@@ -26,6 +26,35 @@ def canon(rows, cols):
         out.append(tuple(vals))
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
+def norm_type(t):
+    """Normalize DuckDB type names so parquet-read vs computed types compare."""
+    t = t.upper()
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    return t
+
+# Oracle output types the driver's typed-value hash cannot be trusted with:
+# DuckDB widens uncast window/whole-column integer sums to HUGEINT (INT128)
+# and exact arithmetic to DECIMAL — neither has a Spark parquet counterpart,
+# so a values-equal result can still hash-mismatch (the r2/r3 q_sessionize
+# failure). Every oracle must cast these away explicitly.
+BANNED = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def type_audit(con, name, sql, pdir):
+    """DESCRIBE oracle vs Spark parquet; return (violations, matrix_rows)."""
+    bad, rows = [], []
+    odesc = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    sdesc = {r[0]: r[1] for r in con.execute(
+        f"DESCRIBE SELECT * FROM '{pdir}/*.parquet'").fetchall()}
+    for c in sorted(set(odesc) | set(sdesc)):
+        ot, st = odesc.get(c, "-"), sdesc.get(c, "-")
+        rows.append((name, c, st, ot))
+        if any(b in ot.upper() for b in BANNED):
+            bad.append(f"oracle column {c} is {ot} (banned: cast it)")
+        elif ot != "-" and st != "-" and norm_type(ot) != norm_type(st):
+            bad.append(f"column {c}: spark={st} oracle={ot}")
+    return bad, rows
+
 def main(outdir, sfdir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
@@ -33,6 +62,7 @@ def main(outdir, sfdir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_ok = n_bad = 0
+    matrix = []
     for name, sql in sorted(oracles.items()):
         pdir = os.path.join(outdir, name)
         files = glob.glob(os.path.join(pdir, "*.parquet"))
@@ -43,8 +73,12 @@ def main(outdir, sfdir):
             gcols = [d[0] for d in con.description]
             exp = con.execute(sql).fetchall()
             ecols = [d[0] for d in con.description]
+            tbad, trows = type_audit(con, name, sql, pdir)
+            matrix.extend(trows)
         except Exception as e:
             print(f"ERROR    {name}: {e}"); n_bad += 1; continue
+        if tbad:
+            print(f"TYPES    {name}: " + "; ".join(tbad)); n_bad += 1; continue
         gc, gr = canon(got, gcols)
         ec, er = canon(exp, ecols)
         if gc != ec:
@@ -55,7 +89,11 @@ def main(outdir, sfdir):
             diffs = [(a, b) for a, b in zip(gr, er) if a != b][:3]
             print(f"VALUES   {name}: first diffs {diffs}"); n_bad += 1; continue
         print(f"OK       {name} ({len(gr)} rows)"); n_ok += 1
-    print(f"\n{n_ok} ok, {n_bad} bad")
+    with open(os.path.join(outdir, "types_matrix.tsv"), "w") as f:
+        f.write("query\tcolumn\tspark_type\toracle_type\n")
+        for r in matrix:
+            f.write("\t".join(r) + "\n")
+    print(f"\n{n_ok} ok, {n_bad} bad (type matrix: {outdir}/types_matrix.tsv)")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":

@@ -139,6 +139,13 @@ object SparkEntry {
       Analytics.textRankBm25(t(s, dir, "documents"), "doc_id", "text",
         "spark window")),
 
+    // E1 (FULL BM25) — Lucene's complete default similarity: ln-idf PLUS
+    // tf saturation (k1=1.2) and doc-length normalization (b=0.75, avgdl
+    // as one broadcast scalar) — long docs stop winning on raw repetition
+    "q_text_rank_bm25_full" -> ((s, dir) =>
+      Analytics.textRankBm25Full(t(s, dir, "documents"), "doc_id", "text",
+        "spark window", k1 = 1.2, b = 0.75)),
+
     // E1 (stemmed variant) — analyzer-lite: query tokens expanded to their
     // common inflections, one codegen'd rlike. Inflected forms are PLANTED
     // ("sparks"/"windowing" on a doc_id schedule) because the synthetic
@@ -323,7 +330,7 @@ object SparkEntry {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, dir, "events").select(
         col("event_id"), col("user_id"),
-        row_number().over(w).as("rn"),
+        row_number().over(w).cast("long").as("rn"), // match DuckDB's BIGINT row_number
         sum(col("value").cast("decimal(18,2)"))
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double").as("running_value"))
@@ -623,6 +630,22 @@ object SparkEntry {
         .collect()(0).getSeq[Double](1)
       Similarity.lshTopKMultiProbe(e.filter(col("vec_id") =!= 0),
         "vec_id", "v", qv, k = 10, nBits = 4)
+    }),
+
+    // similarity: the STORED sign-LSH index end to end — vectors written
+    // partitioned by sign bucket, then probed through the partition-pruned
+    // multi-probe read path; the oracle is the same as q_ann_lsh_mp, so
+    // the green row proves index write → prune → probe reproduces the
+    // in-memory multi-probe result exactly
+    "q_ann_lsh_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val path = s"/tmp/graft_lsh_index_${s.sparkContext.applicationId}"
+      Similarity.writeLshIndex(e, "vec_id", "v", path, nBits = 4)
+      val qv = e.filter(col("vec_id") === 0)
+        .collect()(0).getSeq[Double](1) // 1 row — the query, model-sized
+      Similarity.lshIndexTopK(s, path, "vec_id", "v", qv, k = 10,
+        nBits = 4, excludeId = Some(0L))
     }),
 
     // similarity: IVF ANN — deterministic sampled k-means centroids
@@ -943,12 +966,15 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // curation: top-3 best-quality docs per domain (representative
-    // selection) — per-group window rank, total order (quality desc, id)
+    // selection) — driven through the SALTED two-phase path at a forced
+    // salt (exact for any salt: a group's true top-k survives its salt
+    // bucket's top-k), so the skew-proof variant is what the oracle pins
     "q_topk_per_domain" -> ((s, dir) =>
-      Curation.topKPerGroup(
+      Curation.topKPerGroupSalted(
         t(s, dir, "documents").select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality")),
-        "source", k = 3, col("quality").desc, col("doc_id").asc)
+        "source", col("doc_id"), salt = 4, k = 3,
+        col("quality").desc, col("doc_id").asc)
         .orderBy("source", "doc_id")),
 
     // curation: corpus-trained unigram-LM surprisal score (CCNet-style
@@ -964,6 +990,15 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, dir) =>
       Curation.bpePairTopK(t(s, dir, "documents"), "doc_id", "text",
         k = 50)),
+
+    // curation: ITERATED BPE training — 3 rounds of merge selection
+    // (count desc, t1, t2 — deterministic total order) + greedy
+    // left-to-right merge application over the token arrays; oracle is
+    // the same 3 rounds unrolled in SQL (parity-of-run-position replays
+    // the greedy fold relationally)
+    "q_bpe_train" -> ((s, dir) =>
+      Curation.bpeTrain(t(s, dir, "documents"), "doc_id", "text",
+        iters = 3)),
 
     // dedup: approximate exact-substring dedup (Lee et al. 2021 recast)
     // — 16-token windows, content-defined anchors (token-hash ≡ 0 mod 4,
@@ -1029,6 +1064,18 @@ object SparkEntry {
         plantedHtml.cast("binary").as("html"))
       WebGraph.pagerankStep(
         WebGraph.domainEdges(pages, "source", "doc_id", "html"))
+        .orderBy("domain")
+    }),
+
+    // web graph: PageRank iterated to a 3-step horizon — per-round
+    // checkpointed power iteration, unrounded between rounds, 4dp only on
+    // the final output (the implementation's contract); oracle is the
+    // same 3 rounds unrolled in SQL
+    "q_pagerank_iters" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.pagerank(
+        WebGraph.domainEdges(pages, "source", "doc_id", "html"), iters = 3)
         .orderBy("domain")
     }),
 
@@ -1219,6 +1266,26 @@ object SparkEntry {
         |       floor(sum(tf.tf * ln(1.0 + ((SELECT count(*) FROM documents) - df.df + 0.5) / (df.df + 0.5))) * 10000.0 + 0.5) / 10000.0 AS score
         |FROM tf JOIN df USING (tok)
         |GROUP BY 1 ORDER BY score DESC, doc_id""".stripMargin,
+
+    // full BM25: constants mirrored as the SAME IEEE ops Spark runs —
+    // (1.2+1.0) is computed, not written 2.2, because the sum rounds to a
+    // different double than the literal would in a near-tie; avgdl is an
+    // exact integer-sum average, bit-identical cross-engine
+    "q_text_rank_bm25_full" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tokf),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok IN ('spark', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id AS doc_id,
+        |       floor(sum(ln(1.0 + ((SELECT count(*) FROM documents) - df.df + 0.5) / (df.df + 0.5))
+        |                 * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |                 / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / ad.avgdl))) * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, ad
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id""".stripMargin,
 
     "q_curation_pipeline" ->
       """WITH b AS (
@@ -1438,8 +1505,8 @@ object SparkEntry {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         |y AS (
         |  SELECT user_id, ts_s,
-        |         sum(CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END)
-        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |         (sum(CASE WHEN prev IS NULL OR ts_s - prev > 1800 THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING))::BIGINT AS session_seq
         |  FROM x)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |       min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
@@ -1686,6 +1753,18 @@ object SparkEntry {
     // candidates = rows with >= nBits-1 sign agreements == the bucket set
     // {query bucket} ∪ {flip-1-bit buckets} that the Spark side probes
     "q_ann_lsh_mp" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |FROM e, q
+        |WHERE e.vec_id <> 0
+        |  AND (((e.v[1] > 0) = (q.qv[1] > 0))::INT + ((e.v[2] > 0) = (q.qv[2] > 0))::INT
+        |     + ((e.v[3] > 0) = (q.qv[3] > 0))::INT + ((e.v[4] > 0) = (q.qv[4] > 0))::INT) >= 3
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+
+    // same oracle as q_ann_lsh_mp: the stored-index multi-probe must
+    // reproduce the in-memory probe exactly (write → prune → scan → top-k)
+    "q_ann_lsh_index" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
         |SELECT e.vec_id AS vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
@@ -1982,6 +2061,8 @@ object SparkEntry {
         |SELECT pair, count(*) AS c FROM pairs
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
 
+    "q_bpe_train" -> bpeTrainOracleSql(iters = 3),
+
     "q_dedup_winnow" ->
       """WITH tokf AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -2105,6 +2186,8 @@ object SparkEntry {
         |SELECT domain,
         |       floor(((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(inflow, 0.0)) * 10000.0 + 0.5) / 10000.0 AS pr
         |FROM doms LEFT JOIN contrib USING (domain) ORDER BY domain""".stripMargin,
+
+    "q_pagerank_iters" -> pagerankOracleSql(iters = 3),
 
     "q_curation_v3" ->
       """WITH tokf AS (
@@ -2429,6 +2512,109 @@ object SparkEntry {
    * regardless of row order), then full-corpus assignment and an
    * nprobe-cell search for query vec_id=0.
    */
+  /**
+   * Unrolled DuckDB SQL for [[graft.operators.WebGraph.pagerank]] at a
+   * fixed iteration count: pr0 = 1.0 on the domain universe, then per
+   * round inflow-join + damped update, 4dp floor-rounding on the FINAL
+   * round only (the implementation's contract — intermediates unrounded).
+   * Constants are written as the same IEEE ops the Scala side runs
+   * (1.0 − 0.85 computed, not 0.15 written). The per-domain inflow sum is
+   * the one engine-order float hazard, absorbed by the final pround4 —
+   * identical trade to the single-step q_pagerank oracle.
+   */
+  private def pagerankOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""inf$i AS (
+         |  SELECT dst_domain AS domain, sum(pr * n::DOUBLE / outw) AS inflow
+         |  FROM eg JOIN outd USING (src_domain)
+         |       JOIN pr${i - 1} ON pr${i - 1}.domain = eg.src_domain
+         |  GROUP BY 1),
+         |pr$i AS (
+         |  SELECT doms.domain,
+         |         ((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(inflow, 0.0::DOUBLE)) AS pr
+         |  FROM doms LEFT JOIN inf$i USING (domain))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, $plantedHtmlSql AS html
+       |  FROM documents),
+       |l AS (
+       |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+       |  FROM h),
+       |eg AS (
+       |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+       |    SELECT source AS src_domain,
+       |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+       |    FROM l)
+       |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+       |  GROUP BY 1, 2),
+       |outd AS (SELECT src_domain, sum(n) AS outw FROM eg GROUP BY 1),
+       |doms AS (
+       |  SELECT DISTINCT src_domain AS domain FROM eg
+       |  UNION SELECT DISTINCT dst_domain FROM eg),
+       |pr0 AS (SELECT domain, 1.0::DOUBLE AS pr FROM doms),
+       |$rounds
+       |SELECT domain, floor(pr * 10000.0 + 0.5) / 10000.0 AS pr
+       |FROM pr$iters ORDER BY domain""".stripMargin
+  }
+
+  /**
+   * Unrolled DuckDB SQL for [[graft.operators.Curation.bpeTrain]] at a
+   * fixed round count. The Scala side's greedy left-to-right fold is
+   * replayed relationally per round: candidate positions (pair matches)
+   * split into runs of consecutive positions, and within each run the
+   * 1st, 3rd, ... merge (exactly the fold's alternation — a just-merged
+   * token can't re-match t1); positions consumed by a preceding merge are
+   * dropped and the survivors renumbered. Pair selection orders by
+   * (count desc, t1, t2) — the components, not their concatenation, which
+   * is ambiguous once merged tokens contain the joiner.
+   */
+  private def bpeTrainOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"tok${r - 1}"
+      s"""pl$r AS (
+         |  SELECT doc_id, p, t, lead(t) OVER (PARTITION BY doc_id ORDER BY p) AS nx
+         |  FROM $prev),
+         |sel$r AS (
+         |  SELECT t AS t1, nx AS t2, count(*) AS c FROM pl$r WHERE nx IS NOT NULL
+         |  GROUP BY 1, 2 ORDER BY c DESC, t1, t2 LIMIT 1),
+         |cand$r AS (
+         |  SELECT doc_id, p FROM pl$r
+         |  WHERE t = (SELECT t1 FROM sel$r) AND nx = (SELECT t2 FROM sel$r)),
+         |runs$r AS (
+         |  SELECT doc_id, p,
+         |         p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+         |  FROM cand$r),
+         |mrg$r AS (
+         |  SELECT doc_id, p FROM (
+         |    SELECT doc_id, p,
+         |           row_number() OVER (PARTITION BY doc_id, grp ORDER BY p) AS rn
+         |    FROM runs$r) WHERE rn % 2 = 1),
+         |tok$r AS (
+         |  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY p) AS p,
+         |         CASE WHEN merged THEN (SELECT t1 FROM sel$r) || ' ' || (SELECT t2 FROM sel$r)
+         |              ELSE t END AS t
+         |  FROM (
+         |    SELECT k.doc_id, k.p, k.t, (m.p IS NOT NULL) AS merged
+         |    FROM $prev k
+         |    LEFT JOIN mrg$r m ON m.doc_id = k.doc_id AND m.p = k.p
+         |    LEFT JOIN mrg$r pm ON pm.doc_id = k.doc_id AND pm.p = k.p - 1
+         |    WHERE pm.p IS NULL))""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to iters).map(r =>
+      s"SELECT $r::BIGINT AS round, t1, t2, c FROM sel$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tokf AS (
+       |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
+       |  FROM documents),
+       |tok0 AS (
+       |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS t
+       |  FROM tokf WHERE len(toks) >= 2),
+       |$rounds
+       |SELECT * FROM (
+       |$union)
+       |ORDER BY round""".stripMargin
+  }
+
   private def ivfOracleSql(k: Int, iters: Int, sampleN: Long, nprobe: Int,
                            topK: Int): String = {
     def assign(name: String, src: String, cents: String) =

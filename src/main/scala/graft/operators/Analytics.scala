@@ -118,6 +118,46 @@ object Analytics {
   }
 
   /**
+   * E1 (FULL BM25) — Lucene's complete default similarity, closing the
+   * last scoring divergence from the reference (which delegates to
+   * ES/Lucene, ElasticsearchService.java:279-283): per query term,
+   *   score += ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+   * i.e. [[textRankBm25]]'s ln-idf PLUS tf saturation (k1) and document-
+   * length normalization (b) — the terms that make long documents stop
+   * winning on raw repetition. dl is the doc's FULL token count, computed
+   * scan-local (size of the token array — no extra shuffle); avgdl is one
+   * broadcast scalar, the mean dl over ALL documents (token-less docs
+   * count with dl = 0). avgdl's sum-of-bigints is exact in doubles below
+   * 2^53, so the scalar is bit-identical cross-engine; the per-doc score
+   * is pround4-rounded like its siblings. Plan shape unchanged: one tf
+   * shuffle, broadcast df + N + avgdl.
+   */
+  def textRankBm25Full(docs: DataFrame, idCol: String, textCol: String,
+                       queryText: String, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    val tokens: Seq[Any] =
+      queryText.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
+    val dlCol = size(TextAnalysis.toks(col(textCol))).cast("long")
+    val withDl = docs.select(col(idCol), col(textCol), dlCol.as("dl"))
+    val toks = Curation.gramRows(withDl, idCol, textCol, n = 1)
+      .filter(col("gram").isin(tokens: _*))
+    val tf = toks.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val avgdl = withDl.agg(avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(withDl.select(col(idCol), col("dl")), Seq(idCol))
+      .join(broadcast(df_), Seq("gram"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .groupBy(col(idCol))
+      .agg(TextAnalysis.pround4(sum(idf * norm)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+  }
+
+  /**
    * §3.2 search path — bool{must: match, filter: [levels, services, range]}
    * + sort + from/size pagination (`ElasticsearchService.java:237-274`).
    * `hosts` is accepted-and-ignored for fidelity (dead filter D6,

@@ -392,12 +392,18 @@ object Curation {
    *
    * Scale: the vocabulary aggregate is one partial-agg shuffle (map-side
    * combine collapses the token stream to distinct tokens per partition
-   * first). The min-count cut is exactly what makes the trained vocab
-   * broadcastable at 100 TB — under a Zipf law the tail below any fixed
-   * cutoff holds most DISTINCT tokens but the kept head is model-sized
-   * (productionized LM filters ship a fixed vocab for the same reason) —
-   * so scoring is a broadcast hash join against the token scan, never a
-   * token-level shuffle.
+   * first). A fixed `minCount` cut does NOT bound the kept vocabulary as
+   * the corpus grows — under Heaps' law the count-≥-minCount head keeps
+   * growing with corpus size — so the model join is left to the planner
+   * (AQE broadcasts it while it fits, shuffles when it doesn't; the same
+   * call [[sourceTokenDrift]] makes for its marginal table). To get a
+   * model bounded BY CONSTRUCTION, pass `topK`: the vocab is cut to the
+   * K most frequent kept tokens (count desc, token asc — a total order,
+   * so the cut boundary is deterministic and engine-portable), which is
+   * what production LM filters ship, and with it the broadcast is
+   * guaranteed safe at any corpus size. The denominator stays the FULL
+   * pre-cutoff token total either way, so kept-token probabilities are
+   * cutoff-independent.
    *
    * Output: (id, n_tokens, lm_score); token-less docs absent. lm_score is
    * pround4-rounded: the per-doc mean sums doubles in engine-dependent
@@ -405,13 +411,18 @@ object Curation {
    * [[Analytics.textRankBm25]]).
    */
   def unigramLmScore(docs: DataFrame, idCol: String, textCol: String,
-                     minCount: Long = 2L): DataFrame = {
+                     minCount: Long = 2L,
+                     topK: Option[Int] = None): DataFrame = {
     val toks = TextAnalysis.toks(col(textCol))
     val tok = docs.select(col(idCol), explode(toks).as("tok"))
     val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = freq.agg(sum(col("c")).cast("double").as("s"))
-    val kept = freq.filter(col("c") >= minCount)
-    tok.join(broadcast(kept), Seq("tok"), "left")
+    val cut = freq.filter(col("c") >= minCount)
+    // topK → bounded by construction → broadcast hint justified;
+    // otherwise AQE sizes the join (Heaps' law: minCount alone is no bound)
+    val kept = topK.fold(cut)(k =>
+      broadcast(cut.orderBy(col("c").desc, col("tok").asc).limit(k)))
+    tok.join(kept, Seq("tok"), "left")
       .crossJoin(broadcast(total))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -432,22 +443,32 @@ object Curation {
    * CurationSpec and the oracle).
    *
    * Scale: same shape as [[unigramLmScore]] — two count aggregates (one
-   * over tokens, one over adjacent pairs, both map-side combined), both
-   * model tables min-count-cut to broadcastable Zipf heads, then ONE
-   * corpus-side pass joins each position against the bigram and unigram
-   * models by broadcast. Output: (id, n_tokens, lm2_score), token-less
-   * docs absent; pround4 for the engine-order float sum.
+   * over tokens, one over adjacent pairs, both map-side combined), then
+   * ONE corpus-side pass joins each position against the bigram and
+   * unigram models. Like the unigram scorer, a fixed `minCount` does NOT
+   * bound either model table as the corpus grows (Heaps' law — and the
+   * attested-bigram table grows even faster than the vocab), so the model
+   * joins are planner-sized by default; pass `topK` to cut BOTH models to
+   * their K most frequent entries (total order: count desc, key asc) and
+   * make the broadcasts safe by construction. Output: (id, n_tokens,
+   * lm2_score), token-less docs absent; pround4 for the engine-order
+   * float sum.
    */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String,
-                    minCount: Long = 2L): DataFrame = {
+                    minCount: Long = 2L,
+                    topK: Option[Int] = None): DataFrame = {
     val toks = TextAnalysis.toks(col(textCol))
     val tok = docs.select(col(idCol), explode(toks).as("tok"))
     val uni = tok.groupBy(col("tok")).agg(count(lit(1)).as("uc"))
     val total = uni.agg(sum(col("uc")).cast("double").as("s"))
-    val uniKept = uni.filter(col("uc") >= minCount)
+    val uniCut = uni.filter(col("uc") >= minCount)
+    val uniKept = topK.fold(uniCut)(k =>
+      broadcast(uniCut.orderBy(col("uc").desc, col("tok").asc).limit(k)))
     val pairs = gramRows(docs, idCol, textCol, n = 2)
-    val bi = pairs.groupBy(col("gram")).agg(count(lit(1)).as("bc"))
+    val biCut = pairs.groupBy(col("gram")).agg(count(lit(1)).as("bc"))
       .filter(col("bc") >= minCount)
+    val bi = topK.fold(biCut)(k =>
+      broadcast(biCut.orderBy(col("bc").desc, col("gram").asc).limit(k)))
     // per-position rows with the previous token attached array-locally
     // (no lag window): posexplode yields 0-based p, so the 1-based
     // element_at(ts, p) IS the predecessor; p=0 → null history. A
@@ -461,10 +482,10 @@ object Curation {
         concat_ws(" ", col("prev"), col("tok")).as("gram"))
     val punw = coalesce(col("uc"), lit(1L)).cast("double") / col("s")
     val scored = pos
-      .join(broadcast(bi), Seq("gram"), "left")
-      .join(broadcast(uniKept.select(col("tok").as("prev"),
-        col("uc").as("prev_uc"))), Seq("prev"), "left")
-      .join(broadcast(uniKept), Seq("tok"), "left")
+      .join(bi, Seq("gram"), "left")
+      .join(uniKept.select(col("tok").as("prev"),
+        col("uc").as("prev_uc")), Seq("prev"), "left")
+      .join(uniKept, Seq("tok"), "left")
       .crossJoin(broadcast(total))
       .select(col(idCol),
         when(col("prev").isNotNull && col("bc").isNotNull &&
@@ -486,8 +507,8 @@ object Curation {
    * occurrence-counting sibling of [[ngramDocFreqTopK]] (which counts
    * document frequency over distinct-per-doc shingles). Total order
    * (count desc, pair asc) makes the k-boundary deterministic. Iterated
-   * BPE training re-runs this after applying the chosen merge — each
-   * round is the same single-shuffle job.
+   * BPE training ([[bpeTrain]]) re-runs this after applying the chosen
+   * merge — each round is the same single-shuffle job.
    */
   def bpePairTopK(docs: DataFrame, idCol: String, textCol: String,
                   k: Int): DataFrame =
@@ -496,6 +517,73 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("pair").asc)
       .limit(k)
+
+  /**
+   * Iterated BPE training: `iters` rounds of merge selection + merge
+   * application. Each round picks the most frequent adjacent token pair
+   * — ordered (count desc, t1 asc, t2 asc), a total order on the PAIR
+   * COMPONENTS (not their concatenation, which is ambiguous once merged
+   * tokens contain the joiner) so the choice is deterministic in any
+   * engine — then fuses its non-overlapping left-to-right occurrences
+   * into single tokens (the standard greedy apply: in a run of
+   * overlapping candidates, the 1st, 3rd, ... merge) and re-counts pairs
+   * over the merged arrays. Merged tokens join with a space (word-level
+   * BPE's "new york" convention); the fold's equality tests compare FULL
+   * token strings, so the joiner introduces no ambiguity in the
+   * algorithm itself.
+   *
+   * Plan per round: one partial-agg pair-count shuffle + a driver fetch
+   * of the single winning pair (model-sized — the same seam as
+   * [[Similarity.kmeansCentroids]]) + one scan-local fold applying the
+   * merge, with the token table localCheckpoint'd per round (constant
+   * lineage depth — the [[Dedup.dedupClusters]] / [[WebGraph.pagerank]]
+   * pattern). Stops early if no adjacent pair remains. Returns the merge
+   * list (round, t1, t2, c) — c is the pair's count BEFORE merging.
+   */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = docs.sparkSession
+    var toksDf = docs
+      .select(col(idCol), TextAnalysis.toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    for (r <- 1 to iters if !done) {
+      val pairRows = toksDf.select(explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("t1"),
+            element_at(col("ts"), i + 1).as("t2")))).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      val top = pairRows.groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t1").asc, col("t2").asc)
+        .limit(1)
+        .collect() // 1 row — the round's merge decision, model-sized
+      if (top.isEmpty) done = true
+      else {
+        val (p1, p2, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r.toLong, p1, p2, c))
+        // greedy left-to-right fold: merge when the accumulator's last
+        // token is exactly p1 and the incoming one is p2 — a just-merged
+        // token is strictly longer than p1, so overlapping candidates
+        // naturally alternate (1st, 3rd, ... of each run merge)
+        val fused = lit(p1 + " " + p2)
+        toksDf = toksDf.select(col(idCol),
+          aggregate(col("ts"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 &&
+                 element_at(acc, -1) === lit(p1) && x === lit(p2),
+              concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+              .otherwise(concat(acc, array(x)))).as("ts"))
+          .localCheckpoint()
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("round", "t1", "t2", "c")
+      .orderBy("round")
+  }
 
   /**
    * Per-source token-distribution drift: KL divergence of each source's
@@ -592,11 +680,9 @@ object Curation {
   /**
    * Top-k rows per group (e.g. the k best-quality documents per domain —
    * the per-domain representative-selection step in corpus mixing). One
-   * per-group window rank, parallel across groups. For a pathological
-   * giant group with tiny k the full per-group sort is wasteful — there
-   * the two-phase shape is rank within (group, salt) first, then rank the
-   * ≤ salt·k survivors; this single-window form is right whenever groups
-   * are partition-sized, and k is typically ≪ group size either way.
+   * per-group window rank, parallel across groups — right whenever groups
+   * are partition-sized. For a pathological giant group with tiny k use
+   * [[topKPerGroupSalted]] (two-phase salted rank, exact).
    */
   def topKPerGroup(df: DataFrame, grpCol: String, k: Int,
                    order: Column*): DataFrame = {
@@ -607,6 +693,58 @@ object Curation {
     val rk = "__graft_topk_rk"
     df.withColumn(rk, org.apache.spark.sql.functions.row_number().over(w))
       .filter(col(rk) <= k).drop(rk)
+  }
+
+  /**
+   * Salted two-phase top-k per group — the skew-proof variant for groups
+   * too large to sort in one partition: phase 1 ranks within (group,
+   * salt-bucket) and keeps each bucket's top k, phase 2 re-ranks the
+   * ≤ salt·k survivors per group. EXACT for any salt: every true top-k
+   * row of a group is also within the top k of its own bucket (fewer
+   * competitors), so phase 1 never discards a winner — salting trades a
+   * second (tiny) window for bounding the largest sort partition by
+   * |group|/salt. The bucket is md5-derived from `saltKey` (a row-unique
+   * column), so the split is deterministic and engine-portable — no
+   * partitioning-dependent rand().
+   */
+  def topKPerGroupSalted(df: DataFrame, grpCol: String, saltKey: Column,
+                         salt: Int, k: Int, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(salt >= 1, "salt must be >= 1")
+    val sc_ = "__graft_topk_salt"
+    val rk = "__graft_topk_rk"
+    val bucket = pmod(conv(substring(md5(saltKey.cast("string")), 1, 15),
+      16, 10).cast("long"), lit(salt.toLong))
+    val w1 = Window.partitionBy(col(grpCol), col(sc_)).orderBy(order: _*)
+    val w2 = Window.partitionBy(col(grpCol)).orderBy(order: _*)
+    df.withColumn(sc_, bucket)
+      .withColumn(rk, row_number().over(w1))
+      .filter(col(rk) <= k)
+      .withColumn(rk, row_number().over(w2)) // over ≤ salt·k rows per group
+      .filter(col(rk) <= k)
+      .drop(sc_, rk)
+  }
+
+  /**
+   * Size-adaptive top-k per group: groups at or below `threshold` rows
+   * take the single-window path, larger ones the salted two-phase path —
+   * the dispatch a production job makes when a handful of head domains
+   * dwarf the rest. Group sizes are one partial-agg aggregate (group-
+   * cardinality-sized), attached by a planner-sized join; the two paths'
+   * unions are disjoint by construction. Results are identical to
+   * [[topKPerGroup]] (both paths are exact).
+   */
+  def topKPerGroupAdaptive(df: DataFrame, grpCol: String, saltKey: Column,
+                           salt: Int, k: Int, threshold: Long,
+                           order: Column*): DataFrame = {
+    val gs = "__graft_topk_gsz"
+    val sizes = df.groupBy(col(grpCol)).agg(count(lit(1)).as(gs))
+    val withSz = df.join(sizes, Seq(grpCol))
+    val small = topKPerGroup(withSz.filter(col(gs) <= threshold),
+      grpCol, k, order: _*)
+    val big = topKPerGroupSalted(withSz.filter(col(gs) > threshold),
+      grpCol, saltKey, salt, k, order: _*)
+    small.union(big).drop(gs)
   }
 
   /**

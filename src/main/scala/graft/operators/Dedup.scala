@@ -382,7 +382,9 @@ object Dedup {
       col(idCol).as("id2"), col("simhash_int").as("h2"))
     l.join(r, Seq("chunk", "ckey"))
       .filter(col("id1") < col("id2"))
-      .withColumn("hamming", bit_count(col("h1").bitwiseXOR(col("h2"))))
+      // cast: Spark's bit_count is INT, DuckDB's BIGINT — pin the width
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
       .filter(col("hamming") <= maxDist)
       .select(col("id1"), col("id2"), col("hamming"))
       .distinct()
@@ -412,6 +414,39 @@ object Dedup {
     // whole document for every element_at — interpreted HOFs do no
     // common-subexpression elimination (measured 62 s vs <1 s at sf0.1).
     element_at(transform(array(toks), ts => gramsOf(ts)), 1)
+  }
+
+  /**
+   * Row-local MinHash LSH band keys — [[minhashSignatures]] +
+   * [[bucketsFromSignatures]] computed entirely WITHIN one row (array
+   * transforms over the doc's own shingle array, no explode, no shuffle):
+   * bit-identical to the groupBy form, since min over the same shingle
+   * set is order-free and the band md5s are built from the same longs.
+   * This is what a STATELESS streaming ingest path needs — each arriving
+   * doc carries its own 4 band keys, so probing a stored
+   * [[writeSignatureIndex]] becomes a plain stream-static equi-join
+   * ([[graft.streaming.StreamPipeline.incrementalDedupStream]]).
+   * NULL (not md5-of-empties) when the doc has no shingle, matching the
+   * batch path where shingle-less docs never enter the band table and so
+   * never match it.
+   */
+  def bandKeysLocal(text: Column, n: Int = 3): Column = {
+    val sh = shingleArray(text, n)
+    def bandsOf(hs: Column): Column = {
+      val ms = MinhashA.zip(MinhashB).map { case (a, b) =>
+        array_min(transform(hs, h => pmod(lit(a) * h + lit(b), lit(MinhashP))))
+      }
+      array(
+        md5(concat_ws("|", ms(0), ms(1))),
+        md5(concat_ws("|", ms(2), ms(3))),
+        md5(concat_ws("|", ms(4), ms(5))),
+        md5(concat_ws("|", ms(6), ms(7))))
+    }
+    // same lambda-binding trick as shingleArray: the base-hash array is
+    // bound once so the 8 permutation mins don't re-md5 every shingle
+    val hsCol = transform(sh, s => baseHash(s))
+    when(size(sh) > 0,
+      element_at(transform(array(hsCol), hs => bandsOf(hs)), 1))
   }
 
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
@@ -506,33 +541,6 @@ object Dedup {
   }
 
   /**
-   * Approximate exact-substring dedup (Lee et al. 2021's suffix-array
-   * substring dedup recast for a relational engine): hash `window`-token
-   * windows and flag those whose hash occurs in MORE THAN ONE document.
-   * Window starts are CONTENT-DEFINED — position p anchors a window iff
-   * md5(token at p) ≡ 0 (mod `stride`), Broder's "mod m" shingle
-   * selection — so the sampled window set depends only on the text, not
-   * on where a span sits in its document: two copies of a span at
-   * different offsets anchor identical windows. (A fixed-phase stride
-   * would NEVER match copies at different offsets mod stride — the
-   * sampling must be position-independent or the operator is broken by
-   * construction.) A duplicated span is missed only if none of its
-   * eligible positions anchors: probability (1−1/stride)^(L−window+1) —
-   * the standard fingerprint-sampling trade; stride=1 degenerates to the
-   * exhaustive every-offset variant.
-   *
-   * Cross-doc only by choice: a hash repeating within one doc is
-   * internal repetition ([[Curation.dupLineFraction]] territory), not
-   * corpus duplication. Output per doc: anchored-window count,
-   * duplicated-window count, duplicated fraction (docs anchoring no
-   * window are absent).
-   *
-   * Scale: window hashes are short keys, text never ships past the
-   * window build; the df join is a hash-keyed shuffle of the window
-   * table — the honest cost of substring-granularity dedup at 100 TB;
-   * stride divides that table's expected size.
-   */
-  /**
    * Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash EVERY
    * `k`-token window, then slide a selection window of `w` consecutive
    * hashes and keep the leftmost minimum of each — ~2/(w+1) of all
@@ -584,6 +592,33 @@ object Dedup {
             / count(lit(1))).as("dup_frac"))
   }
 
+  /**
+   * Approximate exact-substring dedup (Lee et al. 2021's suffix-array
+   * substring dedup recast for a relational engine): hash `window`-token
+   * windows and flag those whose hash occurs in MORE THAN ONE document.
+   * Window starts are CONTENT-DEFINED — position p anchors a window iff
+   * md5(token at p) ≡ 0 (mod `stride`), Broder's "mod m" shingle
+   * selection — so the sampled window set depends only on the text, not
+   * on where a span sits in its document: two copies of a span at
+   * different offsets anchor identical windows. (A fixed-phase stride
+   * would NEVER match copies at different offsets mod stride — the
+   * sampling must be position-independent or the operator is broken by
+   * construction.) A duplicated span is missed only if none of its
+   * eligible positions anchors: probability (1−1/stride)^(L−window+1) —
+   * the standard fingerprint-sampling trade; stride=1 degenerates to the
+   * exhaustive every-offset variant.
+   *
+   * Cross-doc only by choice: a hash repeating within one doc is
+   * internal repetition ([[Curation.dupLineFraction]] territory), not
+   * corpus duplication. Output per doc: anchored-window count,
+   * duplicated-window count, duplicated fraction (docs anchoring no
+   * window are absent).
+   *
+   * Scale: window hashes are short keys, text never ships past the
+   * window build; the df join is a hash-keyed shuffle of the window
+   * table — the honest cost of substring-granularity dedup at 100 TB;
+   * stride divides that table's expected size.
+   */
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         window: Int = 32, stride: Int = 8): DataFrame = {
     require(stride >= 1, "stride must be >= 1")

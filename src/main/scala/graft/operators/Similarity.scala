@@ -386,6 +386,52 @@ object Similarity {
   }
 
   /**
+   * Persist the sign-LSH ANN index in its scale layout: vectors
+   * PARTITIONED BY their nBits sign bucket — the sign-LSH sibling of
+   * [[writeIvfIndex]] (data-independent buckets, so no centroid table to
+   * persist; the bucket function IS the model). A multi-probe query then
+   * reads only nBits+1 of the 2^nBits partition directories. The bucket
+   * width is part of the artifact's identity (a probe built with a
+   * different nBits would prune to the wrong directories), so it is
+   * stored alongside, mirroring [[Dedup.writeSignatureIndex]]'s
+   * `shingle_n` guard.
+   */
+  def writeLshIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    path: String, nBits: Int = 4): Unit = {
+    emb.withColumn("bucket", signBucket(col(vecCol), nBits))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/vectors")
+    emb.sparkSession.range(1).select(lit(nBits).as("n_bits"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Multi-probe ANN top-k against a stored [[writeLshIndex]] artifact:
+   * the query's bucket plus every flip-1-bit neighbor, as an `isin`
+   * predicate on the partition column — pruned to nBits+1 partition
+   * directories at planning time (asserted in SimilaritySpec). Same
+   * candidate set, hence same result, as the in-memory
+   * [[lshTopKMultiProbe]]. Refuses an `nBits` that differs from the one
+   * the index was built with.
+   */
+  def lshIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                   idCol: String, vecCol: String, query: Seq[Double],
+                   k: Int, nBits: Int = 4,
+                   excludeId: Option[Long] = None): DataFrame = {
+    val storedBits = spark.read.parquet(s"$path/meta")
+      .head().getAs[Int]("n_bits")
+    require(storedBits == nBits,
+      s"LSH index at $path was built with nBits=$storedBits, probed with nBits=$nBits")
+    val probes: Seq[Any] = multiProbeBuckets(query, nBits)
+    val scan = spark.read.parquet(s"$path/vectors")
+      .filter(col("bucket").isin(probes: _*))
+    val base = excludeId.fold(scan)(id => scan.filter(col(idCol) =!= id))
+    base.select(col(idCol),
+        round(cosine(col(vecCol), array(query.map(lit): _*)), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /**
    * Embedding near-dup pairs: all pairs with cosine ≥ threshold, blocked
    * by (blockCol, band, sign bucket) — BANDED sign-LSH with OR-
    * amplification: `bands` independent sign buckets, each over

@@ -121,6 +121,22 @@ object WebGraph {
    * (`localCheckpoint` — the label-propagation lineage pattern,
    * [[Dedup.dedupClusters]]), and each round's rank table is checkpointed
    * so lineage stays constant-depth across iterations.
+   *
+   * DANGLING-MASS SEMANTICS (deliberate, inherited from [[pagerankStep]]
+   * every round): a dangling domain (in-links but no out-links) receives
+   * rank but redistributes none — its damped mass LEAKS each iteration
+   * rather than being spread uniformly as in standard power iteration, so
+   * on graphs with dangling domains the total rank mass shrinks toward
+   * the teleport floor and iterated ranks sit systematically below the
+   * mass-conserving formulation (WebGraphSpec pins both: conservation on
+   * a dangling-free cycle, measured leak on a graph with a sink). This is
+   * the "leaked PageRank" variant, cheaper by one aggregate-and-broadcast
+   * per round. For a single round the difference is rank-order-neutral
+   * (uniform redistribution adds the same constant to every node); over
+   * multiple rounds the constant feeds back through the graph and
+   * orderings can drift, so use a mass-conserving implementation when
+   * absolute rank values — or deep-iteration orderings on dangling-heavy
+   * graphs — are the product.
    */
   def pagerank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {

@@ -202,20 +202,29 @@ object StreamPipeline {
    * StreamingSpec).
    */
   def lmScoreStream(docs: DataFrame, idCol: String, textCol: String,
-                    vocabDocs: DataFrame, minCount: Long = 2L): DataFrame = {
+                    vocabDocs: DataFrame, minCount: Long = 2L,
+                    topK: Option[Int] = None): DataFrame = {
     def toksOf(c: Column) = graft.operators.TextAnalysis.toks(c)
     val freq = vocabDocs.select(explode(toksOf(col(textCol))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    // one model row: full-corpus total + min-count-cut vocab map
-    // (collect_list drops the nulls the `when` leaves for cut tokens).
-    // localCheckpoint materializes the model ONCE — the static side of a
-    // stream-static join is otherwise re-evaluated per trigger, which
-    // would re-train on the full corpus every micro-batch
-    val model = freq.agg(
-      sum(col("c")).cast("double").as("s"),
-      map_from_entries(collect_list(when(col("c") >= minCount,
-        struct(col("tok"), col("c"))))).as("vocab"))
-      .localCheckpoint()
+      .localCheckpoint() // train ONCE; feeds both the total and the vocab cut
+    // one model row: full-corpus total + cut vocab map. A fixed minCount
+    // does NOT bound the map as the training corpus grows (Heaps' law) —
+    // the one-row broadcast would grow with it; pass topK to bound the
+    // vocab BY CONSTRUCTION (count desc, token asc — deterministic cut,
+    // identical to [[graft.operators.Curation.unigramLmScore]]'s topK).
+    // The total stays the full pre-cut token count either way.
+    val kept = {
+      val cut = freq.filter(col("c") >= minCount)
+      topK.fold(cut)(k => cut.orderBy(col("c").desc, col("tok").asc).limit(k))
+    }
+    val total = freq.agg(sum(col("c")).cast("double").as("s"))
+    val model = kept
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("c"))))
+        .as("vocab"))
+      .crossJoin(total)
+      .select(col("s"), col("vocab"))
+      .localCheckpoint() // materialize once, not per micro-batch trigger
     docs.select(col(idCol), toksOf(col(textCol)).as("_ts"))
       .filter(size(col("_ts")) > 0)
       .crossJoin(broadcast(model))
@@ -225,6 +234,52 @@ object StreamPipeline {
             acc - log(coalesce(element_at(col("vocab"), t), lit(1L))
               .cast("double") / col("s")))
             / size(col("_ts"))).as("lm_score"))
+  }
+
+  /**
+   * Streaming incremental dedup — the ingest-time twin of
+   * [[graft.operators.Dedup.incrementalDedupAgainstIndex]]: documents
+   * arriving on the stream are dropped the moment they exactly or nearly
+   * duplicate the already-ingested corpus, probed through the SAME stored
+   * [[graft.operators.Dedup.writeSignatureIndex]] artifact.
+   *
+   * Fully STATELESS (append mode, zero streaming state): each doc's 4
+   * MinHash band keys are computed row-locally
+   * ([[graft.operators.Dedup.bandKeysLocal]] — bit-identical to the batch
+   * signature, no explode/groupBy), then the rejection channels are five
+   * chained stream-static LEFT ANTI equi-joins — one on the content md5
+   * against `hashes/`, and one per band against `bands/` (each pruned to
+   * its single `band=b` partition directory). A doc survives iff no
+   * channel matches — exactly the batch operator's semantics (any
+   * matching band rejects), asserted row-for-row in StreamingSpec.
+   *
+   * Index-refresh cadence CONTRACT: the static side is snapshotted when
+   * the query STARTS — docs deduplicate against the index as of launch,
+   * not against each other or against docs ingested since. Duplicates
+   * WITHIN the stream window are the watermark-dedup's job ([[dedupStream]]);
+   * catching dups against post-launch ingests requires restarting the
+   * query against a refreshed index (the standard rolling-snapshot
+   * cadence: rebuild index per crawl batch, restart the ingest query).
+   */
+  def incrementalDedupStream(spark: SparkSession, indexPath: String,
+                             docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3): DataFrame = {
+    import graft.operators.Dedup
+    val storedN = spark.read.parquet(s"$indexPath/meta")
+      .head().getAs[Int]("shingle_n")
+    require(storedN == n,
+      s"signature index at $indexPath was built with n=$storedN, probed with n=$n")
+    val hashes = spark.read.parquet(s"$indexPath/hashes")
+    val bands = spark.read.parquet(s"$indexPath/bands")
+    val bk = "__graft_band_keys"
+    var cur = docs.withColumn(bk, Dedup.bandKeysLocal(col(textCol), n))
+      .join(hashes, md5(col(textCol)) === col("content_hash"), "left_anti")
+    for (b <- 0 until 4) {
+      cur = cur.join(
+        bands.filter(col("band") === b).select(col("band_key")),
+        element_at(col(bk), b + 1) === col("band_key"), "left_anti")
+    }
+    cur.drop(bk)
   }
 
   /**

@@ -144,4 +144,25 @@ class AnalyticsSpec extends SparkSuite {
     assert(Analytics.Anomalies.countInRange(anoms,
       ts("2024-01-01 00:00:00"), ts("2024-01-01 02:30:00")) == 2)
   }
+
+  test("E1: FULL BM25 length normalization demotes the long repetitive " +
+    "doc that raw tf(-idf) promotes") {
+    val filler = (1 to 200).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, "spark query"),                          // tf=1, dl=2
+      (2L, s"spark $filler spark spark spark"),     // tf=4, dl=204
+      (3L, "nothing relevant here")).toDF("doc_id", "text")
+    def scoresOf(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.as[(Long, Double)].collect().toMap
+    val plain = scoresOf(Analytics.textRankBm25(docs, "doc_id", "text", "spark"))
+    val full = scoresOf(Analytics.textRankBm25Full(docs, "doc_id", "text", "spark"))
+    assert(plain(2L) > plain(1L),
+      "without length norm, raw repetition wins")
+    assert(full(1L) > full(2L),
+      "with k1/b, the short on-topic doc outranks the long repeater")
+    assert(!plain.contains(3L) && !full.contains(3L), "non-matching doc absent")
+    // saturation alone: per-occurrence value decays — 4x the tf buys
+    // far less than 4x the score even before length norm kicks in
+    assert(full(2L) < 4 * full(1L))
+  }
 }

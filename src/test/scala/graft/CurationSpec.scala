@@ -396,4 +396,62 @@ class CurationSpec extends SparkSuite {
       .as[(String, Long)].collect().toSeq
     assert(top1 == Seq(("a b", 3L)), "k bounds the output")
   }
+
+  test("BPE training: hand-computed 2-round case — merge applied, pairs " +
+    "re-counted over the fused arrays") {
+    val d = Seq((1L, "a b a b c"), (2L, "a b x")).toDF("doc_id", "text")
+    // r1: (a,b) x3 wins; doc1 -> [a b, a b, c], doc2 -> [a b, x]
+    // r2: all pairs count 1 -> tie broken (t1, t2) asc: ("a b","a b")
+    val got = Curation.bpeTrain(d, "doc_id", "text", iters = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "b", 3L), (2L, "a b", "a b", 1L)), got.toString)
+  }
+
+  test("BPE training: greedy left-to-right overlap — in a run of " +
+    "candidates the 1st, 3rd, ... merge") {
+    val d = Seq((1L, "a a a a a")).toDF("doc_id", "text")
+    // r1: (a,a) x4 -> greedy: [a a, a a, a]
+    // r2 pairs: ("a a","a a") x1, ("a a","a") x1 -> tie: t2 "a" < "a a"
+    val got = Curation.bpeTrain(d, "doc_id", "text", iters = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == Seq((1L, "a", "a", 4L), (2L, "a a", "a", 1L)), got.toString)
+  }
+
+  test("salted and adaptive top-k per group match the single-window path " +
+    "exactly, ties included") {
+    val d = (1L to 300L).map { i =>
+      val g = if (i <= 200) "big" else if (i <= 280) "mid" else "small"
+      (i, g, (i % 7).toDouble) // heavy quality ties -> id tiebreak matters
+    }.toDF("doc_id", "source", "q")
+    val order = Seq($"q".desc, $"doc_id".asc)
+    val base = Curation.topKPerGroup(d, "source", 5, order: _*)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    for (salt <- Seq(1, 3, 8)) {
+      val salted = Curation.topKPerGroupSalted(d, "source", $"doc_id",
+        salt, 5, order: _*)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(salted == base, s"salt=$salt diverged")
+    }
+    val adaptive = Curation.topKPerGroupAdaptive(d, "source", $"doc_id",
+      salt = 4, k = 5, threshold = 100L, order: _*)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(adaptive == base, "adaptive dispatch diverged")
+  }
+
+  test("unigram LM topK: a cut at/above the kept-vocab size is a no-op; " +
+    "a tight cut floors more tokens to OOV (scores rise)") {
+    val d = (1L to 50L).map(i =>
+      (i, s"alpha beta gamma tok${i % 5} rare$i")).toDF("doc_id", "text")
+    val full = Curation.unigramLmScore(d, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val bounded = Curation.unigramLmScore(d, "doc_id", "text",
+      topK = Some(100000))
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(bounded == full, "large topK must not change the model")
+    val tight = Curation.unigramLmScore(d, "doc_id", "text", topK = Some(2))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    val fullMap = full.map(r => r._1 -> r._3).toMap
+    assert(tight.forall { case (id, s) => s >= fullMap(id) },
+      "cutting vocab can only raise surprisal (more OOV floors)")
+  }
 }

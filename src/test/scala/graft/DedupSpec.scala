@@ -97,16 +97,16 @@ class DedupSpec extends SparkSuite {
 
   test("simhash pairs: chunk banding is exact for hamming<=2 (matches brute force)") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 2, bits = 32)
-      .as[(Long, Long, Int)].collect().toSet
+      .as[(Long, Long, Long)].collect().toSet
     // brute-force reference over the integer signatures
     val ints = Dedup.simhashIntRows(docs, "doc_id", "text", bits = 32)
       .as[(Long, Long)].collect().sortBy(_._1)
     val brute = (for {
       (i1, h1) <- ints; (i2, h2) <- ints if i1 < i2
       d = java.lang.Long.bitCount(h1 ^ h2) if d <= 2
-    } yield (i1, i2, d)).toSet
+    } yield (i1, i2, d.toLong)).toSet
     assert(got == brute, s"banding missed or invented pairs: got=$got brute=$brute")
-    assert(got.contains((1L, 2L, 0)), "exact dup pair at hamming 0")
+    assert(got.contains((1L, 2L, 0L)), "exact dup pair at hamming 0")
   }
 
   test("jaccard df-cap drops hot shingles: cap=1 kills every shared shingle") {

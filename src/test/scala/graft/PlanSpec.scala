@@ -56,19 +56,54 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
   }
 
-  test("unigram LM: vocab and total join the token scan as broadcasts; " +
-    "per-doc roll-up is the only token-keyed shuffle") {
-    val p = planOf(Curation.unigramLmScore(docs, "doc_id", "text"))
-    assert(p.contains("BroadcastHashJoin"), p)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  test("unigram LM: vocab join is PLANNER-sized by default (no forced hint " +
+    "— Heaps' law: minCount alone does not bound the model), and AQE " +
+    "broadcasts it at runtime while it fits") {
+    val df = Curation.unigramLmScore(docs, "doc_id", "text")
+    // exactly ONE hint survives — the one-row total scalar; the VOCAB
+    // join itself must carry none (planner-sized)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    assert("ResolvedHint".r.findAllIn(
+      df.queryExecution.analyzed.toString).size == 1,
+      s"only the 1-row total may be hint-forced:\n$analyzed")
+    df.collect() // let AQE re-plan with measured sizes
+    val p = planOf(df)
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should pick broadcast for the small vocab at runtime:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("bigram LM: all three model tables broadcast to the corpus pass — " +
-    "no token-keyed sort-merge join") {
-    val p = planOf(Curation.bigramLmScore(docs, "doc_id", "text"))
+  test("unigram LM with topK: the vocab is bounded BY CONSTRUCTION, so " +
+    "the broadcast hint is forced and justified") {
+    val df = Curation.unigramLmScore(docs, "doc_id", "text",
+      topK = Some(100))
+    assert("ResolvedHint".r.findAllIn(
+      df.queryExecution.analyzed.toString).size == 2,
+      "topK-bounded vocab AND the total should carry broadcast hints")
+    val p = planOf(df)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("bigram LM: model joins planner-sized by default — no forced hint, " +
+    "AQE broadcasts at runtime, no cross product") {
+    val df = Curation.bigramLmScore(docs, "doc_id", "text")
+    // only the 1-row total is hinted; none of the three model joins is
+    assert("ResolvedHint".r.findAllIn(
+      df.queryExecution.analyzed.toString).size == 1,
+      "model joins must not be hint-forced")
+    df.collect()
+    val p = planOf(df)
     assert(p.contains("BroadcastHashJoin"), p)
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("salted top-k per group: two window ranks, no global sort, " +
+    "results identical to the single-window path") {
+    val p = planOf(Curation.topKPerGroupSalted(docs, "source", $"doc_id",
+      salt = 4, k = 3, $"doc_id".asc))
+    assert("(?s).*Window.*Window.*".r.matches(p),
+      s"expected the two-phase (salted then global) rank:\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("feature hashing: explode + one partial-agg shuffle, no join, " +

@@ -347,4 +347,26 @@ class SimilaritySpec extends SparkSuite {
     assert(got(4L)._2 == false && got(4L)._6.isEmpty,
       "non-canonical chunk layout must not be parsed as lengths")
   }
+
+  test("LSH stored index: bucket partitions prune to the probe set, " +
+    "results match the in-memory multi-probe; nBits guard refuses a " +
+    "mismatched probe") {
+    val path = tmpDir("lsh-idx")
+    Similarity.writeLshIndex(emb, "vec_id", "v", path, nBits = 4)
+    val qd = vec(7).toSeq
+    val fromIndex = Similarity.lshIndexTopK(spark, path, "vec_id", "v",
+      qd, k = 10, nBits = 4, excludeId = Some(7L))
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket"),
+      s"bucket predicate must prune partitions:\n$plan")
+    val idxIds = fromIndex.as[(Long, Double)].collect().map(_._1).toSeq
+    val memIds = Similarity.lshTopKMultiProbe(emb.filter($"vec_id" =!= 7L),
+      "vec_id", "v", qd, k = 10, nBits = 4)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    assert(idxIds == memIds, s"stored-index probe diverged: $idxIds vs $memIds")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.lshIndexTopK(spark, path, "vec_id", "v", qd, 10, nBits = 6)
+    }
+    assert(err.getMessage.contains("nBits"))
+  }
 }

@@ -247,6 +247,70 @@ class StreamingSpec extends SparkSuite {
     assert(got(9L)._2 > corpus.map(d => got(d.doc_id)._2).max,
       "unseen-vocabulary doc must out-score every in-corpus doc")
   }
+
+  test("streaming LM gate with topK: bounded-vocab stream scores equal the " +
+    "batch topK scores exactly") {
+    implicit val sq = spark.sqlContext
+    val corpus = (1L to 20L).map(i =>
+      StreamingSpec.Doc(i, s"alpha beta gamma delta tok${i % 3} rare$i"))
+    val staticDf = corpus.toDF()
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val scored = StreamPipeline.lmScoreStream(mem.toDF(), "doc_id", "text",
+      staticDf, minCount = 2L, topK = Some(3))
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("lm_stream_topk").start()
+    mem.addData(corpus: _*)
+    q.processAllAvailable()
+    val got = spark.table("lm_stream_topk").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    q.stop()
+    val batch = graft.operators.Curation.unigramLmScore(staticDf,
+      "doc_id", "text", minCount = 2L, topK = Some(3))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+  }
+
+  test("streaming incremental dedup: stateless anti-join probes of the " +
+    "stored index match the batch operator row-for-row") {
+    implicit val sq = spark.sqlContext
+    val long = (1 to 30).map(i => s"w$i").mkString(" ")
+    val seen = Seq(
+      (1L, s"$long tail one"),
+      (2L, "a completely different seen document body here"))
+      .toDF("doc_id", "text")
+    val path = tmpDir("sig-idx-stream")
+    graft.operators.Dedup.writeSignatureIndex(seen, "doc_id", "text", path, n = 3)
+    val newDocs = Seq(
+      StreamingSpec.Doc(10L, s"$long tail one"),        // exact dup -> dropped
+      StreamingSpec.Doc(11L, s"$long tail uno"),        // near dup -> dropped
+      StreamingSpec.Doc(12L, "an entirely novel page about fresh topics"),
+      StreamingSpec.Doc(13L, "xy")) // shingle-less: only the exact channel applies
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val kept = StreamPipeline.incrementalDedupStream(spark, path,
+      mem.toDF(), "doc_id", "text", n = 3)
+    // zero streaming state: append-mode runnable as chained anti-joins
+    val q = kept.writeStream.outputMode("append").format("memory")
+      .queryName("incdedup_stream").start()
+    mem.addData(newDocs: _*)
+    q.processAllAvailable()
+    val got = spark.table("incdedup_stream").select($"doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    val batch = graft.operators.Dedup.incrementalDedupAgainstIndex(spark,
+      path, newDocs.toDF(), "doc_id", "text", n = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(!got.contains(10L), "exact dup must be dropped")
+    assert(!got.contains(11L), "near dup must be dropped")
+    assert(got.contains(12L) && got.contains(13L),
+      "novel and shingle-less docs must pass")
+    // the index guard holds on the streaming path too
+    val err = intercept[IllegalArgumentException] {
+      StreamPipeline.incrementalDedupStream(spark, path, mem.toDF(),
+        "doc_id", "text", n = 5)
+    }
+    assert(err.getMessage.contains("n=3"))
+  }
 }
 
 object StreamingSpec {

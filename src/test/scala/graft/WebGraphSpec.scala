@@ -113,6 +113,22 @@ class WebGraphSpec extends SparkSuite {
       s"mass not conserved: ${ten.values.sum}")
   }
 
+  test("iterated pagerank with a dangling domain: rank mass LEAKS by " +
+    "design (documented semantics) — hand-computed horizon values") {
+    // A -> B, B dangling: B's damped mass is never redistributed
+    val edges = Seq(("A", "B", 1L)).toDF("src_domain", "dst_domain", "n_links")
+    val p4 = (x: Double) => math.floor(x * 10000 + 0.5) / 10000
+    val r3 = WebGraph.pagerank(edges, iters = 3)
+      .as[(String, Double)].collect().toMap
+    // A never receives inflow: 0.15 at every horizon.
+    // B: round1 0.15+0.85*1 = 1.0; round2 0.15+0.85*0.15 = 0.2775;
+    //    round3 same (A is stationary at 0.15)
+    assert(r3("A") == p4(0.15) && r3("B") == p4(0.15 + 0.85 * 0.15), r3.toString)
+    // total mass 0.4275 << 2.0 — the leak the scaladoc documents; a
+    // mass-conserving formulation would keep the sum at 2.0 every round
+    assert(r3.values.sum < 1.0, s"expected leaked mass, got ${r3.values.sum}")
+  }
+
   test("plan: extraction is scan-local; pagerank joins out-degree " +
     "broadcast — no sort-merge join anywhere") {
     val p = pages((1L, "a.com", """<a href="http://b.com">x</a>"""))

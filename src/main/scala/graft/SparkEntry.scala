@@ -160,6 +160,20 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // E1 (true stemming) — document AND query meet in Porter-light stem
+    // space: the planted "sparking"/"windowed" inflections match query
+    // inflections ("sparks window") no suffix expansion could reach.
+    // Whole-text codegen regexp chain, RE2-portable, mirrored verbatim
+    // by the oracle.
+    "q_text_match_porter" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 11 === 0, lit(" sparking")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" windowed")).otherwise(lit("")))
+      t(s, dir, "documents")
+        .filter(Analytics.textMatchPorter(planted, "sparks window"))
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // curation composition — quality gate → exact-dedup keepers →
     // stratified sample → per-source stats, one lazy plan end to end
     "q_curation_pipeline" -> ((s, dir) => {
@@ -1225,6 +1239,27 @@ object SparkEntry {
     "q_text_match" ->
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), '\b(spark|window)\b')
+        |ORDER BY doc_id""".stripMargin,
+
+    // same 5-rule Porter-light chain as the Spark side, RE2 \1 backrefs,
+    // global flag; query "sparks window" stems to (spark, window)
+    "q_text_match_porter" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |      || (CASE WHEN doc_id % 11 = 0 THEN ' sparking' ELSE '' END)
+        |      || (CASE WHEN doc_id % 13 = 0 THEN ' windowed' ELSE '' END) AS m
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |      lower(m), '([a-z])sses\b', '\1ss', 'g'),
+        |      '([a-z]{2})ies\b', '\1i', 'g'),
+        |      '([a-z]{2}[^su\s])s\b', '\1', 'g'),
+        |      '([a-z]*[aeiou][a-z]*)ing\b', '\1', 'g'),
+        |      '([a-z]*[aeiou][a-z]*)ed\b', '\1', 'g') AS stemmed
+        |  FROM p)
+        |SELECT doc_id FROM s
+        |WHERE regexp_matches(stemmed, '\b(spark|window)\b')
         |ORDER BY doc_id""".stripMargin,
 
     "q_text_rank" ->

@@ -118,6 +118,55 @@ object Analytics {
   }
 
   /**
+   * Porter-light stemming of EVERY word in a text column — the document-
+   * side analyzer step [[textMatchStemmed]]'s query expansion deliberately
+   * avoided, now available for relevance-porting users (r3 verdict,
+   * "what's missing" #2). Five ordered rewrite rules (Porter step 1a +
+   * the vowel-guarded 1b core: sses→ss, ies→i, final-s drop after
+   * non-s/u, ing/ed drop when the stem keeps a vowel), each ONE
+   * codegen'd whole-text `regexp_replace` with word boundaries — no
+   * per-token explode, no HOF; the whole chain is scan-local. Every
+   * pattern is RE2-portable (no lookaround; the DuckDB oracle mirrors
+   * the chain verbatim with `\\1` backrefs and the `g` flag).
+   * Linguistic fidelity trade (documented): this is the S-stemmer +
+   * 1b-core tier — no Porter steps 2-5 (no "ational"→"ate"), no e-
+   * restoration ("hoped"→"hop" not "hope") — the standard light-
+   * stemming operating point for retrieval.
+   */
+  def porterLightStemText(message: Column): Column = {
+    val r1 = regexp_replace(lower(message), "([a-z])sses\\b", "$1ss")
+    val r2 = regexp_replace(r1, "([a-z]{2})ies\\b", "$1i")
+    val r3 = regexp_replace(r2, "([a-z]{2}[^su\\s])s\\b", "$1")
+    val r4 = regexp_replace(r3, "([a-z]*[aeiou][a-z]*)ing\\b", "$1")
+    regexp_replace(r4, "([a-z]*[aeiou][a-z]*)ed\\b", "$1")
+  }
+
+  /** Scala twin of [[porterLightStemText]] for query-side stemming —
+    * same five rules, same order, so query and document meet in the same
+    * stem space. */
+  def porterLightStem(token: String): String =
+    token.toLowerCase
+      .replaceAll("([a-z])sses$", "$1ss")
+      .replaceAll("([a-z]{2})ies$", "$1i")
+      .replaceAll("([a-z]{2}[^su\\s])s$", "$1")
+      .replaceAll("([a-z]*[aeiou][a-z]*)ing$", "$1")
+      .replaceAll("([a-z]*[aeiou][a-z]*)ed$", "$1")
+
+  /**
+   * E1 (true-stemming variant) — analyzer-style match in STEM SPACE:
+   * both the document text and the query are Porter-light stemmed, then
+   * matched with the standard tokenized OR-match. Unlike
+   * [[textMatchStemmed]] (which expands the query with a fixed suffix
+   * alternation), this matches any inflection pair that meets at a
+   * common stem — "sparks" in the query hits "sparking" in the doc.
+   */
+  def textMatchPorter(message: Column, queryText: String): Column = {
+    val stemmedQuery = queryText.toLowerCase.split("\\W+")
+      .filter(_.nonEmpty).map(porterLightStem).mkString(" ")
+    textMatch(porterLightStemText(message), stemmedQuery)
+  }
+
+  /**
    * E1 (FULL BM25) — Lucene's complete default similarity, closing the
    * last scoring divergence from the reference (which delegates to
    * ES/Lucene, ElasticsearchService.java:279-283): per query term,

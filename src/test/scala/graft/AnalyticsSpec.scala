@@ -145,6 +145,36 @@ class AnalyticsSpec extends SparkSuite {
       ts("2024-01-01 00:00:00"), ts("2024-01-01 02:30:00")) == 2)
   }
 
+  test("E1: Porter-light stemming — rule coverage, and query/doc " +
+    "inflections meet in stem space") {
+    val d = Seq(
+      (1L, "the classes pass"),      // sses -> ss, final-s drop
+      (2L, "many ponies running"),   // ies -> i, ing drop
+      (3L, "sparks flew"),           // final-s after k
+      (4L, "she windowed the data"), // ed drop with vowel stem
+      (5L, "plus bus us")).toDF("doc_id", "text") // s after u: kept
+    val stemmed = d.select($"doc_id",
+      Analytics.porterLightStemText($"text").as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(stemmed(1L) == "the class pass")
+    assert(stemmed(2L) == "many poni runn", stemmed(2L))
+    assert(stemmed(3L) == "spark flew")
+    assert(stemmed(4L) == "she window the data")
+    assert(stemmed(5L) == "plus bus us", "u-final plurals untouched")
+    // scala twin agrees with the column chain on the query side
+    assert(Analytics.porterLightStem("sparks") == "spark")
+    assert(Analytics.porterLightStem("windowing") == "window")
+    // inflection pair meets at the stem: doc "sparking", query "sparks" —
+    // unreachable for the suffix-expansion matcher
+    val docs = Seq((1L, "cluster sparking tonight"), (2L, "no match here"))
+      .toDF("doc_id", "text")
+    val hits = docs.filter(Analytics.textMatchPorter($"text", "sparks"))
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(hits == Seq(1L))
+    assert(docs.filter(Analytics.textMatchStemmed($"text", "sparks"))
+      .count() == 0, "suffix expansion of 'sparks' cannot reach 'sparking'")
+  }
+
   test("E1: FULL BM25 length normalization demotes the long repetitive " +
     "doc that raw tf(-idf) promotes") {
     val filler = (1 to 200).map(i => s"filler$i").mkString(" ")

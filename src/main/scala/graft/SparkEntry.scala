@@ -1093,6 +1093,17 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // web graph: mass-CONSERVING 3-step PageRank — per round the dangling
+    // domains' damped mass (one 1-row aggregate) is redistributed
+    // uniformly, standard power iteration; Σpr = n at every horizon
+    "q_pagerank_conserving" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.pagerankConserving(
+        WebGraph.domainEdges(pages, "source", "doc_id", "html"), iters = 3)
+        .orderBy("domain")
+    }),
+
     // curation: per-source token-distribution drift — KL(source ‖ corpus)
     "q_source_kl" -> ((s, dir) =>
       Curation.sourceTokenDrift(t(s, dir, "documents"), "source", "text")
@@ -2224,6 +2235,8 @@ object SparkEntry {
 
     "q_pagerank_iters" -> pagerankOracleSql(iters = 3),
 
+    "q_pagerank_conserving" -> pagerankConservingOracleSql(iters = 3),
+
     "q_curation_v3" ->
       """WITH tokf AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
@@ -2567,6 +2580,53 @@ object SparkEntry {
          |pr$i AS (
          |  SELECT doms.domain,
          |         ((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(inflow, 0.0::DOUBLE)) AS pr
+         |  FROM doms LEFT JOIN inf$i USING (domain))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, $plantedHtmlSql AS html
+       |  FROM documents),
+       |l AS (
+       |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+       |  FROM h),
+       |eg AS (
+       |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+       |    SELECT source AS src_domain,
+       |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+       |    FROM l)
+       |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+       |  GROUP BY 1, 2),
+       |outd AS (SELECT src_domain, sum(n) AS outw FROM eg GROUP BY 1),
+       |doms AS (
+       |  SELECT DISTINCT src_domain AS domain FROM eg
+       |  UNION SELECT DISTINCT dst_domain FROM eg),
+       |pr0 AS (SELECT domain, 1.0::DOUBLE AS pr FROM doms),
+       |$rounds
+       |SELECT domain, floor(pr * 10000.0 + 0.5) / 10000.0 AS pr
+       |FROM pr$iters ORDER BY domain""".stripMargin
+  }
+
+  /**
+   * Unrolled DuckDB SQL for [[graft.operators.WebGraph.pagerankConserving]]:
+   * the [[pagerankOracleSql]] rounds plus, per round, a 1-row dangling-mass
+   * scalar (sum of the previous round's pr over domains with no outlinks)
+   * redistributed uniformly — arithmetic order mirrors the Scala side
+   * (inflow + dmass/n, then damped), final round 4dp only.
+   */
+  private def pagerankConservingOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""dm$i AS (
+         |  SELECT coalesce(sum(pr), 0.0::DOUBLE) AS dmass FROM pr${i - 1}
+         |  WHERE domain NOT IN (SELECT src_domain FROM outd)),
+         |inf$i AS (
+         |  SELECT dst_domain AS domain, sum(pr * n::DOUBLE / outw) AS inflow
+         |  FROM eg JOIN outd USING (src_domain)
+         |       JOIN pr${i - 1} ON pr${i - 1}.domain = eg.src_domain
+         |  GROUP BY 1),
+         |pr$i AS (
+         |  SELECT doms.domain,
+         |         ((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE *
+         |          (coalesce(inflow, 0.0::DOUBLE)
+         |           + (SELECT dmass FROM dm$i) / (SELECT count(*) FROM doms))) AS pr
          |  FROM doms LEFT JOIN inf$i USING (domain))""".stripMargin
     }.mkString(",\n")
     s"""WITH h AS (

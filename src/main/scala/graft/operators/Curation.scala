@@ -569,14 +569,20 @@ object Curation {
         // greedy left-to-right fold: merge when the accumulator's last
         // token is exactly p1 and the incoming one is p2 — a just-merged
         // token is strictly longer than p1, so overlapping candidates
-        // naturally alternate (1st, 3rd, ... of each run merge)
+        // naturally alternate (1st, 3rd, ... of each run merge). The
+        // array_contains guard skips the (interpreted, O(n)-copy) fold
+        // for every doc that can't contain the pair at all — most of the
+        // corpus for most merges.
         val fused = lit(p1 + " " + p2)
-        toksDf = toksDf.select(col(idCol),
-          aggregate(col("ts"), array().cast("array<string>"), (acc, x) =>
+        val folded = aggregate(col("ts"), array().cast("array<string>"),
+          (acc, x) =>
             when(size(acc) > 0 &&
                  element_at(acc, -1) === lit(p1) && x === lit(p2),
               concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
-              .otherwise(concat(acc, array(x)))).as("ts"))
+              .otherwise(concat(acc, array(x))))
+        toksDf = toksDf.select(col(idCol),
+          when(array_contains(col("ts"), p1) && array_contains(col("ts"), p2),
+            folded).otherwise(col("ts")).as("ts"))
           .localCheckpoint()
       }
     }

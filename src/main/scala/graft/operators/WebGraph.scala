@@ -166,6 +166,53 @@ object WebGraph {
   }
 
   /**
+   * Mass-CONSERVING PageRank to a fixed horizon — the standard power
+   * iteration [[pagerank]] deliberately is not: each round the damped
+   * mass of DANGLING domains (in-links, no out-links) is summed (one
+   * 1-row aggregate, broadcast) and redistributed uniformly across the
+   * domain universe, so Σpr stays exactly n·1.0 through every round
+   * (spec-pinned on a dangling graph). Costs one extra aggregate +
+   * broadcast per round over the leaked variant; choose this one when
+   * absolute rank values or deep-iteration orderings on dangling-heavy
+   * graphs are the product. Same per-round checkpoint pattern.
+   */
+  def pagerankConserving(edges: DataFrame, iters: Int,
+                         damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val srcs = edges.select(col("src_domain")).distinct()
+    val doms = edges.select(col("src_domain").as("domain"))
+      .union(edges.select(col("dst_domain").as("domain"))).distinct()
+      .localCheckpoint()
+    val withOut = edges
+      .join(edges.groupBy(col("src_domain"))
+        .agg(sum(col("n_links")).as("outw")), Seq("src_domain"))
+      .localCheckpoint()
+    val dangling = doms
+      .join(srcs, doms("domain") === srcs("src_domain"), "left_anti")
+      .localCheckpoint()
+    val nDoms = doms.count().toDouble // model-sized driver scalar
+    var pr = doms.withColumn("pr", lit(1.0))
+    for (_ <- 1 to iters) {
+      val inflow = withOut
+        .join(pr.withColumnRenamed("domain", "src_domain"),
+          Seq("src_domain"))
+        .select(col("dst_domain").as("domain"),
+          (col("pr") * col("n_links").cast("double") / col("outw")).as("c"))
+        .groupBy(col("domain")).agg(sum(col("c")).as("inflow"))
+      // the round's dangling mass: one row, broadcast into the update
+      val dm = pr.join(dangling, Seq("domain"), "left_semi")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("dmass"))
+      pr = doms.join(inflow, Seq("domain"), "left")
+        .crossJoin(broadcast(dm))
+        .select(col("domain"),
+          (lit(1.0 - damping) + lit(damping) *
+            (coalesce(col("inflow"), lit(0.0)) + col("dmass") / nDoms)).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("domain"), pround4(col("pr")).as("pr"))
+  }
+
+  /**
    * One PageRank power-iteration step over a domain edge list, from the
    * uniform start pr₀ = 1:
    *   pr₁(d) = (1−damping) + damping · Σ_{(s→d)} pr₀(s)·w(s→d)/out(s)

@@ -129,6 +129,32 @@ class WebGraphSpec extends SparkSuite {
     assert(r3.values.sum < 1.0, s"expected leaked mass, got ${r3.values.sum}")
   }
 
+  test("conserving pagerank: dangling mass redistributed, Σpr = n at " +
+    "every horizon; equals the leaked variant on a dangling-free graph") {
+    val dangling = Seq(("A", "B", 1L)).toDF("src_domain", "dst_domain", "n_links")
+    for (it <- Seq(1, 3)) {
+      val pr = WebGraph.pagerankConserving(dangling, iters = it)
+        .as[(String, Double)].collect().toMap
+      assert(math.abs(pr.values.sum - 2.0) < 1e-3,
+        s"iters=$it mass ${pr.values.sum} != 2.0")
+    }
+    // hand-check round 1: dm0 = pr(B) = 1 -> each gets 0.85*0.5 uniform;
+    // B additionally gets A's full outflow 0.85*1
+    val r1 = WebGraph.pagerankConserving(dangling, iters = 1)
+      .as[(String, Double)].collect().toMap
+    val p4 = (x: Double) => math.floor(x * 10000 + 0.5) / 10000
+    assert(r1("A") == p4(0.15 + 0.85 * 0.5) && r1("B") == p4(0.15 + 0.85 * 1.5),
+      r1.toString)
+    // no dangling domains -> dmass = 0 every round -> identical results
+    val cycle = Seq(("A", "B", 1L), ("B", "C", 1L), ("C", "A", 1L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    val a = WebGraph.pagerank(cycle, iters = 4).as[(String, Double)]
+      .collect().toMap
+    val b = WebGraph.pagerankConserving(cycle, iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(a == b, s"dangling-free graphs must agree: $a vs $b")
+  }
+
   test("plan: extraction is scan-local; pagerank joins out-degree " +
     "broadcast — no sort-merge join anywhere") {
     val p = pages((1L, "a.com", """<a href="http://b.com">x</a>"""))

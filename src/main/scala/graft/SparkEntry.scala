@@ -1032,6 +1032,46 @@ object SparkEntry {
         k = 8, w = 4)
         .orderBy("doc_id")),
 
+    // dedup: substring removal APPLIED (Lee et al.'s end step) — every
+    // token covered by a cross-doc-duplicated anchored window dropped,
+    // survivors rejoined; same mod-m anchors as q_dedup_substring
+    "q_dedup_remove" -> ((s, dir) =>
+      Dedup.removeDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        window = 16, stride = 4)
+        .orderBy("doc_id")),
+
+    // curation: per-source quality calibration — percent rank within
+    // source (tie-sharing PERCENT_RANK, deterministic with no tiebreak)
+    "q_calibrate" -> ((s, dir) =>
+      Curation.calibrateScores(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "source", "quality")
+        .orderBy("doc_id")),
+
+    // sink: keyed UPSERT into a partitioned parquet table (MERGE without
+    // a table format): base write → batch of updates + inserts → dynamic
+    // partition overwrite of ONLY the touched partitions → read back;
+    // the oracle is the relational FULL-JOIN merge (batch wins)
+    "q_upsert" -> ((s, dir) => {
+      val p = new org.apache.hadoop.fs.Path(
+        s"/tmp/graft_upsert_${s.sparkContext.applicationId}")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = t(s, dir, "documents")
+      val base = docs.select(col("doc_id"), lit("v0").as("ver"), col("source"))
+      Exports.upsertByKey(s, p.toString, base, "doc_id", "source")
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("v1").as("ver"), col("source"))
+        .union(docs.filter(col("doc_id") % 7 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            lit("new").as("ver"), col("source")))
+      Exports.upsertByKey(s, p.toString, batch, "doc_id", "source")
+      s.read.parquet(p.toString)
+        .select(col("doc_id"), col("ver"), col("source"))
+        .orderBy("doc_id")
+    }),
+
     // web graph: main-text extraction from html bytes, with the
     // north-rule round-trip invariant made explicit — wrapping the text
     // in markup (style/script subtrees, tags, a double-escaped entity, a
@@ -1840,6 +1880,25 @@ object SparkEntry {
 
     "q_quality" -> qualitySql,
 
+    "q_calibrate" ->
+      s"""WITH $qualityCtes
+         |SELECT q.doc_id, d.source, q.quality,
+         |       floor(percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality) * 10000.0 + 0.5) / 10000.0 AS calibrated
+         |FROM qual q JOIN documents d ON d.doc_id = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin,
+
+    "q_upsert" ->
+      """WITH base AS (SELECT doc_id, 'v0' AS ver, source FROM documents),
+        |batch AS (
+        |  SELECT doc_id, 'v1' AS ver, source FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', source FROM documents WHERE doc_id % 7 = 3)
+        |SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+        |       coalesce(b.ver, a.ver) AS ver,
+        |       coalesce(b.source, a.source) AS source
+        |FROM base a FULL JOIN batch b ON a.doc_id = b.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
     "q_token_count" ->
       """SELECT doc_id,
         |       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS ws_tokens,
@@ -2108,6 +2167,38 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracleSql(iters = 3),
+
+    "q_dedup_remove" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |anch AS (
+        |  SELECT doc_id, toks, unnest(list_filter(range(1, len(toks) - 14),
+        |    p -> ('0x' || substr(md5(toks[p]), 1, 15))::UBIGINT % 4 = 0)) AS p
+        |  FROM tokf WHERE len(toks) >= 16),
+        |win AS (
+        |  SELECT doc_id, p, md5(array_to_string(list_slice(toks, p, p + 15), ' ')) AS h
+        |  FROM anch),
+        |dfw AS (SELECT h, count(DISTINCT doc_id) AS df FROM win GROUP BY 1),
+        |dup AS (SELECT win.doc_id, win.p FROM win JOIN dfw USING (h) WHERE df >= 2),
+        |pos AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS t FROM tokf),
+        |cov AS (
+        |  SELECT DISTINCT pos.doc_id, pos.i
+        |  FROM pos JOIN dup d ON d.doc_id = pos.doc_id
+        |                     AND pos.i >= d.p AND pos.i < d.p + 16),
+        |keptpos AS (
+        |  SELECT pos.doc_id, pos.i, pos.t
+        |  FROM pos LEFT JOIN cov ON cov.doc_id = pos.doc_id AND cov.i = pos.i
+        |  WHERE cov.i IS NULL),
+        |res AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS cleaned,
+        |         count(*) AS n_kept
+        |  FROM keptpos GROUP BY 1)
+        |SELECT f.doc_id, len(f.toks)::BIGINT AS n_tokens,
+        |       (len(f.toks) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+        |       coalesce(r.cleaned, '') AS cleaned
+        |FROM tokf f LEFT JOIN res r USING (doc_id)
+        |ORDER BY f.doc_id""".stripMargin,
 
     "q_dedup_winnow" ->
       """WITH tokf AS (

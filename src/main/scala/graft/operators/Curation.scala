@@ -754,6 +754,32 @@ object Curation {
   }
 
   /**
+   * Per-source score CALIBRATION: each document's quality score is
+   * replaced by its percent rank WITHIN its source,
+   * (rank − 1)/(n − 1) ∈ [0, 1] — the standard normalization before a
+   * single global quality threshold is applied to a multi-source corpus
+   * (raw scorer scales differ per source: a 0.6 from a news domain and a
+   * 0.6 from a forum dump are not the same quality; per-source quantiles
+   * are). Ties share a rank (SQL PERCENT_RANK semantics, identical in
+   * both engines) — and BECAUSE rank() counts strictly-lower values
+   * only, the output is deterministic with no tiebreak column at all:
+   * equal scores get equal calibrated values regardless of physical row
+   * order. Single-doc sources calibrate to 0.0 by definition.
+   * One per-group window, parallel across sources — the same scale shape
+   * as [[topKPerGroup]]; for a pathologically giant source the salted
+   * two-phase trick does NOT apply (percent rank needs the true global
+   * rank), so giant groups pay their sort — documented.
+   * The rank's rational value is exact in doubles (both engines compute
+   * the same division); pround4 guards the hash anyway.
+   */
+  def calibrateScores(df: DataFrame, grpCol: String,
+                      scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(scoreCol))
+    df.withColumn("calibrated", pround4(percent_rank().over(w)))
+  }
+
+  /**
    * Cross-source shingle overlap: for every unordered source pair, how
    * many distinct word n-grams they share — the corpus-mixing /
    * provenance-leak report. Distinct (source, shingle) rows roll up to a

@@ -619,6 +619,64 @@ object Dedup {
    * table — the honest cost of substring-granularity dedup at 100 TB;
    * stride divides that table's expected size.
    */
+  /**
+   * Substring dedup APPLIED — the removal step [[substringDupSpans]] only
+   * diagnoses (Lee et al. 2021 actually delete the duplicated spans from
+   * the training corpus): every token covered by ANY cross-doc-duplicated
+   * anchored window is dropped and the survivors are rejoined with single
+   * spaces. Same content-defined mod-m anchors as the diagnostic (so
+   * relocated copies collide), same df ≥ 2 cross-doc rule. BOTH copies of
+   * a duplicated span are removed — the symmetric policy (keep-one
+   * requires a global tie-break over span instances; for training-data
+   * dedup the symmetric drop is the published default).
+   *
+   * Plan: anchor/window build scan-local; one window-hash df shuffle
+   * (short keys); the per-doc duplicated-anchor lists (collect_list —
+   * bounded by the doc's own anchor count) join back to the token arrays
+   * by id, and coverage is resolved ARRAY-LOCALLY (exists over the
+   * anchor list per position) — the text ships through exactly one join,
+   * never through a position-level shuffle. Output: (id, n_tokens,
+   * n_removed, cleaned); docs whose every token is covered come back
+   * with cleaned = "".
+   */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     window: Int = 32, stride: Int = 8): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    def anchorsOf(ts: Column): Column =
+      when(size(ts) >= window,
+        filter(sequence(lit(1), size(ts) - (window - 1)), p =>
+          conv(substring(md5(element_at(ts, p)), 1, 15), 16, 10)
+            .cast("long") % stride === 0))
+        .otherwise(array().cast("array<int>"))
+    val base = docs.select(col(idCol), toks.as("_ts")).localCheckpoint(false)
+    val win = base
+      .select(col(idCol), col("_ts"),
+        explode(element_at(transform(array(col("_ts")), ts => anchorsOf(ts)), 1))
+          .as("p"))
+      .select(col(idCol), col("p"),
+        md5(concat_ws(" ", slice(col("_ts"), col("p"), lit(window)))).as("h"))
+    val dfw = win.groupBy(col("h"))
+      .agg(count_distinct(col(idCol)).as("df"))
+    val dupAnchors = win.join(dfw, Seq("h"))
+      .filter(col("df") >= 2)
+      .groupBy(col(idCol)).agg(collect_list(col("p")).as("_ps"))
+    val joined = base.join(dupAnchors, Seq(idCol), "left")
+    // guard: Spark's sequence(1, 0) steps BACKWARD ([1, 0]) — empty docs
+    // must yield an empty position list, not a phantom 0th position
+    val positions = when(size(col("_ts")) > 0,
+      sequence(lit(1), size(col("_ts"))))
+      .otherwise(array().cast("array<int>"))
+    val keep = filter(positions, i =>
+      not(coalesce(exists(col("_ps"), p => p <= i && i < p + window),
+        lit(false))))
+    joined.select(col(idCol),
+      size(col("_ts")).cast("long").as("n_tokens"),
+      (size(col("_ts")) - size(keep)).cast("long").as("n_removed"),
+      concat_ws(" ", transform(keep, i => element_at(col("_ts"), i)))
+        .as("cleaned"))
+  }
+
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         window: Int = 32, stride: Int = 8): DataFrame = {
     require(stride >= 1, "stride must be >= 1")

@@ -59,6 +59,54 @@ object Exports {
   }
 
   /**
+   * Keyed UPSERT into a partitioned parquet table without a table format
+   * — MERGE semantics (batch wins on key collision) via dynamic
+   * partition overwrite, the standard incremental-ingest shape when
+   * Delta/Iceberg isn't on the classpath:
+   *
+   *   1. the batch's touched partition values are collected (one
+   *      aggregate over the BATCH — partition-cardinality-sized, never
+   *      table-sized);
+   *   2. ONLY those partitions of the existing table are read back
+   *      (partition pruning on the stored layout — the table's other
+   *      partitions are never opened, which is what makes this O(batch)
+   *      not O(table));
+   *   3. surviving old rows = existing LEFT ANTI batch on the key;
+   *   4. survivors ∪ batch are written with
+   *      `partitionOverwriteMode=dynamic`, so exactly the touched
+   *      partition directories are replaced atomically-per-partition and
+   *      a replayed batch converges to the same state (idempotent).
+   *
+   * Requires batch and table to share the schema; the key must be unique
+   * within the batch (last-writer-wins among equal keys is NOT defined —
+   * same contract as SQL MERGE).
+   */
+  def upsertByKey(spark: SparkSession, tableDir: String, batch: DataFrame,
+                  keyCol: String, partitionCol: String): Unit = {
+    val exists = new java.io.File(tableDir).exists()
+    if (!exists) {
+      batch.write.partitionBy(partitionCol).parquet(tableDir)
+    } else {
+      val touched = batch.select(col(partitionCol)).distinct()
+        .collect().map(_.get(0)).toSeq // partition-cardinality-sized
+      val existing = spark.read.parquet(tableDir)
+        .filter(col(partitionCol).isin(touched: _*)) // pruned read
+      val survivors = existing.join(
+        batch.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        // materialize before the write: Spark (correctly) refuses to
+        // overwrite a path that is also being read from; the survivor set
+        // is bounded by the touched partitions, not the table
+        .localCheckpoint()
+      survivors.select(batch.columns.map(col).toIndexedSeq: _*)
+        .union(batch)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol)
+        .parquet(tableDir)
+    }
+  }
+
+  /**
    * Bucketed table registration — the CO-LOCATED JOIN seam for repeated
    * large-to-large joins at cluster scale. Two tables bucketed (and
    * sorted) the same way on the join key join with ZERO exchanges: each

@@ -131,4 +131,33 @@ class AggregatesSpec extends SparkSuite {
     assert(csvBack.agg(max($"ts".cast("timestamp"))).collect()(0)
       .getTimestamp(0) == maxTs)
   }
+
+  test("keyed upsert: batch wins on collision, inserts land, untouched " +
+    "partitions survive, replay is idempotent") {
+    import graft.operators.Exports
+    val dir = tmpDir("upsert") + "/tbl"
+    val base = Seq((1L, "v0", "p1"), (2L, "v0", "p1"), (3L, "v0", "p2"),
+      (4L, "v0", "p3")).toDF("id", "ver", "part")
+    Exports.upsertByKey(spark, dir, base, "id", "part")
+    val batch = Seq((2L, "v1", "p1"), (9L, "new", "p2"))
+      .toDF("id", "ver", "part")
+    Exports.upsertByKey(spark, dir, batch, "id", "part")
+    def state() = spark.read.parquet(dir).select($"id", $"ver", $"part")
+      .as[(Long, String, String)].collect().toSet
+    val expect = Set((1L, "v0", "p1"), (2L, "v1", "p1"), (3L, "v0", "p2"),
+      (4L, "v0", "p3"), (9L, "new", "p2"))
+    assert(state() == expect, state().toString)
+    // at-least-once replay of the same batch converges to the same state
+    Exports.upsertByKey(spark, dir, batch, "id", "part")
+    assert(state() == expect, "replay must be a no-op")
+    // untouched partition p3's file is NOT rewritten by the batch
+    val p3Files = new java.io.File(s"$dir/part=p3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    Exports.upsertByKey(spark, dir,
+      Seq((1L, "v2", "p1")).toDF("id", "ver", "part"), "id", "part")
+    val p3After = new java.io.File(s"$dir/part=p3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(p3After == p3Files,
+      "dynamic overwrite must leave untouched partitions' files alone")
+  }
 }

@@ -438,6 +438,21 @@ class CurationSpec extends SparkSuite {
     assert(adaptive == base, "adaptive dispatch diverged")
   }
 
+  test("per-source calibration: percent rank within source, ties share, " +
+    "singleton source pins to 0") {
+    val d = Seq(
+      (1L, "a", 0.1), (2L, "a", 0.5), (3L, "a", 0.5), (4L, "a", 0.9),
+      (5L, "b", 0.7), (6L, "b", 0.2), (7L, "c", 0.3))
+      .toDF("doc_id", "source", "q")
+    val got = Curation.calibrateScores(d, "source", "q")
+      .select($"doc_id", $"calibrated")
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(4L) == 1.0)
+    assert(got(2L) == 0.3333 && got(3L) == 0.3333, "ties share the rank")
+    assert(got(6L) == 0.0 && got(5L) == 1.0)
+    assert(got(7L) == 0.0, "singleton source calibrates to 0 by definition")
+  }
+
   test("unigram LM topK: a cut at/above the kept-vocab size is a no-op; " +
     "a tight cut floors more tokens to OOV (scores rise)") {
     val d = (1L to 50L).map(i =>

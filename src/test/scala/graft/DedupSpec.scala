@@ -109,6 +109,24 @@ class DedupSpec extends SparkSuite {
     assert(got.contains((1L, 2L, 0L)), "exact dup pair at hamming 0")
   }
 
+  test("substring removal: duplicated span deleted from BOTH docs, " +
+    "unique text kept, empty and short docs pass through") {
+    val span = (1 to 20).map(i => s"d$i").mkString(" ")
+    val d = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"$span omega"),
+      (3L, "totally unique content here"),
+      (4L, "")).toDF("doc_id", "text")
+    // stride 1: every position anchors -> coverage is exact
+    val got = Dedup.removeDupSpans(d, "doc_id", "text",
+      window = 16, stride = 1)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 23L, 20L, "alpha beta gamma")), got(1L).toString)
+    assert(got(2L) == ((2L, 21L, 20L, "omega")), got(2L).toString)
+    assert(got(3L) == ((3L, 4L, 0L, "totally unique content here")))
+    assert(got(4L) == ((4L, 0L, 0L, "")), "empty doc passes through")
+  }
+
   test("jaccard df-cap drops hot shingles: cap=1 kills every shared shingle") {
     val none = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "source",
       n = 3, threshold = 0.01, maxShingleDf = 1)

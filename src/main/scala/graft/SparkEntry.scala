@@ -1049,6 +1049,29 @@ object SparkEntry {
         "source", "quality")
         .orderBy("doc_id")),
 
+    // curation v4 — THIS round's operators composed end to end:
+    // per-source percent-rank calibration → keep each source's upper
+    // half (calibrated ≥ 0.5 — a GLOBAL threshold made meaningful by
+    // calibration) → substring removal over the survivor corpus (df
+    // counted post-gate, matching the staged-pipeline contract) →
+    // per-source kept/removed token stats
+    "q_curation_v4" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cal = Curation.calibrateScores(
+        d.select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScore(col("text")).as("quality")),
+        "source", "quality")
+      val kept = d.join(cal.filter(col("calibrated") >= 0.5)
+        .select("doc_id"), Seq("doc_id"))
+      Dedup.removeDupSpans(kept, "doc_id", "text", window = 16, stride = 4)
+        .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens") - col("n_removed")).as("kept_tokens"),
+          sum(col("n_removed")).as("removed_tokens"))
+        .orderBy("source")
+    }),
+
     // sink: keyed UPSERT into a partitioned parquet table (MERGE without
     // a table format): base write → batch of updates + inserts → dynamic
     // partition overwrite of ONLY the touched partitions → read back;
@@ -1886,6 +1909,42 @@ object SparkEntry {
          |       floor(percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality) * 10000.0 + 0.5) / 10000.0 AS calibrated
          |FROM qual q JOIN documents d ON d.doc_id = q.doc_id
          |ORDER BY q.doc_id""".stripMargin,
+
+    "q_curation_v4" ->
+      s"""WITH $qualityCtes,
+         |cal AS (
+         |  SELECT q.doc_id,
+         |         floor(percent_rank() OVER (PARTITION BY d.source ORDER BY q.quality) * 10000.0 + 0.5) / 10000.0 AS c
+         |  FROM qual q JOIN documents d ON d.doc_id = q.doc_id),
+         |sv AS (
+         |  SELECT d.doc_id, d.source, d.text
+         |  FROM documents d JOIN cal ON cal.doc_id = d.doc_id WHERE cal.c >= 0.5),
+         |tokf2 AS (
+         |  SELECT doc_id, source, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+         |  FROM sv),
+         |anch2 AS (
+         |  SELECT doc_id, toks, unnest(list_filter(range(1, len(toks) - 14),
+         |    p -> ('0x' || substr(md5(toks[p]), 1, 15))::UBIGINT % 4 = 0)) AS p
+         |  FROM tokf2 WHERE len(toks) >= 16),
+         |win2 AS (
+         |  SELECT doc_id, p, md5(array_to_string(list_slice(toks, p, p + 15), ' ')) AS h
+         |  FROM anch2),
+         |dfw2 AS (SELECT h, count(DISTINCT doc_id) AS df FROM win2 GROUP BY 1),
+         |dup2 AS (SELECT win2.doc_id, win2.p FROM win2 JOIN dfw2 USING (h) WHERE df >= 2),
+         |pos2 AS (SELECT doc_id, generate_subscripts(toks, 1) AS i FROM tokf2),
+         |cov2 AS (
+         |  SELECT DISTINCT pos2.doc_id, pos2.i
+         |  FROM pos2 JOIN dup2 d ON d.doc_id = pos2.doc_id
+         |                       AND pos2.i >= d.p AND pos2.i < d.p + 16),
+         |res2 AS (
+         |  SELECT p.doc_id, count(*) - count(c.i) AS n_kept
+         |  FROM pos2 p LEFT JOIN cov2 c ON c.doc_id = p.doc_id AND c.i = p.i
+         |  GROUP BY 1)
+         |SELECT f.source, count(*) AS n_docs,
+         |       sum(coalesce(r.n_kept, 0))::BIGINT AS kept_tokens,
+         |       sum(len(f.toks) - coalesce(r.n_kept, 0))::BIGINT AS removed_tokens
+         |FROM tokf2 f LEFT JOIN res2 r ON r.doc_id = f.doc_id
+         |GROUP BY 1 ORDER BY f.source""".stripMargin,
 
     "q_upsert" ->
       """WITH base AS (SELECT doc_id, 'v0' AS ver, source FROM documents),

@@ -283,6 +283,31 @@ object StreamPipeline {
   }
 
   /**
+   * Streaming keyed upsert — the delivery-semantics completion of
+   * [[graft.operators.Exports.upsertByKey]]: each micro-batch MERGEs into
+   * the partitioned parquet table (batch wins on key collision, only
+   * touched partitions rewritten). At-least-once replay of a micro-batch
+   * re-applies the same merge, and the merge is idempotent — so the
+   * at-least-once source + idempotent sink compose to effectively-once
+   * table state, the same contract as [[run]]'s overwrite-per-batch-path
+   * but for a KEYED mutable table rather than an append log. Batches are
+   * applied serially in batchId order (foreachBatch's contract), which
+   * is what makes "batch wins" well-defined across triggers.
+   */
+  def upsertStream(spark: SparkSession, tableDir: String, docs: DataFrame,
+                   keyCol: String, partitionCol: String,
+                   checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Exports.upsertByKey(spark, tableDir, batch,
+          keyCol, partitionCol)
+        ()
+      }
+      .start()
+
+  /**
    * F3 as an incremental streaming aggregate: 1-hour event-time windows
    * per severity, 10-minute watermark bounding state (late rows beyond it
    * are dropped — the streaming trade-off the batch gap-fill never makes).

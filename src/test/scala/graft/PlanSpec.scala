@@ -97,6 +97,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("substring removal: no window operator, no cross product — " +
+    "coverage resolves array-locally after the df shuffle") {
+    val p = planOf(Dedup.removeDupSpans(docs, "doc_id", "text",
+      window = 4, stride = 1))
+    assert(!p.contains("Window"), s"coverage must not use a window:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"position coverage must never be a range join:\n$p")
+  }
+
   test("salted top-k per group: two window ranks, no global sort, " +
     "results identical to the single-window path") {
     val p = planOf(Curation.topKPerGroupSalted(docs, "source", $"doc_id",

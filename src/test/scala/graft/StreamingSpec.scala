@@ -311,6 +311,30 @@ class StreamingSpec extends SparkSuite {
     }
     assert(err.getMessage.contains("n=3"))
   }
+
+  test("streaming keyed upsert: micro-batches merge into the partitioned " +
+    "table, batch wins, final state equals the batch-side merge") {
+    implicit val sq = spark.sqlContext
+    val dir = tmpDir("upsert-stream") + "/tbl"
+    val ckpt = tmpDir("upsert-stream-ckpt")
+    val mem = MemoryStream[StreamingSpec.Versioned]
+    // wave 1: base rows; AvailableNow drains then stops -> restart for wave 2
+    mem.addData(
+      StreamingSpec.Versioned(1L, "v0", "p1"),
+      StreamingSpec.Versioned(2L, "v0", "p1"),
+      StreamingSpec.Versioned(3L, "v0", "p2"))
+    val q1 = StreamPipeline.upsertStream(spark, dir, mem.toDF(), "id", "part", ckpt)
+    q1.awaitTermination()
+    mem.addData(
+      StreamingSpec.Versioned(2L, "v1", "p1"), // update
+      StreamingSpec.Versioned(9L, "new", "p2")) // insert
+    val q2 = StreamPipeline.upsertStream(spark, dir, mem.toDF(), "id", "part", ckpt)
+    q2.awaitTermination()
+    val got = spark.read.parquet(dir).select($"id", $"ver", $"part")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "v0", "p1"), (2L, "v1", "p1"), (3L, "v0", "p2"),
+      (9L, "new", "p2")), got.toString)
+  }
 }
 
 object StreamingSpec {
@@ -318,4 +342,6 @@ object StreamingSpec {
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 
   final case class Doc(doc_id: Long, text: String)
+
+  final case class Versioned(id: Long, ver: String, part: String)
 }

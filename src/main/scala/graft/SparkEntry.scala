@@ -1032,6 +1032,14 @@ object SparkEntry {
         k = 8, w = 4)
         .orderBy("doc_id")),
 
+    // dedup: winnowing with POLYNOMIAL window hashes — same selection
+    // rule and guarantee, O(n) md5 + integer Horner folds instead of
+    // O(n·k) md5 digests (the md5 variant is the bench's compute tail)
+    "q_dedup_winnow_fast" -> ((s, dir) =>
+      Dedup.winnowedDupSpansFast(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, w = 4)
+        .orderBy("doc_id")),
+
     // dedup: substring removal APPLIED (Lee et al.'s end step) — every
     // token covered by a cross-doc-duplicated anchored window dropped,
     // survivors rejoined; same mod-m anchors as q_dedup_substring
@@ -2268,6 +2276,37 @@ object SparkEntry {
         |         list_transform(range(1, len(toks) - 6),
         |                        p -> md5(array_to_string(list_slice(toks, p, p + 7), ' '))) AS hs
         |  FROM tokf WHERE len(toks) >= 11),
+        |selx AS (
+        |  SELECT doc_id, hs,
+        |         list_distinct(list_transform(range(1, len(hs) - 2),
+        |           s -> s - 1 + list_indexof(list_slice(hs, s, s + 3),
+        |                                     list_min(list_slice(hs, s, s + 3))))) AS ps
+        |  FROM hsx),
+        |fullw AS (SELECT doc_id, hs[unnest(ps)] AS h FROM selx),
+        |dfw AS (SELECT h, count(DISTINCT doc_id) AS df FROM fullw GROUP BY 1)
+        |SELECT f.doc_id, count(*) AS n_windows,
+        |       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |       floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+        |FROM fullw f JOIN dfw USING (h)
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // identical winnowing chain, but window hashes are the same Horner
+    // fold Spark runs: list_reduce over a 0-seeded slice of per-token
+    // base hashes (both engines execute the same accumulator sequence)
+    "q_dedup_winnow_fast" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |thx AS (
+        |  SELECT doc_id,
+        |         list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::UBIGINT % 2147483647) AS th
+        |  FROM tokf WHERE len(toks) >= 11),
+        |hsx AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, len(th) - 6),
+        |                        p -> list_reduce(list_prepend(0::UBIGINT, list_slice(th, p, p + 7)),
+        |                                         (a, b) -> (a * 1000003 + b) % 2147483647)) AS hs
+        |  FROM thx),
         |selx AS (
         |  SELECT doc_id, hs,
         |         list_distinct(list_transform(range(1, len(hs) - 2),

@@ -298,6 +298,32 @@ class DedupSpec extends SparkSuite {
     assert(short.count() == 0)
   }
 
+  test("winnowing FAST variant: same deterministic guarantee under the " +
+    "polynomial Horner hash; selection densifies; short docs absent") {
+    val span = (1 to 6).map(i => s"z$i").mkString(" ")
+    val docs = (0 to 5).map { off =>
+      val prefix = (1 to off).map(i => s"f${off}_$i").mkString(" ")
+      val suffix = (1 to 4).map(i => s"t${off}_$i").mkString(" ")
+      (off.toLong, s"$prefix $span $suffix".trim)
+    }
+    val got = Dedup.winnowedDupSpansFast(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k = 4, w = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    docs.foreach { case (id, _) =>
+      assert(got(id)._3 > 0,
+        s"doc $id must share a span fingerprint under the rolling hash " +
+          "— the guarantee is hash-agnostic")
+    }
+    val long = Seq((9L, (1 to 40).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sel = Dedup.winnowedDupSpansFast(long, "doc_id", "text", k = 4, w = 3)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(sel._2 < 40 - 3, s"selection must densify: ${sel._2}")
+    assert(Dedup.winnowedDupSpansFast(
+      Seq((1L, "a b c d e")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 3).count() == 0)
+  }
+
   test("substring dup spans: RELOCATED copies of a span collide (content-" +
     "defined anchors, not stride phase); unique docs clean; short docs " +
     "absent; single-doc internal repeats not cross-flagged") {

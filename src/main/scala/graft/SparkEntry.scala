@@ -146,6 +146,28 @@ object SparkEntry {
       Analytics.textRankBm25Full(t(s, dir, "documents"), "doc_id", "text",
         "spark window", k1 = 1.2, b = 0.75)),
 
+    // E1 + ANN — hybrid retrieval via reciprocal-rank fusion: the full-BM25
+    // text arm (top 50) and the brute-force cosine arm (top 50, embeddings
+    // as the carrier, vec_id ≡ doc_id) fused with RRF(k0=60) — the
+    // ES/OpenSearch hybrid-search shape. Both arms are bounded BEFORE the
+    // rank window, so fusion is list-sized end to end.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val bm25 = Analytics.textRankBm25Full(t(s, dir, "documents"),
+        "doc_id", "text", "spark window", k1 = 1.2, b = 0.75).limit(50)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("doc_id") === 0).select(col("v").as("qv"))
+      val cos = e.filter(col("doc_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(Similarity.cosine(col("v"), col("qv")), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(50)
+      Analytics.rrfFuse(
+        Seq(Analytics.rankArm(bm25, "doc_id", "score"),
+          Analytics.rankArm(cos, "doc_id", "cos_sim")),
+        "doc_id", k0 = 60, topK = 10)
+    }),
+
     // E1 (stemmed variant) — analyzer-lite: query tokens expanded to their
     // common inflections, one codegen'd rlike. Inflected forms are PLANTED
     // ("sparks"/"windowing" on a doc_id schedule) because the synthetic
@@ -1403,6 +1425,41 @@ object SparkEntry {
         |                 / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / ad.avgdl))) * 10000.0 + 0.5) / 10000.0 AS score
         |FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, ad
         |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id""".stripMargin,
+
+    // hybrid RRF: the bm25-full CTE chain (top 50) + the cosine arm
+    // (top 50), each ranked by (rounded score desc, id), fused with
+    // Σ 1/(60+rank) — a single commutative two-term double add, so the
+    // pround4 mirror is exact
+    "q_hybrid_rrf" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tokf),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok IN ('spark', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |bm AS (
+        |  SELECT tf.doc_id AS doc_id,
+        |         floor(sum(ln(1.0 + ((SELECT count(*) FROM documents) - df.df + 0.5) / (df.df + 0.5))
+        |                   * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |                   / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / ad.avgdl))) * 10000.0 + 0.5) / 10000.0 AS score
+        |  FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, ad
+        |  GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 50),
+        |ta AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM bm),
+        |e AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE doc_id = 0),
+        |cos AS (
+        |  SELECT e.doc_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos_sim
+        |  FROM e, q WHERE e.doc_id <> 0
+        |  ORDER BY cos_sim DESC, doc_id LIMIT 50),
+        |va AS (SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank FROM cos),
+        |u AS (SELECT doc_id, rank FROM ta UNION ALL SELECT doc_id, rank FROM va)
+        |SELECT doc_id,
+        |       floor(sum(1.0 / (60 + rank)) * 10000.0 + 0.5) / 10000.0 AS rrf_score,
+        |       count(*)::BIGINT AS n_arms
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_curation_pipeline" ->
       """WITH b AS (

@@ -207,6 +207,45 @@ object Analytics {
   }
 
   /**
+   * Rank a BOUNDED scored list for fusion: dense position by
+   * (score desc, id asc). The caller must pass an already-bounded frame
+   * (a top-N `limit` result) — the unpartitioned window is then a
+   * single-task sort of N rows by construction, never a corpus-wide
+   * single-partition sort. Scores should be pre-rounded so the rank
+   * order (and thus the N-boundary) is engine-portable.
+   */
+  def rankArm(scored: DataFrame, idCol: String, scoreCol: String): DataFrame =
+    scored.select(col(idCol),
+      row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol).asc))
+        .cast("long").as("rank"))
+
+  /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
+   * standard hybrid-retrieval combiner (what ES/OpenSearch "hybrid search"
+   * runs between the BM25 arm and the kNN arm): each arm contributes
+   * 1/(k0 + rank) for every id it retrieved, arms that miss an id
+   * contribute nothing, and the fused list is ordered by the summed score.
+   * Rank-based (not score-based) fusion needs no cross-arm score
+   * calibration — exactly why it won the TREC comparison in the paper.
+   *
+   * Scale: each arm is a bounded top-N list, so the fuse is one unionAll
+   * + one partial-agg groupBy over ≤ Σ N_i rows — list-sized, never
+   * corpus-sized. Determinism: with two arms the double sum is a single
+   * commutative addition; pround4 + id tiebreak pin the output order.
+   */
+  def rrfFuse(arms: Seq[DataFrame], idCol: String, k0: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one arm")
+    val unioned = arms.map(_.select(col(idCol), col("rank"))).reduce(_ unionAll _)
+    unioned.groupBy(col(idCol))
+      .agg(TextAnalysis.pround4(sum(lit(1.0) / (lit(k0) + col("rank"))))
+          .as("rrf_score"),
+        count(lit(1)).as("n_arms"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * §3.2 search path — bool{must: match, filter: [levels, services, range]}
    * + sort + from/size pagination (`ElasticsearchService.java:237-274`).
    * `hosts` is accepted-and-ignored for fidelity (dead filter D6,

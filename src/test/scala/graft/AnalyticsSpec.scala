@@ -195,4 +195,33 @@ class AnalyticsSpec extends SparkSuite {
     // far less than 4x the score even before length norm kicks in
     assert(full(2L) < 4 * full(1L))
   }
+
+  test("hybrid RRF: rank fusion rewards cross-arm agreement, hand-computed") {
+    // text arm: ids 1,2,3 ranked 1..3; vector arm: ids 3,4 ranked 1..2.
+    // id 3 appears in both (ranks 3 and 1) and must beat every single-arm
+    // id; ids absent from an arm get no contribution from it.
+    val textArm = Analytics.rankArm(
+      Seq((1L, 9.0), (2L, 5.0), (3L, 2.0)).toDF("doc_id", "score"),
+      "doc_id", "score")
+    val vecArm = Analytics.rankArm(
+      Seq((3L, 0.99), (4L, 0.80)).toDF("doc_id", "cos_sim"),
+      "doc_id", "cos_sim")
+    val fused = Analytics.rrfFuse(Seq(textArm, vecArm), "doc_id",
+      k0 = 60, topK = 10).as[(Long, Double, Long)].collect()
+    val byId = fused.map(r => r._1 -> r._2).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(byId(3L) == r4(1.0 / 63 + 1.0 / 61), "both arms sum")
+    assert(byId(1L) == r4(1.0 / 61) && byId(4L) == r4(1.0 / 62))
+    assert(fused.head._1 == 3L, "cross-arm agreement ranks first")
+    // ids 2 (text rank 2) and 4 (vec rank 2) both score 1/62 — the
+    // rounded-score tie breaks by ascending id, so 2 precedes 4
+    assert(fused.map(_._1).toSeq == Seq(3L, 1L, 2L, 4L),
+      "order: fused score desc, id tiebreak")
+    assert(fused.find(_._1 == 3L).get._3 == 2L, "n_arms counts arm hits")
+    // rankArm determinism: equal scores break ties by ascending id
+    val tied = Analytics.rankArm(
+      Seq((7L, 1.0), (5L, 1.0)).toDF("doc_id", "score"), "doc_id", "score")
+      .as[(Long, Long)].collect().toMap
+    assert(tied(5L) == 1L && tied(7L) == 2L)
+  }
 }

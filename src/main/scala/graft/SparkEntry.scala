@@ -1036,6 +1036,17 @@ object SparkEntry {
       Curation.bpeTrain(t(s, dir, "documents"), "doc_id", "text",
         iters = 3)),
 
+    // curation: BPE ENCODE — the trained 3-round merge list applied
+    // corpus-wide (the inference half of the tokenizer loop). Greedy
+    // left-to-right apply == plain string replace over sentinel-wrapped
+    // tokens: scan-local, zero shuffles, one codegen'd StringReplace per
+    // merge. Oracle replays the same rounds and emits per-doc sequences.
+    "q_bpe_encode" -> ((s, dir) =>
+      Curation.bpeTrainEncode(t(s, dir, "documents"), "doc_id", "text",
+        iters = 3)
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")),
+
     // dedup: approximate exact-substring dedup (Lee et al. 2021 recast)
     // — 16-token windows, content-defined anchors (token-hash ≡ 0 mod 4,
     // Broder "mod m" selection: position-independent, so relocated
@@ -2291,6 +2302,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY c DESC, pair LIMIT 50""".stripMargin,
 
     "q_bpe_train" -> bpeTrainOracleSql(iters = 3),
+    "q_bpe_encode" -> bpeEncodeOracleSql(iters = 3),
 
     "q_dedup_remove" ->
       """WITH tokf AS (
@@ -2909,7 +2921,12 @@ object SparkEntry {
    * (count desc, t1, t2) — the components, not their concatenation, which
    * is ambiguous once merged tokens contain the joiner.
    */
-  private def bpeTrainOracleSql(iters: Int): String = {
+  /** Shared CTE chain for the BPE oracles: tokenize, then `iters` rounds
+    * of (pair-count, select, greedy-merge). `minToks` gates which docs
+    * enter tok0 — sub-2-token docs contribute no pairs either way, so
+    * merge SELECTION is identical for any minToks ≤ 2; the encode oracle
+    * uses 1 so pass-through docs appear in the final token table. */
+  private def bpeRoundsCtes(iters: Int, minToks: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"tok${r - 1}"
       s"""pl$r AS (
@@ -2941,20 +2958,32 @@ object SparkEntry {
          |    LEFT JOIN mrg$r pm ON pm.doc_id = k.doc_id AND pm.p = k.p - 1
          |    WHERE pm.p IS NULL))""".stripMargin
     }.mkString(",\n")
-    val union = (1 to iters).map(r =>
-      s"SELECT $r::BIGINT AS round, t1, t2, c FROM sel$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH tokf AS (
+    s"""tokf AS (
        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '') AS toks
        |  FROM documents),
        |tok0 AS (
        |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS t
-       |  FROM tokf WHERE len(toks) >= 2),
-       |$rounds
+       |  FROM tokf WHERE len(toks) >= $minToks),
+       |$rounds""".stripMargin
+  }
+
+  private def bpeTrainOracleSql(iters: Int): String = {
+    val union = (1 to iters).map(r =>
+      s"SELECT $r::BIGINT AS round, t1, t2, c FROM sel$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeRoundsCtes(iters, minToks = 2)}
        |SELECT * FROM (
        |$union)
        |ORDER BY round""".stripMargin
   }
+
+  /** BPE encode oracle: the same `iters` merge rounds, but emitting the
+    * final per-doc token sequences ('|'-joined) instead of the merges. */
+  private def bpeEncodeOracleSql(iters: Int): String =
+    s"""WITH ${bpeRoundsCtes(iters, minToks = 1)}
+       |SELECT doc_id, string_agg(t, '|' ORDER BY p) AS toks_str,
+       |       count(*)::BIGINT AS n_tokens
+       |FROM tok$iters GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private def ivfOracleSql(k: Int, iters: Int, sampleN: Long, nprobe: Int,
                            topK: Int): String = {

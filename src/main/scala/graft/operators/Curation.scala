@@ -592,6 +592,66 @@ object Curation {
   }
 
   /**
+   * BPE ENCODE — apply an ordered merge list (the output of [[bpeTrain]])
+   * to tokenize documents: the inference half of the tokenizer loop
+   * (train once, encode the whole corpus forever after).
+   *
+   * The greedy left-to-right non-overlapping apply that BPE requires is
+   * EXACTLY the semantics of plain string `replace`: wrap every token in
+   * sentinel delimiters (\u0002 t \u0003 — unambiguous because word
+   * tokens are \w+ and merged tokens only add spaces), then for each
+   * merge in training order replace the literal "\u0002t1\u0003\u0002t2\u0003"
+   * with "\u0002t1 t2\u0003". A run of overlapping candidates merges at
+   * positions 1, 3, ... — identical to [[bpeTrain]]'s fold (spec-tested)
+   * — and the scan never rescans replaced text, so no new cross-boundary
+   * matches arise. One codegen'd StringReplace per merge, chained.
+   *
+   * Scale: the merge list is model-sized (vocab-budget rows, driver-held
+   * like the k-means centroid seam in [[Similarity.kmeansCentroids]]);
+   * the encode itself is scan-local per document — zero shuffles, no
+   * per-token explode, whole-stage codegen end to end. Adding merges
+   * deepens the replace chain linearly; for production-sized vocabularies
+   * the chain compiles once and streams the corpus through.
+   */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val sep1 = "\u0002"; val sep2 = "\u0003"
+    val wrapped = concat_ws("",
+      transform(TextAnalysis.toks(col(textCol)),
+        t => concat(lit(sep1), t, lit(sep2))))
+    val applied = merges.foldLeft(wrapped) { case (s, (t1, t2)) =>
+      replace(s, lit(sep1 + t1 + sep2 + sep1 + t2 + sep2),
+        lit(sep1 + t1 + " " + t2 + sep2))
+    }
+    docs.select(col(idCol),
+      when(length(applied) === 0, array().cast("array<string>"))
+        .otherwise(split(
+          substring(applied, 2, Int.MaxValue), sep2 + sep1))
+        .as("enc"))
+      .select(col(idCol),
+        // trailing sep2 survives the split on the last element — trim it
+        transform(col("enc"), t => regexp_replace(t, sep2 + "$", ""))
+          .as("toks"))
+      .select(col(idCol),
+        concat_ws("|", col("toks")).as("toks_str"),
+        size(col("toks")).cast("long").as("n_tokens"))
+  }
+
+  /**
+   * Train-then-encode composition: [[bpeTrain]]'s merge list (collected
+   * driver-side — model-sized, `iters` rows) applied corpus-wide by
+   * [[bpeEncode]]. The training pass is its own bounded job; the encode
+   * pass is scan-local.
+   */
+  def bpeTrainEncode(docs: DataFrame, idCol: String, textCol: String,
+                     iters: Int): DataFrame = {
+    val merges = bpeTrain(docs, idCol, textCol, iters)
+      .orderBy("round").collect() // model-sized: `iters` merge rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(docs, idCol, textCol, merges)
+  }
+
+  /**
    * Per-source token-distribution drift: KL divergence of each source's
    * unigram distribution from the corpus-wide one,
    * KL(source ‖ corpus) = Σ_w p_s(w) · ln(p_s(w)/p(w)) — the standard

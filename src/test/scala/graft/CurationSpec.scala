@@ -417,6 +417,30 @@ class CurationSpec extends SparkSuite {
     assert(got == Seq((1L, "a", "a", 4L), (2L, "a a", "a", 1L)), got.toString)
   }
 
+  test("BPE encode: ordered merges applied greedily, pass-through and " +
+    "overlap runs hand-computed") {
+    val d = Seq(
+      (1L, "a a a b c"),   // m1 (a,a): [a a, a, b, c]; m2 (a,b): [a a, a b, c]
+      (2L, "a a a a a"),   // m1 greedy alternation: [a a, a a, a]; m2 no-op
+      (3L, "x"),           // 1 token, no merges apply — pass-through
+      (4L, "b a b")).toDF("doc_id", "text") // m2 merges trailing (a,b) only
+    val got = Curation.bpeEncode(d, "doc_id", "text",
+      Seq(("a", "a"), ("a", "b")))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("a a|a b|c", 3L)), got(1L).toString)
+    assert(got(2L) == (("a a|a a|a", 3L)), got(2L).toString)
+    assert(got(3L) == (("x", 1L)))
+    assert(got(4L) == (("b|a b", 2L)))
+    // encode(train's merges) reproduces train's internal fold: the round-2
+    // winner from the hand-computed bpeTrain case must be mergeable here
+    val merges = Curation.bpeTrain(d, "doc_id", "text", iters = 1)
+      .as[(Long, String, String, Long)].collect()
+      .map(m => (m._2, m._3)).toSeq
+    val enc = Curation.bpeEncode(d, "doc_id", "text", merges)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(enc(2L) == "a a|a a|a", "train+encode agree on the overlap run")
+  }
+
   test("salted and adaptive top-k per group match the single-window path " +
     "exactly, ties included") {
     val d = (1L to 300L).map { i =>

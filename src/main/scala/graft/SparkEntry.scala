@@ -589,6 +589,27 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // dedup: SemDeDup (Abbas et al. 2023) — semantic near-dup pairs with
+    // k-means CELL blocking (data-adaptive, vs the sign-LSH hyperplane
+    // buckets of q_dedup_embedding); cluster granularity bounds the
+    // within-cell quadratic; the cell is a scan-local argmax expression,
+    // so the operator is ONE cell-keyed self-join
+    "q_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.semDedupPairs(e, "vec_id", "v", eps = 0.40)
+        .orderBy("cell", "id1", "id2")
+    }),
+
+    // dedup: SemDeDup keeper list — the deduplicated corpus id set under
+    // the lowest-id representative convention; the anti-join ships ids only
+    "q_semdedup_keep" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.semDedupKeep(e, "vec_id", "v", eps = 0.40)
+        .orderBy("vec_id")
+    }),
+
     // dedup: recall harness for the bucketed near-dup — bucketed pair count
     // vs exact all-pairs at the same threshold, on a fixed bounded probe
     // subset (ids < 1000) so the exact side stays cheap at any scale
@@ -1868,6 +1889,12 @@ object SparkEntry {
          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
          |ORDER BY id1, id2""".stripMargin,
 
+    "q_semdedup" -> semDedupOracleSql(k = 8, iters = 2, sampleN = 256,
+      eps = 0.40),
+
+    "q_semdedup_keep" -> semDedupKeepOracleSql(k = 8, iters = 2,
+      sampleN = 256, eps = 0.40),
+
     "q_dedup_embedding_recall" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
          |           FROM embeddings WHERE vec_id < 1000),
@@ -2985,8 +3012,11 @@ object SparkEntry {
        |       count(*)::BIGINT AS n_tokens
        |FROM tok$iters GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  private def ivfOracleSql(k: Int, iters: Int, sampleN: Long, nprobe: Int,
-                           topK: Int): String = {
+  /** Shared k-means CTE chain (seeds = k smallest ids, `iters` Lloyd
+    * rounds over the id<sampleN sample, exact DECIMAL means): yields
+    * `e` (all vectors), `c$iters` (final centroids) and `cells` (every
+    * vector's argmax-cosine cell). Used by the IVF and SemDeDup oracles. */
+  private def kmeansCellsCtes(k: Int, iters: Int, sampleN: Long): Seq[String] = {
     def assign(name: String, src: String, cents: String) =
       s"""$name AS (
          |  SELECT vec_id, cid AS cell FROM (
@@ -3005,12 +3035,16 @@ object SparkEntry {
     val steps = (1 to iters).flatMap { i =>
       Seq(assign(s"a$i", "smp", s"c${i - 1}"), means(s"c$i", s"a$i"))
     }
-    val ctes = Seq(
+    Seq(
       "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
       s"smp AS (SELECT vec_id, v FROM e WHERE vec_id < $sampleN)",
       s"c0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM e WHERE vec_id < $k)") ++
-      steps ++ Seq(
-      assign("cells", "e", s"c$iters"),
+      steps :+ assign("cells", "e", s"c$iters")
+  }
+
+  private def ivfOracleSql(k: Int, iters: Int, sampleN: Long, nprobe: Int,
+                           topK: Int): String = {
+    val ctes = kmeansCellsCtes(k, iters, sampleN) ++ Seq(
       "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
       s"""probe AS (SELECT cid FROM c$iters CROSS JOIN q
          |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT $nprobe)""".stripMargin)
@@ -3021,6 +3055,33 @@ object SparkEntry {
        |WHERE e.vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
   }
+
+  /** SemDeDup oracle: within-cell pairs at rounded-cosine ≥ eps. */
+  private def semDedupOracleSql(k: Int, iters: Int, sampleN: Long,
+                                eps: Double): String =
+    s"""WITH ${kmeansCellsCtes(k, iters, sampleN).mkString(",\n")}
+       |SELECT ca.cell AS cell, a.vec_id AS id1, b.vec_id AS id2,
+       |       round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+       |FROM e a JOIN cells ca ON ca.vec_id = a.vec_id
+       |JOIN e b ON a.vec_id < b.vec_id
+       |JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+       |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $eps
+       |ORDER BY cell, id1, id2""".stripMargin
+
+  /** SemDeDup keeper list: drop every id that is the HIGHER id of any
+    * within-cell near-dup pair (lowest-id representative convention). */
+  private def semDedupKeepOracleSql(k: Int, iters: Int, sampleN: Long,
+                                    eps: Double): String =
+    s"""WITH ${kmeansCellsCtes(k, iters, sampleN).mkString(",\n")},
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id AS vec_id
+       |  FROM e a JOIN cells ca ON ca.vec_id = a.vec_id
+       |  JOIN e b ON a.vec_id < b.vec_id
+       |  JOIN cells cb ON cb.vec_id = b.vec_id AND cb.cell = ca.cell
+       |  WHERE round(list_cosine_similarity(a.v, b.v), 4) >= $eps)
+       |SELECT e.vec_id AS vec_id FROM e
+       |WHERE e.vec_id NOT IN (SELECT vec_id FROM dups)
+       |ORDER BY vec_id""".stripMargin
 
   /** Shared score computation SQL (H1/H3). */
   private def scoreSql(filterAlerts: Boolean): String = {

@@ -320,6 +320,68 @@ object Similarity {
       materializedCentroids(emb, idCol, vecCol, k, iters, sampleN))
 
   /**
+   * Cell assignment as a SCAN-LOCAL column: with the k centroids collected
+   * driver-side (model-sized), each vector's argmax-cosine cell is a pure
+   * expression — `array_max` over k `struct(cosine, −cid)` literals, the
+   * same lexicographic argmax as [[assignCells]] — so no crossjoin rows,
+   * no groupBy, no join to attach cells to a corpus that also needs its
+   * payload columns. This is how a cell column should be carried at
+   * 100 TB: computed in the scan, not joined on afterwards.
+   */
+  def cellColumn(vecCol: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    -array_max(array(cents.map { case (cid, cv) =>
+      struct(cosine(vecCol, typedlit(cv)).as("c"), lit(-cid).as("nc"))
+    }: _*)).getField("nc").cast("long")
+
+  /**
+   * SemDeDup (Abbas et al. 2023, public — "SemDeDup: Data-efficient
+   * learning at web-scale through semantic deduplication"): semantic
+   * near-dup pairs via k-means blocking. Pairwise cosine is computed ONLY
+   * within a cluster — the cluster granularity k bounds the quadratic
+   * (the paper's core trick; they run k=50,000 on LAION). Complements the
+   * sign-LSH [[nearDupPairs]]: LSH buckets are data-independent
+   * hyperplane cuts, SemDeDup cells adapt to the corpus's density.
+   *
+   * Plan: centroids are model-sized (driver-held, [[kmeansCentroids]]'s
+   * documented seam); the cell is a scan-local [[cellColumn]] expression
+   * (NO assignment join), so the whole operator is ONE self-join shuffle
+   * keyed on cell with bounded per-key width. Emits
+   * (cell, id1, id2, cos_sim) at rounded-cosine ≥ eps, id1 < id2.
+   */
+  def semDedupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                    eps: Double, k: Int = 8, iters: Int = 2,
+                    sampleN: Long = 256): DataFrame = {
+    val cents = materializedCentroids(emb, idCol, vecCol, k, iters, sampleN)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val withCell = emb.select(col(idCol), col(vecCol),
+      cellColumn(col(vecCol), cents).as("cell"))
+    val a = withCell.select(col("cell"), col(idCol).as("id1"),
+      col(vecCol).as("v1"))
+    val b = withCell.select(col("cell"), col(idCol).as("id2"),
+      col(vecCol).as("v2"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .select(col("cell"), col("id1"), col("id2"),
+        round(cosine(col("v1"), col("v2")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= eps)
+  }
+
+  /**
+   * SemDeDup keeper list: every id except those appearing as the HIGHER
+   * id of a within-cell near-dup pair — the deterministic lowest-id
+   * representative convention (the paper keeps the point farthest from
+   * the centroid; lowest-id is equally valid and engine-portable). The
+   * anti-join ships only ids, never vectors.
+   */
+  def semDedupKeep(emb: DataFrame, idCol: String, vecCol: String,
+                   eps: Double, k: Int = 8, iters: Int = 2,
+                   sampleN: Long = 256): DataFrame = {
+    val dups = semDedupPairs(emb, idCol, vecCol, eps, k, iters, sampleN)
+      .select(col("id2").as(idCol)).distinct()
+    emb.select(col(idCol)).join(dups, Seq(idCol), "left_anti")
+  }
+
+  /**
    * IVF multi-probe top-k: rank centroids by cosine to the query and search
    * the union of the `nprobe` nearest cells (probe-1 = the query's own
    * cell). At scale the stored index is partitioned by cell, so this reads

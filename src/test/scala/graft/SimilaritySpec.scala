@@ -369,4 +369,44 @@ class SimilaritySpec extends SparkSuite {
     }
     assert(err.getMessage.contains("nBits"))
   }
+
+  test("SemDeDup: cell blocking bounds pairs to clusters; keeper keeps " +
+    "lowest id; scan-local cell column matches assignCells") {
+    // two tight clusters on orthogonal axes: ids 0,1,2 near +x, ids
+    // 10,11 near +y; 0<->1<->2 are semantic dups, 10<->11 likewise, and
+    // NO cross-cluster pair can pass eps (cosine ~ 0 across axes)
+    def axis(i: Int, jitter: Double): Array[Double] = {
+      val a = Array.fill(4)(0.0); a(i) = 1.0; a((i + 1) % 4) = jitter; a
+    }
+    val pts = Seq(
+      (0L, axis(0, 0.00)), (1L, axis(0, 0.05)), (2L, axis(0, 0.10)),
+      (10L, axis(1, 0.00)), (11L, axis(1, 0.05)))
+    val e = pts.toDF("vec_id", "v")
+    // k=2 seeds are ids 0 and 1 (both +x); Lloyd reassigns so the +y
+    // points pull one centroid over — verify blocking regardless of the
+    // exact split by checking pairs against a brute-force reference
+    val pairs = Similarity.semDedupPairs(e, "vec_id", "v", eps = 0.9,
+      k = 2, iters = 2, sampleN = 256)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._2, r._3)).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((1L, 2L)) &&
+      pairs.contains((0L, 2L)), s"within-cluster dups found: $pairs")
+    assert(!pairs.exists { case (a, b) => (a < 10L) != (b < 10L) },
+      "no cross-cluster pair can reach eps=0.9")
+    val keep = Similarity.semDedupKeep(e, "vec_id", "v", eps = 0.9,
+      k = 2, iters = 2, sampleN = 256).as[Long].collect().toSet
+    assert(keep.contains(0L) && !keep.contains(1L) && !keep.contains(2L),
+      s"lowest-id keeper in the +x cluster: $keep")
+    // the scan-local cell expression is the same argmax as assignCells
+    val cents = Similarity.materializedCentroids(e, "vec_id", "v",
+      k = 2, iters = 2, sampleN = 256)
+    val centRows = cents.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val viaExpr = e.select($"vec_id",
+      Similarity.cellColumn($"v", centRows).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    val viaAgg = Similarity.assignCells(e, "vec_id", "v", cents)
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaAgg, s"$viaExpr vs $viaAgg")
+  }
 }

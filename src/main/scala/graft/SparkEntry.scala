@@ -589,6 +589,16 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // similarity: TF-IDF all-pairs (APSS, Bayardo et al. 2007) — cosine
+    // over sparse tf-idf vectors for every same-source pair ≥ 0.5, via
+    // df-FRACTION-capped inverted postings (a fixed count cap would
+    // Heaps'-law-degenerate as the corpus grows); the weighted sibling
+    // of q_dedup_jaccard's one-scan/one-shuffle plan
+    "q_tfidf_pairs" -> ((s, dir) =>
+      Similarity.tfidfAllPairs(t(s, dir, "documents"), "doc_id", "text",
+        "source", threshold = 0.5, maxDfFrac = 0.25)
+        .orderBy("id1", "id2")),
+
     // dedup: SemDeDup (Abbas et al. 2023) — semantic near-dup pairs with
     // k-means CELL blocking (data-adaptive, vs the sign-LSH hyperplane
     // buckets of q_dedup_embedding); cluster granularity bounds the
@@ -1888,6 +1898,31 @@ object SparkEntry {
          |  AND ${bandCondSql(8, 2)}
          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
          |ORDER BY id1, id2""".stripMargin,
+
+    "q_tfidf_pairs" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, unnest(toks) AS tok FROM tokf),
+        |tf AS (SELECT doc_id, source, tok, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2, 3),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.source, tf.tok, tf.tf * ln(1.0 + n.n_docs / df.df) AS w
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |  WHERE df.df <= ceil(0.25 * n.n_docs)),
+        |nrm AS (
+        |  SELECT doc_id, sqrt(CAST(sum(CAST(w*w AS DECIMAL(28,12))) AS DOUBLE)) AS nrm
+        |  FROM w GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |         CAST(sum(CAST(a.w*b.w AS DECIMAL(28,12))) AS DOUBLE) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok AND a.source = b.source AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, round(dot / (n1.nrm * n2.nrm), 4) AS sim
+        |FROM dots JOIN nrm n1 ON n1.doc_id = id1 JOIN nrm n2 ON n2.doc_id = id2
+        |WHERE round(dot / (n1.nrm * n2.nrm), 4) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
 
     "q_semdedup" -> semDedupOracleSql(k = 8, iters = 2, sampleN = 256,
       eps = 0.40),

@@ -528,4 +528,97 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cos_sim"))
       .distinct() // a pair may agree on several bands
   }
+
+  /**
+   * TF-IDF all-pairs document similarity (the APSS problem — Bayardo,
+   * Ma & Srikant, WWW 2007, public): cosine over sparse tf-idf vectors
+   * for every same-block document pair above `threshold`, computed via
+   * df-capped inverted postings — the weighted sibling of
+   * [[Dedup.ngramJaccardPairs]] with the identical one-scan/one-shuffle
+   * plan shape.
+   *
+   * Weights: w = tf · ln(1 + N/df). A token present in more than
+   * `maxDfFrac` of all documents is dropped from the vector space
+   * entirely (weights AND norms — the similarity stays a true cosine
+   * over the capped space); such tokens carry near-zero idf signal but
+   * make per-token pair generation quadratic in the hottest posting
+   * list. A FRACTION (not a fixed count) is the right cap shape: a
+   * fixed df bound shrinks the surviving vocabulary toward zero as the
+   * corpus grows (the same Heaps'-law failure mode as a fixed LM
+   * minCount), while a fraction keeps the vector space stable at any
+   * scale. The cap is the license for the array-local quadratic,
+   * exactly as in the Jaccard variant — worst-case postings list is
+   * maxDfFrac·N, so pick the block column so blocks bound the pairs
+   * (as [[Dedup.ngramJaccardPairs]] does with `source`).
+   *
+   * Determinism: dot products and norms are summed through
+   * DECIMAL(28,12) (the [[kmeansCentroids]] recipe), so results are
+   * independent of partition order and engine — a raw double sum would
+   * be neither.
+   *
+   * Plan: ONE scan builds (id, blk, tok, tf) with a single (id, tok)
+   * partial-agg shuffle; ONE shuffle on tok applies the df-cap and
+   * collects bounded postings; pairs are enumerated array-locally
+   * (≤ C(cap, 2) per token); two id-keyed joins attach norms at the end.
+   */
+  def tfidfAllPairs(docs: DataFrame, idCol: String, textCol: String,
+                    blockCol: String, threshold: Double = 0.5,
+                    maxDfFrac: Double = 0.25): DataFrame = {
+    val tf = docs.select(col(idCol), col(blockCol),
+        explode(graft.operators.TextAnalysis.toks(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col(blockCol), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // one tok-keyed shuffle: df-cap + weighted postings (df == size(ds))
+    val buckets = tf.groupBy(col("tok"))
+      .agg(collect_list(struct(col(blockCol).as("blk"),
+        col(idCol).as("id"), col("tf").as("tf"))).as("ds"))
+      .crossJoin(broadcast(n))
+      .filter(size(col("ds")) <= ceil(lit(maxDfFrac) * col("n_docs")))
+      .select(transform(col("ds"), d => struct(
+        d.getField("blk").as("blk"), d.getField("id").as("id"),
+        (d.getField("tf") *
+          log(lit(1.0) + col("n_docs") / size(col("ds")))).as("w"))).as("ds"))
+      .localCheckpoint() // feeds norms AND pairs once
+    val norms = buckets.select(explode(col("ds")).as("d"))
+      .groupBy(col("d.id").as("id"))
+      .agg(sqrt(sum((col("d.w") * col("d.w")).cast("decimal(28,12)"))
+        .cast("double")).as("nrm"))
+    val dots = buckets
+      .select(explode(weightedPairCombos(col("ds"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(sum(col("p.prod").cast("decimal(28,12)")).cast("double").as("dot"))
+    dots
+      .join(norms.select(col("id").as("id1"), col("nrm").as("n1")), Seq("id1"))
+      .join(norms.select(col("id").as("id2"), col("nrm").as("n2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("dot") / (col("n1") * col("n2")), 4).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
+  /**
+   * Weighted variant of [[Dedup.pairCombos]]: all same-block unordered
+   * (id1 < id2) pairs from a postings array of (blk, id, w) structs,
+   * each carrying the weight product — the per-token dot-product
+   * contribution. Output is ≤ C(len, 2) structs, array-local.
+   */
+  def weightedPairCombos(ds: Column): Column = {
+    val n = greatest(size(ds), lit(1))
+    val idx = flatten(transform(sequence(lit(1), n), i =>
+      transform(sequence(lit(1), n), j =>
+        struct(i.as("i"), j.as("j")))))
+    val valid = filter(idx, p => {
+      val a = element_at(ds, p.getField("i"))
+      val b = element_at(ds, p.getField("j"))
+      p.getField("i") < p.getField("j") &&
+        a.getField("blk") === b.getField("blk")
+    })
+    transform(valid, p => {
+      val a = element_at(ds, p.getField("i"))
+      val b = element_at(ds, p.getField("j"))
+      struct(least(a.getField("id"), b.getField("id")).as("id1"),
+        greatest(a.getField("id"), b.getField("id")).as("id2"),
+        (a.getField("w") * b.getField("w")).as("prod"))
+    })
+  }
 }

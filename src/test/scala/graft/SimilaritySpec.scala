@@ -409,4 +409,25 @@ class SimilaritySpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(viaExpr == viaAgg, s"$viaExpr vs $viaAgg")
   }
+
+  test("tf-idf all-pairs: identical docs reach sim 1.0, disjoint vocab " +
+    "and cross-block pairs are absent, df-fraction cap prunes hot tokens") {
+    val d = Seq(
+      (1L, "apple banana", "s1"),
+      (2L, "apple banana", "s1"),   // exact dup of 1 within block
+      (3L, "cherry date", "s1"),    // disjoint vocab -> no pair
+      (4L, "apple banana", "s2"))   // same text, other block -> no pair
+      .toDF("doc_id", "text", "source")
+    val got = Similarity.tfidfAllPairs(d, "doc_id", "text", "source",
+      threshold = 0.5, maxDfFrac = 1.0)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(r => (r._1, r._2)) == Seq((1L, 2L)), got.toString)
+    assert(got.head._3 == 1.0, "identical capped vectors -> cosine 1.0")
+    // df-fraction cap: at maxDfFrac small enough to drop apple/banana
+    // (df 3 of 4 docs), no token survives for docs 1,2,4 -> no pairs
+    val capped = Similarity.tfidfAllPairs(d, "doc_id", "text", "source",
+      threshold = 0.0, maxDfFrac = 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.isEmpty, s"hot tokens must be pruned: ${capped.toSeq}")
+  }
 }

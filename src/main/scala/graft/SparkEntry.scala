@@ -589,6 +589,22 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // storage: the bucketed CO-LOCATED join end to end under the oracle —
+    // both sides written bucketBy(doc_id) then joined through the
+    // bucket-aligned read path (zero exchanges, PlanSpec-asserted); the
+    // oracle is the plain relational join, so the green row proves the
+    // bucketed layout changes the PLAN, never the RESULT
+    "q_bucketed_join" -> ((s, dir) => {
+      val sfx = s.sparkContext.applicationId.replaceAll("\\W", "_")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val stats = t(s, dir, "documents").select(col("doc_id"),
+        size(TextAnalysis.toks(col("text"))).cast("long").as("n_tokens"))
+      val (ta, tb) = (s"bj_docs_$sfx", s"bj_stats_$sfx")
+      Exports.writeBucketed(docs, ta, "doc_id", 8)
+      Exports.writeBucketed(stats, tb, "doc_id", 8)
+      s.table(ta).join(s.table(tb), Seq("doc_id")).orderBy("doc_id")
+    }),
+
     // similarity: TF-IDF all-pairs (APSS, Bayardo et al. 2007) — cosine
     // over sparse tf-idf vectors for every same-source pair ≥ 0.5, via
     // df-FRACTION-capped inverted postings (a fixed count cap would
@@ -1898,6 +1914,11 @@ object SparkEntry {
          |  AND ${bandCondSql(8, 2)}
          |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.40
          |ORDER BY id1, id2""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT doc_id, source,
+        |       len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))::BIGINT AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_tfidf_pairs" ->
       """WITH tokf AS (

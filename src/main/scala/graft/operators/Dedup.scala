@@ -593,33 +593,6 @@ object Dedup {
   }
 
   /**
-   * Approximate exact-substring dedup (Lee et al. 2021's suffix-array
-   * substring dedup recast for a relational engine): hash `window`-token
-   * windows and flag those whose hash occurs in MORE THAN ONE document.
-   * Window starts are CONTENT-DEFINED — position p anchors a window iff
-   * md5(token at p) ≡ 0 (mod `stride`), Broder's "mod m" shingle
-   * selection — so the sampled window set depends only on the text, not
-   * on where a span sits in its document: two copies of a span at
-   * different offsets anchor identical windows. (A fixed-phase stride
-   * would NEVER match copies at different offsets mod stride — the
-   * sampling must be position-independent or the operator is broken by
-   * construction.) A duplicated span is missed only if none of its
-   * eligible positions anchors: probability (1−1/stride)^(L−window+1) —
-   * the standard fingerprint-sampling trade; stride=1 degenerates to the
-   * exhaustive every-offset variant.
-   *
-   * Cross-doc only by choice: a hash repeating within one doc is
-   * internal repetition ([[Curation.dupLineFraction]] territory), not
-   * corpus duplication. Output per doc: anchored-window count,
-   * duplicated-window count, duplicated fraction (docs anchoring no
-   * window are absent).
-   *
-   * Scale: window hashes are short keys, text never ships past the
-   * window build; the df join is a hash-keyed shuffle of the window
-   * table — the honest cost of substring-granularity dedup at 100 TB;
-   * stride divides that table's expected size.
-   */
-  /**
    * Winnowing via ONE native kernel — the throughput variant of
    * [[winnowedDupSpans]], same selection rule and the same deterministic
    * span-sharing guarantee, with the entire digest+selection pipeline
@@ -719,6 +692,33 @@ object Dedup {
         .as("cleaned"))
   }
 
+  /**
+   * Approximate exact-substring dedup (Lee et al. 2021's suffix-array
+   * substring dedup recast for a relational engine): hash `window`-token
+   * windows and flag those whose hash occurs in MORE THAN ONE document.
+   * Window starts are CONTENT-DEFINED — position p anchors a window iff
+   * md5(token at p) ≡ 0 (mod `stride`), Broder's "mod m" shingle
+   * selection — so the sampled window set depends only on the text, not
+   * on where a span sits in its document: two copies of a span at
+   * different offsets anchor identical windows. (A fixed-phase stride
+   * would NEVER match copies at different offsets mod stride — the
+   * sampling must be position-independent or the operator is broken by
+   * construction.) A duplicated span is missed only if none of its
+   * eligible positions anchors: probability (1−1/stride)^(L−window+1) —
+   * the standard fingerprint-sampling trade; stride=1 degenerates to the
+   * exhaustive every-offset variant.
+   *
+   * Cross-doc only by choice: a hash repeating within one doc is
+   * internal repetition ([[Curation.dupLineFraction]] territory), not
+   * corpus duplication. Output per doc: anchored-window count,
+   * duplicated-window count, duplicated fraction (docs anchoring no
+   * window are absent).
+   *
+   * Scale: window hashes are short keys, text never ships past the
+   * window build; the df join is a hash-keyed shuffle of the window
+   * table — the honest cost of substring-granularity dedup at 100 TB;
+   * stride divides that table's expected size.
+   */
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         window: Int = 32, stride: Int = 8): DataFrame = {
     require(stride >= 1, "stride must be >= 1")

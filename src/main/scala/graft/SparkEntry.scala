@@ -1266,6 +1266,23 @@ object SparkEntry {
         minCount = 2L)
         .orderBy("doc_id")),
 
+    // curation: DSIR importance weights (Xie et al. 2023) — hashed-unigram
+    // LM log-ratio of the src0 target domain vs the raw corpus, Laplace
+    // smoothed; one scan + one (id,bucket) shuffle + two dim-bounded
+    // aggregates, model join broadcast BY CONSTRUCTION (64 rows)
+    "q_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", dim = 64)
+        .orderBy("doc_id")),
+
+    // curation: DSIR Gumbel-top-k selection — the paper's resampling with
+    // content-hash-derived Gumbel noise (deterministic, resume-stable)
+    "q_dsir_sample" -> ((s, dir) =>
+      Curation.dsirSample(
+        Curation.dsirWeights(t(s, dir, "documents"), "doc_id", "text",
+          isTarget = col("source") === "src0", dim = 64),
+        "doc_id", k = 100)),
+
     // curation: hashing-trick featurizer — 64-bucket signed sparse vectors
     "q_hash_features" -> ((s, dir) =>
       Curation.hashFeaturize(t(s, dir, "documents"), "doc_id", "text",
@@ -2646,6 +2663,18 @@ object SparkEntry {
         |       floor(avg(-ln(p)) * 10000.0 + 0.5) / 10000.0 AS lm2_score
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "q_dsir_weights" -> (dsirWeightsSql + "\nORDER BY doc_id"),
+
+    "q_dsir_sample" ->
+      s"""WITH w AS (
+         |$dsirWeightsSql)
+         |SELECT doc_id, dsir_weight,
+         |       floor((dsir_weight - ln(-ln(
+         |         ((('0x' || substr(md5('dsir|' || doc_id::VARCHAR), 1, 15))::UBIGINT % 1000000)::DOUBLE + 0.5) / 1000000.0
+         |       ))) * 10000.0 + 0.5) / 10000.0 AS gumbel_score
+         |FROM w
+         |ORDER BY gumbel_score DESC, doc_id LIMIT 100""".stripMargin,
+
     "q_hash_features" ->
       """WITH tokf AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
@@ -3004,6 +3033,30 @@ object SparkEntry {
    * (count desc, t1, t2) — the components, not their concatenation, which
    * is ambiguous once merged tokens contain the joiner.
    */
+  /** DSIR hashed-unigram importance weights (no final ORDER BY so the
+    * block can nest as a CTE body in the Gumbel-selection oracle). */
+  private val dsirWeightsSql: String =
+    """WITH tokf AS (
+      |  SELECT doc_id, source = 'src0' AS is_target,
+      |         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |h AS (SELECT doc_id, is_target, md5(unnest(toks)) AS hx FROM tokf),
+      |db AS (
+      |  SELECT doc_id, is_target,
+      |         (('0x' || substr(hx, 1, 15))::UBIGINT % 64)::BIGINT AS bucket,
+      |         count(*) AS n
+      |  FROM h GROUP BY 1, 2, 3),
+      |raw AS (SELECT bucket, sum(n) AS cr FROM db GROUP BY 1),
+      |tgt AS (SELECT bucket, sum(n) AS ct FROM db WHERE is_target GROUP BY 1),
+      |m AS (SELECT raw.bucket, cr, coalesce(ct, 0) AS ct FROM raw LEFT JOIN tgt USING (bucket)),
+      |tot AS (SELECT sum(cr) AS rtot, sum(ct) AS ttot FROM m),
+      |lr AS (
+      |  SELECT bucket, ln((ct + 1.0) / (ttot + 64)) - ln((cr + 1.0) / (rtot + 64)) AS lr
+      |  FROM m CROSS JOIN tot)
+      |SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+      |       floor(CAST(sum(CAST(n * lr AS DECIMAL(28,12))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS dsir_weight
+      |FROM db JOIN lr USING (bucket) GROUP BY doc_id""".stripMargin
+
   /** Shared CTE chain for the BPE oracles: tokenize, then `iters` rounds
     * of (pair-count, select, greedy-merge). `minToks` gates which docs
     * enter tok0 — sub-2-token docs contribute no pairs either way, so

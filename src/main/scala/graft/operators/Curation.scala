@@ -868,4 +868,74 @@ object Curation {
       .groupBy(col("p.src1").as("src1"), col("p.src2").as("src2"))
       .agg(count(lit(1)).as("shared_shingles"))
   }
+
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling", public): score every raw
+   * document by how target-domain-like it is under hashed-unigram
+   * bag-of-words LMs — w(doc) = Σ_b n_doc[b] · (ln p_target[b] − ln
+   * p_raw[b]) with Laplace smoothing p[b] = (c[b]+1)/(total+dim) — the
+   * paper's importance log-weight with its hashed-n-gram feature space
+   * (here the [[hashFeaturize]] md5 bucket construction, unsigned).
+   *
+   * `isTarget` marks the in-domain exemplar rows INSIDE the same corpus
+   * frame (e.g. `col("source") === "wiki"`); both models derive from one
+   * (id, bucket) count table, so the whole operator is ONE scan + one
+   * (id, bucket) partial-agg shuffle + two dim-bounded aggregates. The
+   * model join is broadcast BY CONSTRUCTION (dim rows — a parameter,
+   * not a corpus property; contrast the Heaps-unbounded LM vocab where
+   * the hint would be wrong). Output: (id, n_tokens, dsir_weight 4dp).
+   */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = md5(col("tok"))
+    val docBuckets = docs
+      .select(col(idCol), isTarget.as("is_target"),
+        explode(TextAnalysis.toks(col(textCol))).as("tok"))
+      .select(col(idCol), col("is_target"),
+        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"))
+      .groupBy(col(idCol), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // one scan feeds both models AND the doc scores
+    val raw = docBuckets.groupBy(col("bucket")).agg(sum(col("n")).as("cr"))
+    val tgt = docBuckets.filter(col("is_target"))
+      .groupBy(col("bucket")).agg(sum(col("n")).as("ct"))
+    // dim-bounded model: log-ratio per bucket, Laplace-smoothed (buckets
+    // unseen in the target get the +1 floor via the left join)
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), col("cr"), coalesce(col("ct"), lit(0L)).as("ct"))
+    val totals = model.agg(sum(col("cr")).as("rtot"), sum(col("ct")).as("ttot"))
+    val lr = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct") + 1.0) / (col("ttot") + dim)) -
+         log((col("cr") + 1.0) / (col("rtot") + dim))).as("lr"))
+    docBuckets.join(broadcast(lr), Seq("bucket")) // dim rows by construction
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        pround4(sum((col("n") * col("lr")).cast("decimal(28,12)"))
+          .cast("double")).as("dsir_weight"))
+  }
+
+  /**
+   * DSIR selection — deterministic Gumbel-top-k resampling over
+   * [[dsirWeights]]: the paper samples without replacement by ranking
+   * w + g with Gumbel noise g; here g is derived from a content hash
+   * (g = −ln(−ln(u)), u = (md5(salt|id) mod 10⁶ + 0.5)/10⁶ — the
+   * [[stratifiedSampleFilter]] no-rand recipe), so the "sample" is
+   * reproducible, resume-stable, and oracle-checkable while keeping the
+   * paper's stochastic-resampling semantics exactly. One corpus-wide
+   * TakeOrderedAndProject on the scored table.
+   */
+  def dsirSample(weights: DataFrame, idCol: String, k: Int,
+                 salt: String = "dsir"): DataFrame = {
+    val u = (pmod(conv(substring(
+      md5(concat(lit(salt), lit("|"), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long"), lit(1000000L)).cast("double") + 0.5) /
+      1000000.0
+    weights.select(col(idCol), col("dsir_weight"),
+        pround4(col("dsir_weight") - log(-log(u))).as("gumbel_score"))
+      .orderBy(col("gumbel_score").desc, col(idCol))
+      .limit(k)
+  }
 }

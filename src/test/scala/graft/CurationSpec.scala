@@ -493,4 +493,32 @@ class CurationSpec extends SparkSuite {
     assert(tight.forall { case (id, s) => s >= fullMap(id) },
       "cutting vocab can only raise surprisal (more OOV floors)")
   }
+
+  test("DSIR: target-like docs outweigh off-domain docs; Gumbel top-k is " +
+    "deterministic and bounded") {
+    // target domain (src t) speaks 'alpha'; the raw corpus bulk (src r)
+    // speaks 'beta'. An unlabeled doc full of 'alpha' must score higher
+    // than one full of 'beta'.
+    val docs = (
+      (1L to 5L).map(i => (i, "t", "alpha alpha alpha")) ++
+      (6L to 20L).map(i => (i, "r", "beta beta beta")) ++
+      Seq((21L, "r", "alpha alpha alpha"), (22L, "r", "beta beta beta"))
+    ).toDF("doc_id", "source", "text")
+    val w = Curation.dsirWeights(docs, "doc_id", "text",
+      isTarget = $"source" === "t", dim = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(21L) > w(22L),
+      s"alpha doc must look target-like: ${w(21L)} vs ${w(22L)}")
+    assert(w(21L) > 0 && w(22L) < 0,
+      "log-ratio sign separates in-domain from off-domain")
+    val s1 = Curation.dsirSample(
+      Curation.dsirWeights(docs, "doc_id", "text", $"source" === "t", 64),
+      "doc_id", k = 10).as[(Long, Double, Double)].collect().toSeq
+    val s2 = Curation.dsirSample(
+      Curation.dsirWeights(docs, "doc_id", "text", $"source" === "t", 64),
+      "doc_id", k = 10).as[(Long, Double, Double)].collect().toSeq
+    assert(s1 == s2, "hash-derived Gumbel noise is deterministic")
+    assert(s1.size == 10 && s1.map(_._3) == s1.map(_._3).sorted.reverse,
+      "top-k by gumbel_score desc")
+  }
 }

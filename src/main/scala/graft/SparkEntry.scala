@@ -922,6 +922,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curation: the FULL Gopher repetition table (Rae 2021 §A1.1) —
+    // top-n-gram and duplicate-n-gram occurrence fractions for n=2,3,4
+    // in one pass (n≥5 duplicate mass is identically zero on this
+    // corpus, probed); one tagged-gram scan, one (id,n,gram) shuffle
+    "q_gopher_repetition" -> ((s, dir) =>
+      Curation.repetitionSuite(t(s, dir, "documents"), "doc_id", "text",
+        ns = Seq(2, 3, 4))
+        .orderBy("doc_id")),
+
     // curation: corpus n-gram document-frequency top-k (memorized-
     // boilerplate report) — partial-agg shuffle + TakeOrderedAndProject
     "q_ngram_topk" -> ((s, dir) =>
@@ -2371,6 +2380,34 @@ object SparkEntry {
         |       (mean_word_len >= 3.0 AND mean_word_len <= 10.0
         |        AND symbol_ratio < 0.1 AND alpha_word_frac > 0.8) AS gopher_keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_gopher_repetition" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM tokf WHERE len(toks) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM tokf WHERE len(toks) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, 4 AS n, unnest(list_transform(range(1, len(toks) - 2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gram
+        |  FROM tokf WHERE len(toks) >= 4),
+        |c AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT doc_id, n,
+        |         floor(max(c)::DOUBLE / sum(c) * 10000.0 + 0.5) / 10000.0 AS topf,
+        |         floor(sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c) * 10000.0 + 0.5) / 10000.0 AS dupf
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       coalesce(max(CASE WHEN n = 2 THEN topf END), 0.0) AS top2_frac,
+        |       coalesce(max(CASE WHEN n = 2 THEN dupf END), 0.0) AS dup2_frac,
+        |       coalesce(max(CASE WHEN n = 3 THEN topf END), 0.0) AS top3_frac,
+        |       coalesce(max(CASE WHEN n = 3 THEN dupf END), 0.0) AS dup3_frac,
+        |       coalesce(max(CASE WHEN n = 4 THEN topf END), 0.0) AS top4_frac,
+        |       coalesce(max(CASE WHEN n = 4 THEN dupf END), 0.0) AS dup4_frac
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_ngram_topk" ->
       s"""$shinglesCte

@@ -58,6 +58,50 @@ object Curation {
       .agg(pround4(max(col("c")).cast("double") / sum(col("c")))
         .as("top_bigram_frac"))
 
+  /**
+   * The FULL Gopher repetition table (Rae et al. 2021 §A1.1): per doc
+   * and per n, the fraction of n-gram occurrences inside the single most
+   * frequent n-gram (`top{n}_frac`) and inside any duplicated n-gram
+   * (`dup{n}_frac`) — the paper's top-2/3/4-gram and dup-n-gram gates in
+   * one operator. The paper's dup gates run n up to 10; on this corpus
+   * n ≥ 5 duplicate mass is identically zero (probed), so the default
+   * `ns` stops at 4 — pass a wider list for natural-text corpora.
+   *
+   * Plan: ONE tokenize pass builds every n's gram list tagged with n
+   * (array-local flatten — no per-n rescan), ONE partial-agg shuffle on
+   * (id, n, gram), an (id, n) roll-up, and an id-keyed pivot to columns.
+   * Docs shorter than n tokens have no (id, n) row → 0.0 after the
+   * pivot's coalesce.
+   */
+  def repetitionSuite(docs: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 2), "ns must be >= 2")
+    val toks = TextAnalysis.toks(col(textCol))
+    def gramsOf(ts: Column, n: Int): Column =
+      when(size(ts) >= n,
+        transform(sequence(lit(1), size(ts) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)
+              .as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+    val all = element_at(transform(array(toks),
+      ts => flatten(array(ns.map(n => gramsOf(ts, n)): _*))), 1)
+    val counts = docs
+      .select(col(idCol), explode(all).as("g"))
+      .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .agg(count(lit(1)).as("c"))
+    val perN = counts.groupBy(col(idCol), col("n"))
+      .agg(pround4(max(col("c")).cast("double") / sum(col("c"))).as("topf"),
+        pround4(sum(when(col("c") >= 2, col("c")).otherwise(0L))
+          .cast("double") / sum(col("c"))).as("dupf"))
+    val pivots = ns.flatMap(n => Seq(
+      coalesce(max(when(col("n") === n, col("topf"))), lit(0.0))
+        .as(s"top${n}_frac"),
+      coalesce(max(when(col("n") === n, col("dupf"))), lit(0.0))
+        .as(s"dup${n}_frac")))
+    perN.groupBy(col(idCol)).agg(pivots.head, pivots.tail: _*)
+  }
+
   /** Repetition-quality signals for every doc (absent bigrams → 0). */
   def repetitionSignals(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =

@@ -521,4 +521,27 @@ class CurationSpec extends SparkSuite {
     assert(s1.size == 10 && s1.map(_._3) == s1.map(_._3).sorted.reverse,
       "top-k by gumbel_score desc")
   }
+
+  test("Gopher repetition suite: hand-computed top/dup fractions per n, " +
+    "short docs zero-filled") {
+    val d = Seq(
+      (1L, "the cat the cat the cat"), // 2-grams: (the cat)x3,(cat the)x2
+      (2L, "a b c a b c d"),           // 3-grams: (a b c)x2 of 5 total
+      (3L, "x y")).toDF("doc_id", "text") // no 3- or 4-grams
+    val got = Curation.repetitionSuite(d, "doc_id", "text", ns = Seq(2, 3, 4))
+      .as[(Long, Double, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    // doc1 n=2: top (the cat)=3/5, dup mass = 5/5 (both grams repeat)
+    assert(got(1L)._2 == 0.6 && got(1L)._3 == 1.0)
+    // doc1 n=3: grams (the cat the)x2,(cat the cat)x2 of 4 -> top 0.5 dup 1.0
+    assert(got(1L)._4 == 0.5 && got(1L)._5 == 1.0)
+    // doc2 n=3: (a b c)x2 of 5 -> top 0.4, dup 0.4
+    assert(got(2L)._4 == r4(2.0 / 5) && got(2L)._5 == r4(2.0 / 5))
+    // doc2 n=2: (a b)x2,(b c)x2,(c a),(c d) of 6 -> top 2/6, dup 4/6
+    assert(got(2L)._2 == r4(2.0 / 6) && got(2L)._3 == r4(4.0 / 6))
+    // doc3: one 2-gram (top=dup-less), zero 3-/4-gram rows -> 0.0 fill
+    assert(got(3L)._2 == 1.0 && got(3L)._3 == 0.0)
+    assert(got(3L)._4 == 0.0 && got(3L)._6 == 0.0)
+  }
 }

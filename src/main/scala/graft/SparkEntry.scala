@@ -1284,6 +1284,17 @@ object SparkEntry {
         isTarget = col("source") === "src0", dim = 64)
         .orderBy("doc_id")),
 
+    // curation: the DSIR model itself as a first-class artifact — the
+    // dim-bounded (bucket, lr) table the streaming gate broadcasts;
+    // pround4 wraps the raw log-ratios (ln ULPs differ across engines)
+    "q_dsir_model" -> ((s, dir) =>
+      Curation.dsirModel(t(s, dir, "documents"), "doc_id", "text",
+        isTarget = col("source") === "src0", dim = 64)
+        .select(col("bucket"),
+          graft.operators.TextAnalysis.pround4(col("lr")).as("lr"),
+          graft.operators.TextAnalysis.pround4(col("lr0")).as("lr0"))
+        .orderBy("bucket")),
+
     // curation: DSIR Gumbel-top-k selection — the paper's resampling with
     // content-hash-derived Gumbel noise (deterministic, resume-stable)
     "q_dsir_sample" -> ((s, dir) =>
@@ -2707,6 +2718,25 @@ object SparkEntry {
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "q_dsir_weights" -> (dsirWeightsSql + "\nORDER BY doc_id"),
+
+    // same model CTEs as dsirWeightsSql, emitted at bucket level; lr0 is
+    // the smoothed unseen-bucket log-ratio (cr=0, ct=0 under +1 Laplace)
+    "q_dsir_model" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, source = 'src0' AS is_target,
+        |         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (SELECT doc_id, is_target, md5(unnest(toks)) AS hx FROM tokf),
+        |b AS (SELECT is_target, (('0x' || substr(hx, 1, 15))::UBIGINT % 64)::BIGINT AS bucket FROM h),
+        |m AS (
+        |  SELECT bucket, count(*) AS cr,
+        |         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS ct
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(cr) AS rtot, sum(ct) AS ttot FROM m)
+        |SELECT bucket,
+        |       floor((ln((ct + 1.0) / (ttot + 64)) - ln((cr + 1.0) / (rtot + 64))) * 10000.0 + 0.5) / 10000.0 AS lr,
+        |       floor((ln(1.0 / (ttot + 64)) - ln(1.0 / (rtot + 64))) * 10000.0 + 0.5) / 10000.0 AS lr0
+        |FROM m CROSS JOIN tot ORDER BY bucket""".stripMargin,
 
     "q_dsir_sample" ->
       s"""WITH w AS (

@@ -984,6 +984,40 @@ object Curation {
   }
 
   /**
+   * The model half of [[dsirWeights]] as a standalone bucket-level table
+   * (bucket, lr) — for consumers that train on one corpus and score
+   * another (the streaming gate [[graft.streaming.StreamPipeline
+   * .dsirGateStream]]). Identical arithmetic to dsirWeights' inline model
+   * (same hash, same Laplace smoothing), so scoring the training corpus
+   * through this model reproduces dsirWeights bit-for-bit. The table is
+   * dim-bounded BY CONSTRUCTION (≤ dim rows — a parameter, not a corpus
+   * property), which is what makes the one-row broadcast in the streaming
+   * consumer safe at any corpus size.
+   */
+  def dsirModel(docs: DataFrame, idCol: String, textCol: String,
+                isTarget: Column, dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = md5(col("tok"))
+    val counts = docs
+      .select(isTarget.as("is_target"),
+        explode(TextAnalysis.toks(col(textCol))).as("tok"))
+      .select(col("is_target"),
+        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(sum(col("cr")).as("rtot"), sum(col("ct")).as("ttot"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("ct") + 1.0) / (col("ttot") + dim)) -
+         log((col("cr") + 1.0) / (col("rtot") + dim))).as("lr"),
+        // the unseen-bucket (cr=0, ct=0) log-ratio under the same
+        // smoothing — the OOV floor for scoring a disjoint corpus
+        (log(lit(1.0) / (col("ttot") + dim)) -
+         log(lit(1.0) / (col("rtot") + dim))).as("lr0"))
+  }
+
+  /**
    * Zipf rank-frequency slope — the corpus-statistics diagnostic: OLS
    * slope of ln(freq) on ln(rank) over the token vocabulary (healthy
    * natural-language crawls sit near −1; boilerplate/spam corpora drift

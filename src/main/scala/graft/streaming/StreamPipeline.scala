@@ -283,6 +283,53 @@ object StreamPipeline {
   }
 
   /**
+   * Streaming DSIR gate — the ingest-time twin of
+   * [[graft.operators.Curation.dsirWeights]]: documents arriving on the
+   * stream are importance-weighted against a model TRAINED ON THE STATIC
+   * CORPUS ([[graft.operators.Curation.dsirModel]] — same hash, same
+   * Laplace smoothing), so off-domain docs can be gated before landing.
+   *
+   * STATELESS like [[lmScoreStream]]: the model is ONE row (bucket→lr
+   * map + OOV floor) broadcast into every micro-batch — and unlike the
+   * LM vocab it is dim-BOUNDED BY CONSTRUCTION (≤ dim entries), so the
+   * broadcast is safe at ANY corpus size. Each doc is scored
+   * array-locally: tokens → buckets, then a fold over the DISTINCT
+   * buckets accumulating count(bucket)·lr(bucket) in DECIMAL(28,12) —
+   * the exact arithmetic dsirWeights' order-free decimal sum performs —
+   * so scoring the training corpus through the gate equals the batch
+   * weights bit-for-bit (asserted in StreamingSpec). Buckets absent from
+   * the model (possible only when train and score corpora differ) price
+   * at the smoothed unseen-bucket log-ratio lr0.
+   */
+  def dsirGateStream(docs: DataFrame, idCol: String, textCol: String,
+                     trainDocs: DataFrame, isTarget: Column,
+                     dim: Int = 64): DataFrame = {
+    import graft.operators.Curation
+    val model = Curation.dsirModel(trainDocs, idCol, textCol, isTarget, dim)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("lr"))))
+          .as("lrm"),
+        first(col("lr0")).as("lr0"))
+      .localCheckpoint() // train once, not per micro-batch trigger
+    val bucketOf = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim
+    docs
+      .select(col(idCol),
+        graft.operators.TextAnalysis.toks(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) > 0)
+      .crossJoin(broadcast(model))
+      .withColumn("_bs", transform(col("_ts"), bucketOf))
+      .select(col(idCol), size(col("_ts")).cast("long").as("n_tokens"),
+        graft.operators.TextAnalysis.pround4(
+          aggregate(array_distinct(col("_bs")),
+            lit(0.0).cast("decimal(28,12)"),
+            (acc, b) => (acc +
+              (size(filter(col("_bs"), x => x === b)).cast("long") *
+                coalesce(element_at(col("lrm"), b), col("lr0")))
+                .cast("decimal(28,12)")).cast("decimal(28,12)"))
+            .cast("double")).as("dsir_weight"))
+  }
+
+  /**
    * Streaming keyed upsert — the delivery-semantics completion of
    * [[graft.operators.Exports.upsertByKey]]: each micro-batch MERGEs into
    * the partitioned parquet table (batch wins on key collision, only

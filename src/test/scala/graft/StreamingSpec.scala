@@ -270,6 +270,35 @@ class StreamingSpec extends SparkSuite {
     assert(got == batch, s"stream $got vs batch $batch")
   }
 
+  test("streaming DSIR gate: stateless append-mode scoring equals the batch " +
+    "weights bit-for-bit on the training corpus; unseen buckets price at " +
+    "the OOV floor") {
+    implicit val sq = spark.sqlContext
+    val corpus = (
+      (1L to 5L).map(i => StreamingSpec.SrcDoc(i, "t", "alpha alpha raven")) ++
+      (6L to 20L).map(i => StreamingSpec.SrcDoc(i, "r", "beta beta stone")) :+
+      StreamingSpec.SrcDoc(21L, "r", "alpha raven alpha")).toSeq
+    val staticDf = corpus.toDF()
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val scored = StreamPipeline.dsirGateStream(mem.toDF(), "doc_id", "text",
+      staticDf, isTarget = $"source" === "t", dim = 64)
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("dsir_stream").start()
+    mem.addData(corpus :+ StreamingSpec.SrcDoc(99L, "r", "zzq xxv unseen stuff"): _*)
+    q.processAllAvailable()
+    val got = spark.table("dsir_stream").as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    q.stop()
+    val batch = graft.operators.Curation.dsirWeights(staticDf,
+      "doc_id", "text", isTarget = $"source" === "t", dim = 64)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    corpus.foreach(d => assert(got(d.doc_id) == batch(d.doc_id),
+      s"doc ${d.doc_id}: stream ${got(d.doc_id)} vs batch ${batch(d.doc_id)}"))
+    assert(got(21L)._1 == 3L && got(21L)._2 > 0,
+      "target-language doc scores in-domain through the gate")
+    assert(got.contains(99L), "OOV doc still scored (lr0 floor), not dropped")
+  }
+
   test("streaming incremental dedup: stateless anti-join probes of the " +
     "stored index match the batch operator row-for-row") {
     implicit val sq = spark.sqlContext
@@ -342,6 +371,8 @@ object StreamingSpec {
   final case class UserEvent(user_id: Long, ts: java.sql.Timestamp)
 
   final case class Doc(doc_id: Long, text: String)
+
+  final case class SrcDoc(doc_id: Long, source: String, text: String)
 
   final case class Versioned(id: Long, ver: String, part: String)
 }

@@ -1309,6 +1309,29 @@ object SparkEntry {
     "q_zipf_slope" -> ((s, dir) =>
       Curation.zipfSlope(t(s, dir, "documents"), "text")),
 
+    // curation: FineWeb/CCNet line-level quality signals. The synthetic
+    // docs carry no newlines, so the wrapper plants line structure with
+    // an engine-portable regexp (every 2 words -> one line,
+    // short enough that within-doc duplicate lines genuinely occur) — the same
+    // planted-feature pattern as q_text_match_porter; the operator
+    // itself is separator-generic and fully array-local
+    "q_line_signals" -> ((s, dir) =>
+      Curation.lineSignals(
+        t(s, dir, "documents").withColumn("text",
+          regexp_replace(col("text"), "(\\w+ \\w+) ", "$1\n")),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // curation: within-doc first-occurrence line dedup (boilerplate
+    // scrub) over the same planted line structure
+    "q_dedup_lines" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("text",
+          regexp_replace(col("text"), "(\\w+ \\w+) ", "$1\n"))
+        .select(col("doc_id"),
+          Curation.dedupLinesText(col("text")).as("clean_text"))
+        .orderBy("doc_id")),
+
     // curation: hashing-trick featurizer — 64-bucket signed sparse vectors
     "q_hash_features" -> ((s, dir) =>
       Curation.hashFeaturize(t(s, dir, "documents"), "doc_id", "text",
@@ -2764,6 +2787,30 @@ object SparkEntry {
         |       floor(((count(*)::DOUBLE * sum(x*y) - sum(x)*sum(y)) /
         |              (count(*)::DOUBLE * sum(x*x) - sum(x)*sum(x))) * 10000.0 + 0.5) / 10000.0 AS zipf_slope
         |FROM s""".stripMargin,
+
+    // length() (chars) not strlen() (bytes) for the Spark parity;
+    // list_distinct is size-only here so its ordering doesn't matter
+    "q_line_signals" ->
+      """WITH p AS (
+        |  SELECT doc_id, regexp_replace(text, '(\w+ \w+) ', '\1' || chr(10), 'g') AS m
+        |  FROM documents),
+        |l AS (SELECT doc_id, list_filter(string_split(m, chr(10)), x -> x <> '') AS ls FROM p)
+        |SELECT doc_id, len(ls)::BIGINT AS n_lines,
+        |       CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls) * 10000.0 + 0.5) / 10000.0 END AS dup_line_frac,
+        |       CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(list_aggregate(list_transform(ls, x -> length(x)), 'sum')::DOUBLE / len(ls) * 10000.0 + 0.5) / 10000.0 END AS mean_line_len,
+        |       CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(len(list_filter(ls, x -> length(x) < 30))::DOUBLE / len(ls) * 10000.0 + 0.5) / 10000.0 END AS short_line_frac
+        |FROM l ORDER BY doc_id""".stripMargin,
+
+    // first-occurrence positional filter — the same lambda as the Spark
+    // side (DuckDB's lambda index and list_position are both 1-based)
+    "q_dedup_lines" ->
+      """WITH p AS (
+        |  SELECT doc_id, regexp_replace(text, '(\w+ \w+) ', '\1' || chr(10), 'g') AS m
+        |  FROM documents),
+        |l AS (SELECT doc_id, list_filter(string_split(m, chr(10)), x -> x <> '') AS ls FROM p)
+        |SELECT doc_id,
+        |       array_to_string(list_filter(ls, (x, i) -> list_position(ls, x) = i), chr(10)) AS clean_text
+        |FROM l ORDER BY doc_id""".stripMargin,
 
     "q_hash_features" ->
       """WITH tokf AS (

@@ -984,6 +984,53 @@ object Curation {
   }
 
   /**
+   * Line-level quality signals (FineWeb/CCNet filter family): per doc,
+   * the line count, duplicate-line fraction (boilerplate indicator —
+   * repeated nav/footer lines), mean line length, and short-line
+   * fraction. Entirely array-local: one split per doc, every statistic
+   * computed inside the row — zero shuffles, scan-local at any corpus
+   * size. Empty lines are dropped before counting (a trailing separator
+   * is not a line).
+   */
+  def lineSignals(docs: DataFrame, idCol: String, textCol: String,
+                  sep: String = "\n", shortLen: Int = 30): DataFrame = {
+    val lines = filter(split(col(textCol), java.util.regex.Pattern.quote(sep)),
+      l => l =!= "")
+    val n = size(lines)
+    docs.select(col(idCol), lines.as("_ls"))
+      .select(col(idCol),
+        size(col("_ls")).cast("long").as("n_lines"),
+        when(size(col("_ls")) === 0, 0.0).otherwise(pround4(
+          (size(col("_ls")) - size(array_distinct(col("_ls")))).cast("double")
+            / size(col("_ls")))).as("dup_line_frac"),
+        when(size(col("_ls")) === 0, 0.0).otherwise(pround4(
+          aggregate(col("_ls"), lit(0L), (acc, l) => acc + length(l))
+            .cast("double") / size(col("_ls")))).as("mean_line_len"),
+        when(size(col("_ls")) === 0, 0.0).otherwise(pround4(
+          size(filter(col("_ls"), l => length(l) < shortLen)).cast("double")
+            / size(col("_ls")))).as("short_line_frac"))
+  }
+
+  /**
+   * Within-document line dedup (the CCNet boilerplate scrub): keep each
+   * line's FIRST occurrence, preserving document order, and rejoin. The
+   * first-occurrence filter is expressed positionally —
+   * `array_position(lines, x) == i+1` — rather than via array_distinct,
+   * because first-occurrence-order preservation is then explicit in the
+   * expression (and the identical lambda runs on the oracle side, where
+   * list_distinct's ordering is not contractual). Array-local per row:
+   * zero shuffles. O(L²) comparisons per doc in line count L — lines per
+   * doc is bounded (≤ text/len(min line)), scan-local, and the constant
+   * is a codegen'd string-equality loop.
+   */
+  def dedupLinesText(text: Column, sep: String = "\n"): Column = {
+    val lines = filter(split(text, java.util.regex.Pattern.quote(sep)),
+      l => l =!= "")
+    array_join(
+      filter(lines, (l, i) => array_position(lines, l) === i + 1), sep)
+  }
+
+  /**
    * The model half of [[dsirWeights]] as a standalone bucket-level table
    * (bucket, lr) — for consumers that train on one corpus and score
    * another (the streaming gate [[graft.streaming.StreamPipeline

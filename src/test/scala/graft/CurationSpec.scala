@@ -545,6 +545,31 @@ class CurationSpec extends SparkSuite {
     assert(got(3L)._4 == 0.0 && got(3L)._6 == 0.0)
   }
 
+  test("line signals + line dedup: hand-computed fractions; first " +
+    "occurrence kept in document order; empty and separator-only docs") {
+    val d = Seq(
+      (1L, "nav bar\nreal content here\nnav bar\nfooter"),
+      (2L, "only one line"),
+      (3L, "\n\n"),
+      (4L, "a\nbb\nccc\na")).toDF("doc_id", "text")
+    val sig = Curation.lineSignals(d, "doc_id", "text", shortLen = 3)
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc1: 4 lines, 1 dup, mean len (7+17+7+6)/4 = 9.25, none < 3
+    assert(sig(1L) == ((1L, 4L, 0.25, 9.25, 0.0)))
+    assert(sig(2L) == ((2L, 1L, 0.0, 13.0, 0.0)))
+    assert(sig(3L) == ((3L, 0L, 0.0, 0.0, 0.0)), "separator-only doc")
+    // doc4: 4 lines, dup 'a'; short (<3): 'a','bb','a' = 3/4
+    assert(sig(4L) == ((4L, 4L, 0.25, 1.75, 0.75)))
+    val clean = d.select($"doc_id",
+        Curation.dedupLinesText($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(clean(1L) == "nav bar\nreal content here\nfooter",
+      "first occurrence kept, order preserved")
+    assert(clean(3L) == "")
+    assert(clean(4L) == "a\nbb\nccc")
+  }
+
   test("Zipf slope: hand-computed OLS on a 3-type vocab; exact power law " +
     "recovers slope -1; distributed ranks match a global sort") {
     // freqs 4,2,1 -> ranks 1,2,3; OLS of ln f on ln r by hand

@@ -1103,6 +1103,14 @@ object SparkEntry {
         .filter(col("n_tokens") > 0)
         .orderBy("doc_id")),
 
+    // curation: tokenizer fertility per source — BPE tokens per pre-merge
+    // word after the 3 trained merges; carry columns ride the encode
+    // projection (one scan + one source aggregate, no corpus join)
+    "q_bpe_fertility" -> ((s, dir) =>
+      Curation.bpeFertility(t(s, dir, "documents"), "doc_id", "text",
+        "source", iters = 3)
+        .orderBy("source")),
+
     // dedup: approximate exact-substring dedup (Lee et al. 2021 recast)
     // — 16-token windows, content-defined anchors (token-hash ≡ 0 mod 4,
     // Broder "mod m" selection: position-independent, so relocated
@@ -1275,6 +1283,14 @@ object SparkEntry {
         minCount = 2L)
         .orderBy("doc_id")),
 
+    // curation: CCNet perplexity terciles — head/middle/tail per source
+    // by unigram surprisal (head = most fluent third, the slice CCNet
+    // keeps); percent_rank ties share a bucket, so it's deterministic
+    "q_ccnet_buckets" -> ((s, dir) =>
+      Curation.ccnetBuckets(t(s, dir, "documents"), "doc_id", "text",
+        "source", minCount = 2L)
+        .orderBy("doc_id")),
+
     // curation: DSIR importance weights (Xie et al. 2023) — hashed-unigram
     // LM log-ratio of the src0 target domain vs the raw corpus, Laplace
     // smoothed; one scan + one (id,bucket) shuffle + two dim-bounded
@@ -1330,6 +1346,17 @@ object SparkEntry {
           regexp_replace(col("text"), "(\\w+ \\w+) ", "$1\n"))
         .select(col("doc_id"),
           Curation.dedupLinesText(col("text")).as("clean_text"))
+        .orderBy("doc_id")),
+
+    // curation: text normalization scrub — CRLF/control/whitespace mess
+    // planted on every 7th doc (the clean docs are the no-op fixture)
+    "q_normalize_text" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("raw", concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("  messy\u0007\t\ttail\r\n\n\n\nend ")).otherwise(lit(""))))
+        .select(col("doc_id"),
+          graft.operators.TextAnalysis.normalizeText(col("raw")).as("clean"))
         .orderBy("doc_id")),
 
     // curation: hashing-trick featurizer — 64-bucket signed sparse vectors
@@ -2481,6 +2508,21 @@ object SparkEntry {
     "q_bpe_train" -> bpeTrainOracleSql(iters = 3),
     "q_bpe_encode" -> bpeEncodeOracleSql(iters = 3),
 
+    // fertility = post-merge tokens per pre-merge word, per source; the
+    // same 3 training rounds as q_bpe_encode (tok3 is the encoded table)
+    "q_bpe_fertility" ->
+      s"""WITH ${bpeRoundsCtes(iters = 3, minToks = 1)},
+         |enc AS (SELECT doc_id, count(*) AS nt FROM tok3 GROUP BY 1),
+         |w AS (
+         |  SELECT doc_id, source,
+         |         len(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS nw
+         |  FROM documents)
+         |SELECT source, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS bpe_tokens,
+         |       sum(nw)::BIGINT AS words,
+         |       floor(sum(nt)::DOUBLE / sum(nw) * 10000.0 + 0.5) / 10000.0 AS fertility
+         |FROM w JOIN enc USING (doc_id) WHERE nw > 0
+         |GROUP BY source ORDER BY source""".stripMargin,
+
     "q_dedup_remove" ->
       """WITH tokf AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
@@ -2740,6 +2782,28 @@ object SparkEntry {
         |       floor(avg(-ln(p)) * 10000.0 + 0.5) / 10000.0 AS lm2_score
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // the q_unigram_lm model chain + per-source percent_rank terciles;
+    // the rank is pround4'd on both engines before the CASE thresholds
+    "q_ccnet_buckets" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(c)::DOUBLE AS s FROM freq),
+        |kept AS (SELECT tok, c FROM freq WHERE c >= 2),
+        |lm AS (
+        |  SELECT t.doc_id,
+        |         floor(avg(-ln(coalesce(k.c, 1)::DOUBLE / (SELECT s FROM tot))) * 10000.0 + 0.5) / 10000.0 AS lm_score
+        |  FROM tok t LEFT JOIN kept k USING (tok) GROUP BY 1),
+        |c AS (
+        |  SELECT d.doc_id, d.source, lm.lm_score,
+        |         floor(percent_rank() OVER (PARTITION BY d.source ORDER BY lm.lm_score) * 10000.0 + 0.5) / 10000.0 AS pr
+        |  FROM documents d JOIN lm USING (doc_id))
+        |SELECT doc_id, source, lm_score,
+        |       CASE WHEN pr < 1.0/3 THEN 'head' WHEN pr < 2.0/3 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q_dsir_weights" -> (dsirWeightsSql + "\nORDER BY doc_id"),
 
     // same model CTEs as dsirWeightsSql, emitted at bucket level; lr0 is
@@ -2800,6 +2864,22 @@ object SparkEntry {
         |       CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(list_aggregate(list_transform(ls, x -> length(x)), 'sum')::DOUBLE / len(ls) * 10000.0 + 0.5) / 10000.0 END AS mean_line_len,
         |       CASE WHEN len(ls) = 0 THEN 0.0 ELSE floor(len(list_filter(ls, x -> length(x) < 30))::DOUBLE / len(ls) * 10000.0 + 0.5) / 10000.0 END AS short_line_frac
         |FROM l ORDER BY doc_id""".stripMargin,
+
+    // the same 4-pass regexp chain as the Spark side; trim() on both
+    // engines strips spaces only, so structural newlines survive
+    "q_normalize_text" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+        |    THEN '  messy' || chr(7) || chr(9) || chr(9) || 'tail' || chr(13) || chr(10) || chr(10) || chr(10) || chr(10) || 'end '
+        |    ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+        |         '\r\n?', chr(10), 'g'),
+        |         '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |         '[ \t]+', ' ', 'g'),
+        |         '\n{3,}', chr(10) || chr(10), 'g')) AS clean
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // first-occurrence positional filter — the same lambda as the Spark
     // side (DuckDB's lambda index and list_position are both 1-based)

@@ -658,8 +658,10 @@ object Curation {
    * the chain compiles once and streams the corpus through.
    */
   def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)],
+                carry: Seq[String] = Nil): DataFrame = {
     val sep1 = "\u0002"; val sep2 = "\u0003"
+    val cc = carry.map(col)
     val wrapped = concat_ws("",
       transform(TextAnalysis.toks(col(textCol)),
         t => concat(lit(sep1), t, lit(sep2))))
@@ -667,18 +669,18 @@ object Curation {
       replace(s, lit(sep1 + t1 + sep2 + sep1 + t2 + sep2),
         lit(sep1 + t1 + " " + t2 + sep2))
     }
-    docs.select(col(idCol),
+    docs.select(col(idCol) +: cc :+
       when(length(applied) === 0, array().cast("array<string>"))
         .otherwise(split(
           substring(applied, 2, Int.MaxValue), sep2 + sep1))
-        .as("enc"))
-      .select(col(idCol),
+        .as("enc"): _*)
+      .select(col(idCol) +: cc :+
         // trailing sep2 survives the split on the last element — trim it
-        transform(col("enc"), t => regexp_replace(t, sep2 + "$", ""))
-          .as("toks"))
-      .select(col(idCol),
-        concat_ws("|", col("toks")).as("toks_str"),
-        size(col("toks")).cast("long").as("n_tokens"))
+        (transform(col("enc"), t => regexp_replace(t, sep2 + "$", ""))
+          .as("toks"): Column): _*)
+      .select(col(idCol) +: cc :+
+        concat_ws("|", col("toks")).as("toks_str") :+
+        (size(col("toks")).cast("long").as("n_tokens"): Column): _*)
   }
 
   /**
@@ -693,6 +695,60 @@ object Curation {
       .orderBy("round").collect() // model-sized: `iters` merge rows
       .map(r => (r.getString(1), r.getString(2))).toSeq
     bpeEncode(docs, idCol, textCol, merges)
+  }
+
+  /**
+   * Tokenizer fertility per source — BPE tokens emitted per pre-merge
+   * word, the standard tokenizer-efficiency diagnostic (a source whose
+   * fertility runs high is poorly served by the learned merges; fertility
+   * is THE metric tokenizer papers report per language). Composition:
+   * [[bpeTrain]]'s merge list (model-sized, collected) + ONE scan-local
+   * encode pass with source and word count carried through (no corpus
+   * join — the carry columns ride the encode projection), then one
+   * source-keyed aggregate. Output (source, n_docs, bpe_tokens, words,
+   * fertility 4dp); zero-word docs excluded (no fertility to measure).
+   */
+  def bpeFertility(docs: DataFrame, idCol: String, textCol: String,
+                   srcCol: String, iters: Int): DataFrame = {
+    val merges = bpeTrain(docs, idCol, textCol, iters)
+      .orderBy("round").collect() // model-sized: `iters` merge rows
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncode(
+      docs.withColumn("_nw",
+        size(TextAnalysis.toks(col(textCol))).cast("long")),
+      idCol, textCol, merges, carry = Seq(srcCol, "_nw"))
+      .filter(col("_nw") > 0)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bpe_tokens"),
+        sum(col("_nw")).as("words"),
+        pround4(sum(col("n_tokens")).cast("double") / sum(col("_nw")))
+          .as("fertility"))
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): within each
+   * group (CCNet: language; here any grouping column) docs split into
+   * head/middle/tail terciles by LM surprisal — head = the most fluent
+   * third, the slice CCNet keeps outright. Composition:
+   * [[unigramLmScore]] + [[calibrateScores]]' per-group percent_rank +
+   * a scan-local CASE; ties share a percent_rank, so assignment is
+   * deterministic and engine-portable. The per-group window carries the
+   * same caveat as [[domainStats]]' ntile: exact terciles cost a
+   * within-group sort (CCNet itself sorts per language); swapping in
+   * approximate thresholds (one aggregate + scan-local CASE) is the
+   * constant-memory variant when groups are corpus-scale.
+   */
+  def ccnetBuckets(docs: DataFrame, idCol: String, textCol: String,
+                   grpCol: String, minCount: Long = 2L,
+                   topK: Option[Int] = None): DataFrame = {
+    val scored = unigramLmScore(docs, idCol, textCol, minCount, topK)
+      .join(docs.select(col(idCol), col(grpCol)), Seq(idCol))
+    calibrateScores(scored, grpCol, "lm_score")
+      .select(col(idCol), col(grpCol), col("lm_score"),
+        when(col("calibrated") < 1.0 / 3, "head")
+          .when(col("calibrated") < 2.0 / 3, "middle")
+          .otherwise("tail").as("bucket"))
   }
 
   /**

@@ -95,4 +95,23 @@ object TextAnalysis {
    */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /**
+   * Text normalization scrub — the pre-tokenization cleanup every web
+   * pipeline runs: CRLF→LF, control characters stripped (tab and newline
+   * survive as structure), space/tab runs collapsed to one space, 3+
+   * blank lines bounded to one blank line, outer spaces trimmed. Four
+   * chained codegen'd regexp_replace passes, scan-local, and every regex
+   * is RE2-portable so the identical chain runs on the oracle side.
+   * Deliberately NOT Unicode-normalizing (NFC/NFKC): the engines'
+   * normalizer tables differ by ICU version, which would make the output
+   * engine-dependent — byte-level scrubbing is the portable subset.
+   */
+  def normalizeText(text: Column): Column = {
+    val lf = regexp_replace(text, "\\r\\n?", "\n")
+    val noCtl = regexp_replace(lf, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val oneSpace = regexp_replace(noCtl, "[ \\t]+", " ")
+    val boundedNl = regexp_replace(oneSpace, "\\n{3,}", "\n\n")
+    trim(boundedNl)
+  }
 }

@@ -570,6 +570,52 @@ class CurationSpec extends SparkSuite {
     assert(clean(4L) == "a\nbb\nccc")
   }
 
+  test("normalizeText: CRLF folded, controls stripped, space runs " +
+    "collapsed, blank-line runs bounded, structure preserved") {
+    val got = Seq(
+      (1L, "clean text"),
+      (2L, "  leading\t\tand   trailing  "),
+      (3L, "a\r\nb\rc\n\n\n\n\nd"),
+      (4L, "keep\n\ntwo blanks\n\nexactly")).toDF("doc_id", "text")
+      .select($"doc_id",
+        graft.operators.TextAnalysis.normalizeText($"text").as("c"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "clean text")
+    assert(got(2L) == "leading and trailing")
+    assert(got(3L) == "a\nb\nc\n\nd", "CRLF and CR fold; 5 newlines -> 2")
+    assert(got(4L) == "keep\n\ntwo blanks\n\nexactly", "double blank is the cap, untouched")
+  }
+
+  test("BPE fertility: post-merge tokens per word, per source; the merged " +
+    "pair halves its run's token count") {
+    // src a: 'x y' dominates -> merge (x,y); each 'x y' becomes 1 token.
+    // src b has no x y adjacency -> fertility stays 1.0
+    val d = Seq(
+      (1L, "a", "x y x y x y"), // 6 words -> 3 tokens
+      (2L, "a", "x y z"),       // 3 words -> 2 tokens
+      (3L, "b", "z z q q")).toDF("doc_id", "source", "text")
+    val got = Curation.bpeFertility(d, "doc_id", "text", "source", iters = 1)
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 5L, 9L, math.floor(5.0 / 9 * 10000 + 0.5) / 10000)))
+    assert(got("b") == (("b", 1L, 4L, 4L, 1.0)))
+  }
+
+  test("CCNet buckets: terciles per source are balanced on distinct " +
+    "scores, and head docs are more fluent than tail docs") {
+    // 6 docs in one source with strictly increasing surprisal: doc k has
+    // k rare (OOV-priced) tokens out of 6
+    val d = (0 to 5).map { k =>
+      val toks = Seq.fill(6 - k)("common") ++ (1 to k).map(i => s"rare${k}_$i")
+      (k.toLong, "s0", toks.mkString(" "))
+    }.toDF("doc_id", "source", "text")
+    val got = Curation.ccnetBuckets(d, "doc_id", "text", "source")
+      .as[(Long, String, Double, String)].collect().sortBy(_._1)
+    assert(got.map(_._4).toSeq ==
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    val scores = got.map(_._3)
+    assert(scores.toSeq == scores.sorted.toSeq, "surprisal increases with rare count")
+  }
+
   test("Zipf slope: hand-computed OLS on a 3-type vocab; exact power law " +
     "recovers slope -1; distributed ranks match a global sort") {
     // freqs 4,2,1 -> ranks 1,2,3; OLS of ln f on ln r by hand

@@ -1283,6 +1283,32 @@ object SparkEntry {
         minCount = 2L)
         .orderBy("doc_id")),
 
+    // curation: temperature mixture resampling (alpha=0.5) — head sources
+    // thinned toward n_s^alpha, rarest source keeps all; hash-coin accept
+    "q_temperature_sample" -> ((s, dir) =>
+      Curation.temperatureSample(t(s, dir, "documents"), "doc_id", "text",
+        "source", alpha = 0.5)
+        .orderBy("doc_id")),
+
+    // curation: wildcard domain blocklist via suffix-explosion equi-join;
+    // hosts synthesized per doc_id so exact, subdomain, and non-matching
+    // TLD cases all occur (same planted-fixture pattern as q_url_normalize)
+    "q_domain_blocklist" -> ((s, dir) => {
+      import s.implicits._
+      val host = concat(
+        when(col("doc_id") % 2 === 0, "www.").otherwise(""),
+        col("source"), lit("."),
+        when(col("doc_id") % 4 === 0, "ads.example.com")
+          .when(col("doc_id") % 4 === 1, "example.com")
+          .when(col("doc_id") % 4 === 2, "example.org")
+          .otherwise("clean.net"))
+      val blocked = Seq("example.com", "tracker.net").toDF("pattern")
+      Curation.domainBlocklist(
+        t(s, dir, "documents").select(col("doc_id"), host.as("host")),
+        "doc_id", "host", blocked)
+        .orderBy("doc_id")
+    }),
+
     // curation: CCNet perplexity terciles — head/middle/tail per source
     // by unigram surprisal (head = most fluent third, the slice CCNet
     // keeps); percent_rank ties share a bucket, so it's deterministic
@@ -2781,6 +2807,44 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_tokens,
         |       floor(avg(-ln(p)) * 10000.0 + 0.5) / 10000.0 AS lm2_score
         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // a_s = (n_min/n_s)^(1-alpha) in basis points (round-half floor as
+    // everywhere); the accept coin is weightedSampleFilter's md5 recipe
+    "q_temperature_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS nt
+        |  FROM documents),
+        |c AS (SELECT source, sum(nt) AS ns FROM w GROUP BY 1),
+        |m AS (SELECT min(ns) AS nmin FROM c),
+        |r AS (
+        |  SELECT source, floor(pow(nmin::DOUBLE / ns, 0.5) * 10000 + 0.5)::BIGINT AS rate_bp
+        |  FROM c CROSS JOIN m)
+        |SELECT d.doc_id, d.source, r.rate_bp
+        |FROM documents d JOIN r USING (source)
+        |WHERE (('0x' || substr(md5('w|' || d.doc_id::VARCHAR), 1, 15))::UBIGINT % 10000) < rate_bp
+        |ORDER BY doc_id""".stripMargin,
+
+    // suffix set per host (every dot-suffix), semi-join against the list
+    "q_domain_blocklist" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) || source || '.' ||
+        |         (CASE WHEN doc_id % 4 = 0 THEN 'ads.example.com'
+        |               WHEN doc_id % 4 = 1 THEN 'example.com'
+        |               WHEN doc_id % 4 = 2 THEN 'example.org'
+        |               ELSE 'clean.net' END) AS host
+        |  FROM documents),
+        |b AS (SELECT unnest(['example.com', 'tracker.net']) AS pattern),
+        |s AS (
+        |  SELECT doc_id, host, labels, unnest(range(1, len(labels) + 1)) AS i
+        |  FROM (SELECT doc_id, host, string_split(host, '.') AS labels FROM h)),
+        |suf AS (
+        |  SELECT doc_id, host, array_to_string(list_slice(labels, i, len(labels)), '.') AS suf
+        |  FROM s)
+        |SELECT DISTINCT doc_id, host
+        |FROM suf WHERE suf IN (SELECT pattern FROM b)
+        |ORDER BY doc_id""".stripMargin,
 
     // the q_unigram_lm model chain + per-source percent_rank terciles;
     // the rank is pround4'd on both engines before the CASE thresholds

@@ -1087,6 +1087,58 @@ object Curation {
   }
 
   /**
+   * Temperature-based source rebalancing — the mT5/XLM-R mixture recipe:
+   * target mixture q_s ∝ n_s^α over per-source token counts (α < 1
+   * flattens the head so low-resource sources aren't drowned), realized
+   * WITHOUT replication by per-source acceptance rates. Since
+   * q_s/π_s ∝ n_s^(α−1) is maximal at the smallest source,
+   * a_s = (n_min/n_s)^(1−α) ∈ (0,1]: the rarest source keeps every doc,
+   * the head is thinned toward the target mixture. Acceptance is the
+   * deterministic content-hash coin of [[weightedSampleFilter]]
+   * (resume-stable, engine-portable). Scale: ONE source-keyed token
+   * aggregate + one single-row min — the rates table is bounded by the
+   * source count, so the join back is broadcast-sized and the filter is
+   * scan-local. Output: the kept docs (id, source, rate_bp).
+   */
+  def temperatureSample(docs: DataFrame, idCol: String, textCol: String,
+                        srcCol: String, alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    val counts = docs
+      .select(col(srcCol), size(TextAnalysis.toks(col(textCol)))
+        .cast("long").as("nt"))
+      .groupBy(col(srcCol)).agg(sum(col("nt")).as("ns"))
+    val nmin = counts.agg(min(col("ns")).as("nmin"))
+    val rates = counts.crossJoin(broadcast(nmin))
+      .select(col(srcCol),
+        floor(pow(col("nmin").cast("double") / col("ns"), 1.0 - alpha)
+          * 10000 + 0.5).cast("long").as("rate_bp"))
+    docs.select(col(idCol), col(srcCol))
+      .join(broadcast(rates), Seq(srcCol))
+      .filter(weightedSampleFilter(col(idCol), col("rate_bp")))
+      .select(col(idCol), col(srcCol), col("rate_bp"))
+  }
+
+  /**
+   * Wildcard domain blocklist — standard blocklist semantics: an entry
+   * `example.com` blocks the domain AND every subdomain. The naive
+   * `endswith` join is a non-equi theta-join (a cross product at scale);
+   * instead each host explodes into its dot-suffixes (bounded by the
+   * label count, ~5 rows per host, corpus-linear) and the list joins by
+   * EQUALITY on the suffix — one hash-partitioned semi-join that AQE
+   * broadcasts whenever the list fits. Output: the BLOCKED docs
+   * (id, host), distinct (a host can match several list entries).
+   */
+  def domainBlocklist(docs: DataFrame, idCol: String, hostCol: String,
+                      blocked: DataFrame, blockCol: String = "pattern"): DataFrame = {
+    val labels = split(col(hostCol), "\\.")
+    val sufs = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    docs.select(col(idCol), col(hostCol), explode(sufs).as("suf"))
+      .join(blocked.select(col(blockCol).as("suf")), Seq("suf"), "left_semi")
+      .select(col(idCol), col(hostCol)).distinct()
+  }
+
+  /**
    * The model half of [[dsirWeights]] as a standalone bucket-level table
    * (bucket, lr) — for consumers that train on one corpus and score
    * another (the streaming gate [[graft.streaming.StreamPipeline

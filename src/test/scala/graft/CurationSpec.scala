@@ -570,6 +570,44 @@ class CurationSpec extends SparkSuite {
     assert(clean(4L) == "a\nbb\nccc")
   }
 
+  test("temperature sampling: rarest source keeps everything, head source " +
+    "thinned toward n^alpha; alpha=1 is a no-op") {
+    // head source: 60 docs x 10 tokens; tail: 3 docs x 10 tokens
+    val docs = ((1L to 60L).map(i => (i, "head", Seq.fill(10)("w").mkString(" "))) ++
+      (61L to 63L).map(i => (i, "tail", Seq.fill(10)("w").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val kept = Curation.temperatureSample(docs, "doc_id", "text", "source",
+      alpha = 0.5).as[(Long, String, Long)].collect()
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("tail") == 3, "rarest source keeps every doc (rate 10000 bp)")
+    assert(kept.filter(_._2 == "tail").forall(_._3 == 10000L))
+    // head rate = sqrt(30/600)=sqrt(1/20)=0.2236 -> 2236 bp; accepted
+    // count is hash-determined but must be well below 60 and nonzero
+    val headRate = kept.find(_._2 == "head").map(_._3)
+    assert(headRate.contains(2236L), s"head rate: $headRate")
+    assert(bySrc("head") > 0 && bySrc("head") < 30)
+    val all = Curation.temperatureSample(docs, "doc_id", "text", "source",
+      alpha = 1.0).count()
+    assert(all == 63, "alpha=1 keeps the natural mixture intact")
+  }
+
+  test("domain blocklist: entry blocks itself and every subdomain, not " +
+    "lookalike TLDs; multi-match hosts emit once") {
+    val docs = Seq(
+      (1L, "example.com"),          // exact
+      (2L, "ads.example.com"),      // subdomain
+      (3L, "www.ads.example.com"),  // deeper subdomain
+      (4L, "example.org"),          // different TLD - kept
+      (5L, "notexample.com"),       // suffix of the STRING but not a label
+      (6L, "bad.net")).toDF("doc_id", "host")
+    val blocked = Seq("example.com", "bad.net", "ads.example.com")
+      .toDF("pattern")
+    val got = Curation.domainBlocklist(docs, "doc_id", "host", blocked)
+      .as[(Long, String)].collect().map(_._1).sorted.toSeq
+    assert(got == Seq(1L, 2L, 3L, 6L),
+      s"label-boundary wildcard semantics: $got")
+  }
+
   test("normalizeText: CRLF folded, controls stripped, space runs " +
     "collapsed, blank-line runs bounded, structure preserved") {
     val got = Seq(

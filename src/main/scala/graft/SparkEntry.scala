@@ -146,6 +146,18 @@ object SparkEntry {
       Analytics.textRankBm25Full(t(s, dir, "documents"), "doc_id", "text",
         "spark window", k1 = 1.2, b = 0.75)),
 
+    // E1 as a SERVING artifact: write the term-bucket-partitioned inverted
+    // index, then score the same query through it — the roundtrip must
+    // reproduce the in-memory BM25 ranking exactly (same oracle); the
+    // postings scan prunes to the query terms' tbucket partitions
+    "q_text_index" -> ((s, dir) => {
+      val path = s"/tmp/graft_text_index_${s.sparkContext.applicationId}"
+      Analytics.writeTextIndex(t(s, dir, "documents"), "doc_id", "text",
+        path, nBuckets = 16)
+      Analytics.textIndexTopK(s, path, "doc_id", "spark window",
+        k1 = 1.2, b = 0.75)
+    }),
+
     // E1 + ANN — hybrid retrieval via reciprocal-rank fusion: the full-BM25
     // text arm (top 50) and the brute-force cosine arm (top 50, embeddings
     // as the carrier, vec_id ≡ doc_id) fused with RRF(k0=60) — the
@@ -1588,6 +1600,23 @@ object SparkEntry {
     // different double than the literal would in a near-tie; avgdl is an
     // exact integer-sum average, bit-identical cross-engine
     "q_text_rank_bm25_full" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM tokf),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |tok AS (SELECT doc_id, unnest(toks) AS tok FROM tokf),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok WHERE tok IN ('spark', 'window') GROUP BY 1, 2),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id AS doc_id,
+        |       floor(sum(ln(1.0 + ((SELECT count(*) FROM documents) - df.df + 0.5) / (df.df + 0.5))
+        |                 * (tf.tf * (1.2::DOUBLE + 1.0::DOUBLE))
+        |                 / (tf.tf + 1.2::DOUBLE * ((1.0::DOUBLE - 0.75::DOUBLE) + 0.75::DOUBLE * dl.dl / ad.avgdl))) * 10000.0 + 0.5) / 10000.0 AS score
+        |FROM tf JOIN df USING (tok) JOIN dl ON dl.doc_id = tf.doc_id, ad
+        |GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id""".stripMargin,
+
+    // the stored-index roundtrip must reproduce the in-memory BM25
+    "q_text_index" ->
       """WITH tokf AS (
         |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
         |  FROM documents),

@@ -207,6 +207,81 @@ object Analytics {
   }
 
   /**
+   * Stored inverted text index — the SERVING artifact for the BM25 family,
+   * completing the stored-index set (IVF cells, sign-LSH buckets, MinHash
+   * signature index) for text retrieval. Layout under `path`:
+   * `postings/tbucket=B/` (id, term, tf) partitioned by
+   * tbucket = md5(term) mod nBuckets, `doclen/` (id, dl), `meta/` one row
+   * (n_docs, avgdl, n_buckets). At corpus scale the postings table is
+   * corpus-sized, but a query touches only its terms' buckets: the
+   * tbucket `isin` prunes to ≤ |query terms| of nBuckets partition
+   * directories at planning time (PartitionFilters asserted in
+   * AnalyticsSpec). avgdl is an integer-sum average of BIGINT doc
+   * lengths — exact, so index-time and query-time scoring agree to the
+   * bit with the in-memory [[textRankBm25Full]].
+   */
+  def writeTextIndex(docs: DataFrame, idCol: String, textCol: String,
+                     path: String, nBuckets: Int = 16): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val withDl = docs.select(col(idCol), col(textCol),
+      size(TextAnalysis.toks(col(textCol))).cast("long").as("dl"))
+    Curation.gramRows(withDl, idCol, textCol, n = 1)
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
+      .withColumn("tbucket",
+        pmod(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("tbucket")
+      .parquet(s"$path/postings")
+    withDl.select(col(idCol), col("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+    withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Query-time BM25 over the stored index: the driver hashes the query
+   * terms with the SAME md5-mod recipe the writer used (n_buckets read
+   * back from meta — the identity guard), prunes the postings scan to
+   * those partitions, and scores with the identical k1/b formula as
+   * [[textRankBm25Full]] — the roundtrip must reproduce the in-memory
+   * ranking exactly (same oracle). The corpus never re-tokenizes: df
+   * comes from the pruned postings, dl from the stored doclen table,
+   * n_docs/avgdl from the one meta row.
+   */
+  def textIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                    idCol: String, queryText: String, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val nB = meta.getAs[Int]("n_buckets")
+    val nDocs = meta.getAs[Long]("n_docs")
+    val avgdl = meta.getAs[Double]("avgdl")
+    val tokens: Seq[String] =
+      queryText.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq.distinct
+    def bucketOf(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16) % nB
+    }
+    val buckets: Seq[Any] = tokens.map(bucketOf).distinct
+    val terms: Seq[Any] = tokens
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("tbucket").isin(buckets: _*) &&
+        col("gram").isin(terms: _*))
+    val df_ = postings.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5))
+    val norm = col("tf") * (k1 + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    postings.join(dl, Seq(idCol))
+      .join(broadcast(df_), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(TextAnalysis.pround4(sum(idf * norm)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+  }
+
+  /**
    * Rank a BOUNDED scored list for fusion: dense position by
    * (score desc, id asc). The caller must pass an already-bounded frame
    * (a top-N `limit` result) — the unpartitioned window is then a

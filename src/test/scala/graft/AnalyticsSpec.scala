@@ -224,4 +224,30 @@ class AnalyticsSpec extends SparkSuite {
       .as[(Long, Long)].collect().toMap
     assert(tied(5L) == 1L && tied(7L) == 2L)
   }
+
+  test("stored text index: tbucket partitions prune to the query terms' " +
+    "buckets and the roundtrip reproduces the in-memory BM25 exactly") {
+    val docs = Seq(
+      (1L, "spark window spark join"),
+      (2L, "window the quick fox"),
+      (3L, "spark " + Seq.fill(40)("filler").mkString(" ")),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark window")).toDF("doc_id", "text")
+    val path = tmpDir("text-idx")
+    Analytics.writeTextIndex(docs, "doc_id", "text", path, nBuckets = 16)
+    val fromIndex = Analytics.textIndexTopK(spark, path, "doc_id",
+      "spark window", k1 = 1.2, b = 0.75)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tbucket"),
+      s"tbucket predicate must prune partitions:\n$plan")
+    val mem = Analytics.textRankBm25Full(docs, "doc_id", "text",
+      "spark window", k1 = 1.2, b = 0.75)
+      .as[(Long, Double)].collect().toSeq
+    val idx = fromIndex.as[(Long, Double)].collect().toSeq
+    assert(idx == mem, s"stored-index BM25 diverged: $idx vs $mem")
+    // length normalization visible through the artifact too: the long
+    // filler doc ranks below the short exact-match docs
+    val rank = idx.map(_._1)
+    assert(rank.indexOf(3L) > rank.indexOf(5L))
+  }
 }

@@ -918,6 +918,51 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    // dedup: connected components via LARGE-STAR/SMALL-STAR (Kiveris
+    // 2014) — the O(log n)-round variant over the SAME candidate graph,
+    // pinned to the SAME converged-components oracle as q_dedup_clusters
+    "q_dedup_clusters_star" -> ((s, dir) =>
+      Dedup.dedupClustersStar(
+        Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+          n = 3))
+        .orderBy("id")),
+
+    // crawl ops: URL-level recrawl dedup — messy recrawl URLs planted so
+    // 40 canonical pages each carry many captures (canonicalization rules
+    // all fire; ts ties at sf>=0.01 exercise the max-id tie-break)
+    "q_url_dedup" -> ((s, dir) => {
+      val messy = concat(
+        lit("HTTPS://WWW.Example.COM"),
+        when(col("doc_id") % 4 === 0, ":443").otherwise(""),
+        lit("/Page/"), (col("doc_id") % 40).cast("string"),
+        when(col("doc_id") % 3 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0, "?utm_source=feed")
+          .otherwise("?fbclid=x1"),
+        when(col("doc_id") % 5 === 0, "#frag").otherwise(""))
+      val ts = lit(1700000000L) + (col("doc_id") * 37 % 1000) * 60
+      Dedup.urlDedup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), messy.as("url"), ts.as("crawl_ts")),
+        "doc_id", "url", "crawl_ts")
+        .orderBy("canonical")
+    }),
+
+    // crawl ops: cross-snapshot diff — old = docs %5!=0, new = docs
+    // %3!=0 with every 7th page's content updated; all four statuses
+    // occur (added / removed / changed / unchanged)
+    "q_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("url_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("url_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [recrawled]")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiff(oldSnap, newSnap, "url_id", "text")
+        .orderBy("url_id")
+    }),
+
     // curation: Gopher-style heuristic rules (symbols planted on every 3rd
     // row so the symbol-ratio path is exercised; the corpus itself has
     // neither '#' nor ellipses)
@@ -1504,6 +1549,37 @@ object SparkEntry {
       |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p))
       |  WHERE g IS NOT NULL)""".stripMargin
 
+  /** Converged-components oracle shared by q_dedup_clusters (min-label
+    * propagation) and q_dedup_clusters_star (large-star/small-star): the
+    * component structure is algorithm-independent, so both implementations
+    * pin to ONE recursive-CTE ground truth. */
+  private lazy val clustersOracle: String = {
+    val perms = graft.operators.Dedup.MinhashA
+      .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+    s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |hh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+       |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+       |bk AS (
+       |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+       |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+       |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (SELECT id1, id2 FROM cand UNION SELECT id2, id1 FROM cand),
+       |reach(id, r) AS (
+       |  SELECT id1, id1 FROM edges
+       |  UNION
+       |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id)
+       |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
 
     "q_counts_conditional" ->
@@ -1951,32 +2027,62 @@ object SparkEntry {
          |ORDER BY id1, id2""".stripMargin
     },
 
-    "q_dedup_clusters" -> {
-      val perms = graft.operators.Dedup.MinhashA
-        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
-        .map { case ((a, b), i) =>
-          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
-      s"""${shinglesCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |hh AS (
-         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
-         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
-         |bk AS (
-         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
-         |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
-         |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (SELECT id1, id2 FROM cand UNION SELECT id2, id1 FROM cand),
-         |reach(id, r) AS (
-         |  SELECT id1, id1 FROM edges
-         |  UNION
-         |  SELECT e.id1, reach.r FROM edges e JOIN reach ON e.id2 = reach.id)
-         |SELECT id, min(r) AS cluster FROM reach GROUP BY id ORDER BY id""".stripMargin
-    },
+    "q_dedup_clusters" -> clustersOracle,
+
+    "q_dedup_clusters_star" -> clustersOracle,
+
+    "q_url_dedup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         'HTTPS://WWW.Example.COM'
+        |         || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+        |         || '/Page/' || (doc_id % 40)::VARCHAR
+        |         || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |         || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '?fbclid=x1' END)
+        |         || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END) AS url,
+        |         1700000000 + (doc_id * 37 % 1000) * 60 AS crawl_ts
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, crawl_ts, regexp_replace(url, '#.*$', '') AS c FROM raw),
+        |s2 AS (SELECT doc_id, crawl_ts,
+        |         lower(regexp_extract(c, '^([^/]*//[^/?#]*)', 1)) || regexp_replace(c, '^[^/]*//[^/?#]*', '') AS c
+        |       FROM s1),
+        |s3 AS (SELECT doc_id, crawl_ts, regexp_replace(c, '^(https?://[^/?#:]*):(?:80|443)([/?#]|$)', '\1\2') AS c FROM s2),
+        |s4 AS (
+        |  SELECT doc_id, crawl_ts,
+        |         CASE WHEN strpos(c, '?') = 0 THEN c ELSE substr(c, 1, strpos(c, '?') - 1) END AS p,
+        |         CASE WHEN strpos(c, '?') = 0 THEN '' ELSE substr(c, strpos(c, '?') + 1) END AS q
+        |  FROM s3),
+        |u AS (
+        |  SELECT doc_id, crawl_ts,
+        |         CASE WHEN regexp_replace(regexp_replace(q, '(?:^|&)(?:utm_[^&=]*|fbclid|gclid)=[^&]*', '', 'g'), '^&+', '') = ''
+        |              THEN regexp_replace(p, '([^/:])/$', '\1')
+        |              ELSE regexp_replace(p, '([^/:])/$', '\1') || '?'
+        |                   || regexp_replace(regexp_replace(q, '(?:^|&)(?:utm_[^&=]*|fbclid|gclid)=[^&]*', '', 'g'), '^&+', '') END AS canonical
+        |  FROM s4),
+        |latest AS (
+        |  SELECT canonical, max(crawl_ts) AS last_ts, count(*)::BIGINT AS n_crawls
+        |  FROM u GROUP BY 1)
+        |SELECT canonical, max(doc_id) AS keeper_id, last_ts, n_crawls
+        |FROM u JOIN latest USING (canonical)
+        |WHERE crawl_ts = last_ts
+        |GROUP BY canonical, last_ts, n_crawls
+        |ORDER BY canonical""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id AS url_id, md5(text) AS h_old
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (
+        |  SELECT doc_id AS url_id,
+        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawled]' ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT COALESCE(o.url_id, n.url_id) AS url_id,
+        |       CASE WHEN h_old IS NULL THEN 'added'
+        |            WHEN h_new IS NULL THEN 'removed'
+        |            WHEN h_old = h_new THEN 'unchanged'
+        |            ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.url_id = n.url_id
+        |ORDER BY url_id""".stripMargin,
 
     "q_dedup_minhash_est" -> {
       val perms = graft.operators.Dedup.MinhashA

@@ -743,4 +743,137 @@ object Dedup {
           sum(when(col("df") >= 2, 1L).otherwise(0L)).cast("double")
             / count(lit(1))).as("dup_frac"))
   }
+
+  /**
+   * URL-level recrawl dedup — the FIRST dedup stage of a crawl pipeline:
+   * many captures of the same page (same canonical URL, different fetch
+   * timestamps) collapse to the freshest one before any content-level
+   * dedup runs. The grouping key is [[Curation.normalizeUrl]] — tracking
+   * params / fragments / case noise must not split a page's crawl
+   * history. Keeper = the capture with the max fetch timestamp; ties →
+   * max id (the later-numbered capture of the same second wins —
+   * deterministic, order- and partitioning-independent).
+   *
+   * Plan: two aggregates + one join, ALL keyed on `canonical` (AQE
+   * co-partitions them; no window — a window would sort every crawl
+   * history, while max reduces pairwise with map-side combine). Only
+   * (canonical, id, ts) ever shuffles — page text/html stays in the
+   * scan. Works for any orderable id type (string capture ids included —
+   * max, not arithmetic negation; the [[clusterKeepers]] convention).
+   * Output: one row per canonical URL (canonical, keeper_id, last_ts,
+   * n_crawls). Beyond the reference's surface (it processes a live
+   * stream, never a recrawl history); crawl-ops family per the builder
+   * brief.
+   */
+  def urlDedup(docs: DataFrame, idCol: String, urlCol: String,
+               tsCol: String): DataFrame = {
+    val canon = docs.select(
+      Curation.normalizeUrl(col(urlCol)).as("canonical"),
+      col(idCol), col(tsCol))
+    val latest = canon.groupBy(col("canonical"))
+      .agg(max(col(tsCol)).as("last_ts"), count(lit(1)).as("n_crawls"))
+    canon.join(latest, Seq("canonical"))
+      .filter(col(tsCol) === col("last_ts"))
+      .groupBy(col("canonical"), col("last_ts"), col("n_crawls"))
+      .agg(max(col(idCol)).as("keeper_id"))
+      .select(col("canonical"), col("keeper_id"), col("last_ts"),
+        col("n_crawls"))
+  }
+
+  /**
+   * Cross-snapshot crawl diff: classify every URL across two snapshot
+   * tables as added / removed / changed / unchanged by content hash —
+   * the monitoring table an incremental-crawl pipeline publishes per
+   * snapshot pair (how much of the web moved under us?). Inputs must be
+   * key-unique per snapshot (run [[urlDedup]] first for raw capture
+   * tables).
+   *
+   * Plan: each side is projected to (key, md5) BEFORE the join — text
+   * never reaches the exchange, only a 32-char hash per URL — then ONE
+   * full-outer hash join on the key. No window, no self-join; at 10¹²
+   * URLs this is exactly one co-partitioned shuffle of two short-key
+   * tables. Output: (key, status) with status ∈ added | removed |
+   * changed | unchanged.
+   */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                   keyCol: String, textCol: String): DataFrame = {
+    val a = oldDocs.select(col(keyCol), md5(col(textCol)).as("h_old"))
+    val b = newDocs.select(col(keyCol), md5(col(textCol)).as("h_new"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /**
+   * Connected components via alternating LARGE-STAR / SMALL-STAR
+   * (Kiveris et al. 2014, "Connected Components in MapReduce and
+   * Beyond") — the O(log n)-round alternative to [[dedupClusters]]'
+   * O(component-diameter) min-label propagation. Same contract, same
+   * result: (id, cluster = smallest reachable id) for every node of the
+   * pair graph. Near-dup components are dense and shallow (label
+   * propagation is fine there); pick THIS variant when components can be
+   * long chains — substring-overlap chains, link graphs — where diameter
+   * ≫ log n and per-round cost must not multiply by the chain length.
+   *
+   * Per round: large-star (every node's strictly-larger neighbors
+   * connect to the min of its closed neighborhood) then small-star
+   * (every node's smaller-or-equal neighbors and itself connect to that
+   * min). Each star step is ONE window-min shuffle over the adjacency
+   * (min needs no sorted frame) + a distinct; the edge set is
+   * re-materialized per round (`localCheckpoint` — constant lineage, the
+   * [[dedupClusters]] pattern). Convergence gate = (edge count,
+   * xxhash64 sum) pair per round — one model-sized driver row; a
+   * collision that masks non-convergence needs a 64-bit hash-sum tie on
+   * a changed edge set, negligible and bounded by `maxIters` anyway.
+   */
+  def dedupClustersStar(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byU = Window.partitionBy("u")
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    // large-star: emit (v, min(closed nbhd of u)) for v > u
+    def largeStar(e: DataFrame): DataFrame =
+      sym(e).withColumn("m", least(col("u"), min(col("v")).over(byU)))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    // small-star: at each node's LARGER endpoint, connect the smaller
+    // neighbors and the node itself to the min of the smaller neighbors
+    def smallStar(e: DataFrame): DataFrame = {
+      val adj = sym(e).filter(col("v") < col("u"))
+        .withColumn("m", min(col("v")).over(byU))
+      adj.select(col("v").as("u"), col("m").as("v"))
+        .union(adj.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // hash sum in DECIMAL(38,0): order-independent and overflow-free
+    // (a raw long sum overflows under ANSI arithmetic at edge volume)
+    def gate(e: DataFrame): (Long, String) = {
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)))
+    }
+    var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var prev = gate(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val cur = gate(edges)
+      converged = cur == prev
+      prev = cur
+      iter += 1
+    }
+    // fixed point: every non-root points straight at its component min;
+    // roots carry no outgoing edge → coalesce to themselves
+    val nodes = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id"))).distinct()
+    nodes.join(edges.select(col("u").as("id"), col("v").as("cluster")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
 }

@@ -353,4 +353,65 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(again == got)
   }
+
+  test("url dedup: recrawls of one canonical page collapse to the " +
+    "freshest capture; ts tie breaks to max id; messy variants unify") {
+    val captures = Seq(
+      // one page, three captures under URL noise the canonicalizer erases
+      (1L, "https://example.com/a?utm_source=x", 100L),
+      (2L, "HTTPS://EXAMPLE.com:443/a#frag", 300L),
+      (3L, "https://example.com/a/", 200L),
+      // second page, two captures at the SAME ts -> max id wins
+      (4L, "https://example.com/b", 500L),
+      (5L, "https://example.com/b?fbclid=y", 500L),
+      // singleton
+      (6L, "http://other.net/c", 50L))
+      .toDF("doc_id", "url", "crawl_ts")
+    val r = Dedup.urlDedup(captures, "doc_id", "url", "crawl_ts")
+      .as[(String, Long, Long, Long)].collect().map(x => x._1 -> x).toMap
+    assert(r.size == 3, s"three canonical pages, got ${r.keySet}")
+    assert(r("https://example.com/a") == (("https://example.com/a", 2L, 300L, 3L)))
+    assert(r("https://example.com/b") == (("https://example.com/b", 5L, 500L, 2L)),
+      "equal-ts tie must resolve to the max id")
+    assert(r("http://other.net/c")._4 == 1L)
+  }
+
+  test("snapshot diff: added / removed / changed / unchanged all " +
+    "classified by content hash on the url key") {
+    val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "gone"))
+      .toDF("url_id", "text")
+    val newSnap = Seq((1L, "same text"), (2L, "changed text"), (4L, "brand new"))
+      .toDF("url_id", "text")
+    val r = Dedup.snapshotDiff(oldSnap, newSnap, "url_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
+  test("star connected components: equals min-label propagation on the " +
+    "minhash candidate graph, resolves a long chain (the diameter case " +
+    "label propagation is slow on), and handles stars/singleton edges") {
+    // long chain 10-11-...-19: diameter 9, components must still converge
+    // (star alternation contracts in O(log n) rounds)
+    val chain = (10L to 18L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val chainGot = Dedup.dedupClustersStar(chain)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 19L).forall(chainGot(_) == 10L),
+      s"chain must collapse to min id 10: $chainGot")
+    // two disjoint components + reversed edge order
+    val multi = Seq((5L, 2L), (2L, 9L), (7L, 8L)).toDF("id1", "id2")
+    val multiGot = Dedup.dedupClustersStar(multi)
+      .as[(Long, Long)].collect().toMap
+    assert(multiGot == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 7L -> 7L, 8L -> 7L))
+    // algorithm equivalence on the real candidate graph
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3)
+      .localCheckpoint()
+    val viaLabels = Dedup.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    val viaStars = Dedup.dedupClustersStar(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(viaStars == viaLabels,
+      "large-star/small-star and min-label propagation must agree on the " +
+        "same pair graph")
+  }
 }

@@ -1402,6 +1402,47 @@ object SparkEntry {
           isTarget = col("source") === "src0", dim = 64),
         "doc_id", k = 100)),
 
+    // curation: hashed Naive-Bayes classifier MODEL (fastText recipe,
+    // Joulin 2016) — closed-form multinomial NB over 64 hashed-unigram
+    // buckets, labels = lang=='en'; dim-bounded artifact à la q_dsir_model
+    "q_nbc_model" -> ((s, dir) =>
+      Curation.nbcModel(t(s, dir, "documents"), "text",
+        isPositive = col("lang") === "en", dim = 64)
+        .select(col("bucket"),
+          graft.operators.TextAnalysis.pround4(col("w")).as("w"),
+          graft.operators.TextAnalysis.pround4(col("w0")).as("w0"))
+        .orderBy("bucket")),
+
+    // curation: NB scores + decisions over the training corpus (doc-count
+    // prior + DECIMAL-exact per-doc log-likelihood sums, 4dp)
+    "q_nbc_score" -> ((s, dir) =>
+      Curation.nbcScore(t(s, dir, "documents"), "doc_id", "text",
+        isPositive = col("lang") === "en", dim = 64)
+        .orderBy("doc_id")),
+
+    // curation: classifier evaluation — confusion counts + accuracy of
+    // the self-trained NB gate against its own labels (composition row).
+    // The synthetic corpus's lang label is uncorrelated with its text
+    // (same word soup for every lang), so accuracy here measures engine
+    // parity on a noisy-label fit — all four confusion cells are
+    // non-zero at every SF; REAL separability is proven in CurationSpec
+    // on a vocabulary-disjoint corpus
+    "q_nbc_eval" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.nbcScore(d, "doc_id", "text",
+        isPositive = col("lang") === "en", dim = 64)
+        .join(d.select(col("doc_id"), (col("lang") === "en").as("y")),
+          Seq("doc_id"))
+        .agg(
+          sum(when(col("nb_pred") && col("y"), 1L).otherwise(0L)).as("tp"),
+          sum(when(col("nb_pred") && !col("y"), 1L).otherwise(0L)).as("fp"),
+          sum(when(!col("nb_pred") && col("y"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("nb_pred") && !col("y"), 1L).otherwise(0L)).as("tn"),
+          graft.operators.TextAnalysis.pround4(
+            avg(when(col("nb_pred") === col("y"), 1.0).otherwise(0.0)))
+            .as("accuracy"))
+    }),
+
     // curation: Zipf rank-frequency slope — corpus-health diagnostic
     // (OLS of ln freq on ln rank); ranks assigned distributedly via the
     // O(√N)-bounded frequency-of-frequency table, no global vocab sort
@@ -3034,6 +3075,28 @@ object SparkEntry {
          |FROM w
          |ORDER BY gumbel_score DESC, doc_id LIMIT 100""".stripMargin,
 
+    "q_nbc_model" ->
+      s"""$nbcCtes
+         |SELECT bucket,
+         |       floor((ln((cp + 1.0) / (tp + 64)) - ln((cn + 1.0) / (tn + 64))) * 10000.0 + 0.5) / 10000.0 AS w,
+         |       floor((ln(1.0 / (tp + 64)) - ln(1.0 / (tn + 64))) * 10000.0 + 0.5) / 10000.0 AS w0
+         |FROM cls CROSS JOIN tot ORDER BY bucket""".stripMargin,
+
+    "q_nbc_score" ->
+      s"""$nbcCtes
+         |SELECT doc_id, n_tokens, nb_score, nb_score > 0 AS nb_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_nbc_eval" ->
+      s"""$nbcCtes,
+         |truth AS (SELECT doc_id, lang = 'en' AS y FROM documents)
+         |SELECT sum(CASE WHEN nb_score > 0 AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |       sum(CASE WHEN nb_score > 0 AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |       sum(CASE WHEN nb_score <= 0 AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |       sum(CASE WHEN nb_score <= 0 AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn,
+         |       floor(avg(CASE WHEN (nb_score > 0) = y THEN 1.0 ELSE 0.0 END) * 10000.0 + 0.5) / 10000.0 AS accuracy
+         |FROM sc JOIN truth USING (doc_id)""".stripMargin,
+
     // ranks via row_number over the whole vocab: tie order within a
     // frequency class cannot change the regression sums (y constant in
     // the class), so a plain (c desc, tok) ordering is parity-exact with
@@ -3451,6 +3514,38 @@ object SparkEntry {
    */
   /** DSIR hashed-unigram importance weights (no final ORDER BY so the
     * block can nest as a CTE body in the Gumbel-selection oracle). */
+  /** Shared CTE chain for the Naive-Bayes oracles: hashed per-doc class
+    * counts → per-class bucket counts → Laplace log-ratios → doc-count
+    * prior → DECIMAL-exact doc scores (mirrors Curation.nbcScore verbatim;
+    * labels = lang='en', dim=64). */
+  private val nbcCtes: String =
+    """WITH tokf AS (
+      |  SELECT doc_id, lang = 'en' AS y,
+      |         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |h AS (SELECT doc_id, y, md5(unnest(toks)) AS hx FROM tokf),
+      |db AS (
+      |  SELECT doc_id, y,
+      |         (('0x' || substr(hx, 1, 15))::UBIGINT % 64)::BIGINT AS bucket,
+      |         count(*) AS n
+      |  FROM h GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT bucket, sum(CASE WHEN y THEN n ELSE 0 END) AS cp,
+      |         sum(CASE WHEN NOT y THEN n ELSE 0 END) AS cn
+      |  FROM db GROUP BY 1),
+      |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn FROM cls),
+      |w AS (
+      |  SELECT bucket, ln((cp + 1.0) / (tp + 64)) - ln((cn + 1.0) / (tn + 64)) AS w
+      |  FROM cls CROSS JOIN tot),
+      |pr AS (
+      |  SELECT ln((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0) /
+      |            (sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1.0)) AS prior
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, sum(n)::BIGINT AS n_tokens,
+      |         floor((CAST(sum(CAST(n * w AS DECIMAL(28,12))) AS DOUBLE) + (SELECT prior FROM pr)) * 10000.0 + 0.5) / 10000.0 AS nb_score
+      |  FROM db JOIN w USING (bucket) GROUP BY doc_id)""".stripMargin
+
   private val dsirWeightsSql: String =
     """WITH tokf AS (
       |  SELECT doc_id, source = 'src0' AS is_target,

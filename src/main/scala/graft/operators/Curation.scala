@@ -1173,6 +1173,94 @@ object Curation {
   }
 
   /**
+   * Hashed Naive-Bayes document classifier, model half — the fastText
+   * recipe (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+   * Classification") that CCNet/LLaMA-style pipelines run as the
+   * "looks-like-Wikipedia" quality gate: multinomial NB over hashed
+   * unigram features. Training is CLOSED-FORM — per-class hashed token
+   * counts — so the whole fit is one tokenize scan + two dim-bounded
+   * aggregates: no gradient loop, and the model is bounded BY
+   * CONSTRUCTION (dim buckets, the [[dsirModel]] shape — never the
+   * Heaps-law hazard of a raw-vocab model).
+   *
+   *   w_b = ln((c⁺_b+1)/(tot⁺+dim)) − ln((c⁻_b+1)/(tot⁻+dim))  (Laplace)
+   *   w0  = the same log-ratio at zero counts — the OOV-bucket floor
+   *         for scoring a disjoint corpus
+   *
+   * Output: (bucket, w, w0), ≤ dim rows.
+   */
+  def nbcModel(docs: DataFrame, textCol: String, isPositive: Column,
+               dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = md5(col("tok"))
+    val cls = docs
+      .select(isPositive.as("y"),
+        explode(TextAnalysis.toks(col(textCol))).as("tok"))
+      .select(col("y"),
+        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("cp"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("cn"))
+    val totals = cls.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+    cls.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("cp") + 1.0) / (col("tp") + dim)) -
+         log((col("cn") + 1.0) / (col("tn") + dim))).as("w"),
+        (log(lit(1.0) / (col("tp") + dim)) -
+         log(lit(1.0) / (col("tn") + dim))).as("w0"))
+  }
+
+  /**
+   * Hashed Naive-Bayes scoring — trains [[nbcModel]] on the corpus's own
+   * labels and scores every document:
+   *
+   *   score(d) = ln((n⁺+1)/(n⁻+1)) + Σ_b n_b(d)·w_b ;  positive iff > 0
+   *
+   * (doc-count prior + per-bucket multinomial log-likelihood ratio; the
+   * prediction is taken on the 4dp-ROUNDED score so both engines agree
+   * at the decision boundary). Plan: ONE tokenize scan → one
+   * (id, label, bucket) shuffle; the count table feeds BOTH the model
+   * aggregates and the doc scores (localCheckpoint); the model join back
+   * is broadcast BY CONSTRUCTION (dim rows), the prior is a 1-row
+   * broadcast. Per-doc sums are DECIMAL(28,12)-exact (order-independent;
+   * [[dsirWeights]] conventions throughout). Token-less docs are absent
+   * (no features — the caller's gate decides their fate).
+   */
+  def nbcScore(docs: DataFrame, idCol: String, textCol: String,
+               isPositive: Column, dim: Int = 64): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    val h = md5(col("tok"))
+    val base = docs
+      .select(col(idCol), isPositive.as("y"),
+        explode(TextAnalysis.toks(col(textCol))).as("tok"))
+      .select(col(idCol), col("y"),
+        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"))
+      .groupBy(col(idCol), col("y"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint() // one scan feeds the model AND the doc scores
+    val cls = base.groupBy(col("bucket"))
+      .agg(sum(when(col("y"), col("n")).otherwise(0L)).as("cp"),
+        sum(when(!col("y"), col("n")).otherwise(0L)).as("cn"))
+    val totals = cls.agg(sum(col("cp")).as("tp"), sum(col("cn")).as("tn"))
+    val w = cls.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("cp") + 1.0) / (col("tp") + dim)) -
+         log((col("cn") + 1.0) / (col("tn") + dim))).as("w"))
+    val prior = docs.agg(
+      log((sum(when(isPositive, 1L).otherwise(0L)) + 1.0) /
+          (sum(when(!isPositive, 1L).otherwise(0L)) + 1.0)).as("prior"))
+    base.join(broadcast(w), Seq("bucket")) // dim rows by construction
+      .groupBy(col(idCol))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum((col("n") * col("w")).cast("decimal(28,12)")).as("s"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("n_tokens"),
+        TextAnalysis.pround4(col("s").cast("double") + col("prior"))
+          .as("nb_score"))
+      .withColumn("nb_pred", col("nb_score") > 0)
+  }
+
+  /**
    * Zipf rank-frequency slope — the corpus-statistics diagnostic: OLS
    * slope of ln(freq) on ln(rank) over the token vocabulary (healthy
    * natural-language crawls sit near −1; boilerplate/spam corpora drift

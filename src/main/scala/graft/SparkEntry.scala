@@ -1096,6 +1096,15 @@ object SparkEntry {
         Curation.splitAssign(col("doc_id")).as("split"))
         .orderBy("doc_id")),
 
+    // curation: packed-bin MATERIALIZATION — the content half of
+    // q_seq_packing: each (source, bin) row carries the bin's actual
+    // token stream, straddling docs sliced across bins; every non-final
+    // bin holds exactly 256 tokens
+    "q_pack_bins" -> ((s, dir) =>
+      Curation.packBins(t(s, dir, "documents"), "doc_id", "text",
+        "source", capacity = 256)
+        .orderBy("source", "bin_idx")),
+
     // curation: SHARD MANIFEST — the trainer-facing artifact: hash-split
     // assignment feeds per-split sequence packing, yielding each doc's
     // (split, bin, offset) address. Split → pack composition of two
@@ -3255,6 +3264,27 @@ object SparkEntry {
         |       floor(prefix / 256)::BIGINT AS bin_idx,
         |       (prefix % 256)::BIGINT AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_pack_bins" ->
+      """WITH tk AS (
+        |  SELECT source, doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (SELECT source, doc_id, toks, len(toks)::BIGINT AS n FROM tk WHERE len(toks) > 0),
+        |p AS (
+        |  SELECT source, doc_id, toks, n,
+        |         (sum(n) OVER (PARTITION BY source ORDER BY doc_id) - n)::BIGINT AS prefix
+        |  FROM d),
+        |segs AS (
+        |  SELECT source, b AS bin_idx,
+        |         greatest(b * 256, prefix) AS seg_start,
+        |         toks[(greatest(b * 256, prefix) - prefix + 1) : (least((b + 1) * 256, prefix + n) - prefix)] AS seg
+        |  FROM p, UNNEST(generate_series(prefix // 256, (prefix + n - 1) // 256)) AS t(b))
+        |SELECT source, bin_idx, count(*)::BIGINT AS n_segments,
+        |       sum(len(seg))::BIGINT AS n_tokens,
+        |       string_agg(array_to_string(seg, ' '), ' ' ORDER BY seg_start) AS bin_text
+        |FROM segs GROUP BY 1, 2
+        |ORDER BY source, bin_idx""".stripMargin,
 
     "q_length_histogram" ->
       """WITH n AS (

@@ -352,6 +352,60 @@ object Curation {
   }
 
   /**
+   * Packed-bin MATERIALIZATION — the content half of [[sequencePack]]:
+   * where sequencePack emits each doc's (bin_idx, bin_offset) ADDRESS,
+   * this emits each bin's actual token stream — the bytes a trainer
+   * reads. Documents straddle bin boundaries, so a doc contributes a
+   * token SLICE to every bin its [prefix, prefix+n) interval intersects;
+   * slices are computed array-locally (one `sequence` over the doc's bin
+   * range — ≤ n/capacity+1 entries), then one (group, bin) aggregate
+   * reassembles each bin in global token order. Every bin except each
+   * group's last holds exactly `capacity` tokens (spec-asserted), and
+   * concatenating a group's bins reproduces its concatenated docs.
+   *
+   * Scale: the same ONE per-group prefix window as sequencePack + one
+   * (group, bin) shuffle that ships each token exactly once — the honest
+   * cost of materialization (the address table never ships text; emit
+   * this only for the shards actually exported). Per-bin state is
+   * capacity-bounded by construction, so the assembling aggregate cannot
+   * skew regardless of document or group size. Token-less docs are
+   * absent (they contribute no tokens and shift no prefix).
+   */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+               grpCol: String, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(capacity > 0, "capacity must be positive")
+    val toksC = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
+    val based = docs.select(col(grpCol), col(idCol), toksC.as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") > 0)
+      .withColumn("prefix", sum(col("n")).over(w) - col("n"))
+    val cap = lit(capacity.toLong)
+    val segs = based.select(col(grpCol),
+      explode(transform(
+        sequence(floor(col("prefix") / capacity).cast("long"),
+          floor((col("prefix") + col("n") - 1) / capacity).cast("long")),
+        b => struct(
+          b.as("bin_idx"),
+          greatest(b * cap, col("prefix")).as("seg_start"),
+          slice(col("toks"),
+            (greatest(b * cap, col("prefix")) - col("prefix") + 1)
+              .cast("int"),
+            (least((b + 1) * cap, col("prefix") + col("n")) -
+              greatest(b * cap, col("prefix"))).cast("int"))
+            .as("seg")))).as("s"))
+      .select(col(grpCol), col("s.bin_idx").as("bin_idx"),
+        col("s.seg_start").as("seg_start"), col("s.seg").as("seg"))
+    segs.groupBy(col(grpCol), col("bin_idx"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(size(col("seg"))).cast("long").as("n_tokens"),
+        array_join(flatten(transform(
+          array_sort(collect_list(struct(col("seg_start"), col("seg")))),
+          x => x.getField("seg"))), " ").as("bin_text"))
+  }
+
+  /**
    * Log₂-bucketed document-length histogram: bucket = bit length of the
    * token count (floor(log₂ n)+1 via the binary-string length — integer-
    * exact, no floating log at power-of-two boundaries). One partial-agg

@@ -692,6 +692,38 @@ class CurationSpec extends SparkSuite {
     assert(tz._3 == math.floor(want2 * 10000.0 + 0.5) / 10000.0)
   }
 
+  test("packBins: straddling docs slice across bins; every non-final bin " +
+    "holds exactly capacity tokens; concatenated bins reproduce the corpus") {
+    // group g: docs of 3+3+1 tokens at capacity 4 -> bin0 = a b c d,
+    // bin1 = e f g; doc 2 straddles the bin boundary
+    val d = Seq(
+      (1L, "a b c", "g"), (2L, "d e f", "g"), (3L, "g", "g"),
+      (4L, "x y z w q", "h"), // second group: 5 tokens -> bins of 4 + 1
+      (5L, "", "h")) // token-less doc absent, shifts nothing
+      .toDF("doc_id", "text", "source")
+    val bins = Curation.packBins(d, "doc_id", "text", "source", capacity = 4)
+      .orderBy("source", "bin_idx")
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(bins.map(b => (b._1, b._2, b._5)).toSeq == Seq(
+      ("g", 0L, "a b c d"), ("g", 1L, "e f g"),
+      ("h", 0L, "x y z w"), ("h", 1L, "q")))
+    assert(bins.filter(_._1 == "g").map(_._3).toSeq == Seq(2L, 2L),
+      "bin0 = doc1 + doc2-head, bin1 = doc2-tail + doc3")
+    // invariants on a larger random-length group
+    val docs = (1L to 30L).map(i =>
+      (i, (1 to (i % 7 + 1).toInt).map(j => s"w${i}_$j").mkString(" "), "r"))
+      .toDF("doc_id", "text", "source")
+    val rb = Curation.packBins(docs, "doc_id", "text", "source", capacity = 10)
+      .orderBy("bin_idx")
+      .as[(String, Long, Long, Long, String)].collect()
+    rb.dropRight(1).foreach(b =>
+      assert(b._4 == 10L, s"non-final bin ${b._2} must be full: ${b._4}"))
+    val corpus = (1L to 30L).flatMap(i =>
+      (1 to (i % 7 + 1).toInt).map(j => s"w${i}_$j"))
+    assert(rb.flatMap(_._5.split(" ")).toSeq == corpus,
+      "bins in order must reproduce the concatenated corpus exactly")
+  }
+
   test("NB classifier: separable corpus classified perfectly; prior " +
     "follows doc counts; model dim-bounded with constant OOV floor") {
     // positives share 'alpha beta', negatives share 'gamma delta' —

@@ -504,6 +504,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // crawl ops: robots-exclusion filtering (RFC 9309 longest-match
+    // subset) — per-host rules planted so every precedence branch fires:
+    // /private disallowed, /private/ok re-allowed (longer match), /public
+    // tied allow+disallow (tie → allow), '/' unmatched (default allow),
+    // and src0 hosts carry no rules at all
+    "q_robots_filter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example.com"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("/private/doc"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("/private/ok/doc"), col("doc_id").cast("string")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/public/doc"), col("doc_id").cast("string")))
+          .otherwise(lit("/")))
+      val rules = d.select(col("source")).distinct()
+        .filter(col("source") =!= "src0")
+        .select(concat(lit("www."), col("source"), lit(".example.com"))
+          .as("host"))
+        .select(col("host"), explode(array(
+          struct(lit("disallow").as("rule"), lit("/private").as("path_prefix")),
+          struct(lit("allow").as("rule"), lit("/private/ok").as("path_prefix")),
+          struct(lit("allow").as("rule"), lit("/public").as("path_prefix")),
+          struct(lit("disallow").as("rule"), lit("/public").as("path_prefix"))))
+          .as("r"))
+        .select(col("host"), col("r.rule").as("rule"),
+          col("r.path_prefix").as("path_prefix"))
+      WebGraph.robotsFilter(d.select(col("doc_id"), url.as("url")), rules,
+        "url")
+        .select(col("doc_id"), col("host"), col("path"), col("matched_len"),
+          col("allowed"))
+        .orderBy("doc_id")
+    }),
+
     "q_export_roundtrip" -> ((s, dir) => {
       val out = s"/tmp/graft_export_roundtrip_${s.sparkContext.applicationId}"
       val src = t(s, dir, "documents")
@@ -1835,6 +1870,34 @@ object SparkEntry {
         |SELECT doc_id,
         |       regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)), '^www\.', '') AS host
         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "q_robots_filter" ->
+      """WITH pages AS (
+        |  SELECT doc_id, 'www.' || source || '.example.com' AS host,
+        |         CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || doc_id::VARCHAR
+        |              WHEN doc_id % 4 = 1 THEN '/private/ok/doc' || doc_id::VARCHAR
+        |              WHEN doc_id % 4 = 2 THEN '/public/doc' || doc_id::VARCHAR
+        |              ELSE '/' END AS path
+        |  FROM documents),
+        |rules AS (
+        |  SELECT 'www.' || s.source || '.example.com' AS host, r.rule, r.path_prefix
+        |  FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0') s,
+        |       (VALUES ('disallow', '/private'), ('allow', '/private/ok'),
+        |               ('allow', '/public'), ('disallow', '/public')) AS r(rule, path_prefix)),
+        |m AS (
+        |  SELECT p.doc_id, length(r.path_prefix)::BIGINT AS plen,
+        |         (r.rule = 'allow') AS is_allow
+        |  FROM pages p JOIN rules r
+        |    ON p.host = r.host AND starts_with(p.path, r.path_prefix)),
+        |best AS (
+        |  SELECT doc_id, plen, is_allow,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY plen DESC, is_allow DESC) AS rn
+        |  FROM m)
+        |SELECT p.doc_id, p.host, p.path,
+        |       coalesce(b.plen, -1)::BIGINT AS matched_len,
+        |       coalesce(b.is_allow, true) AS allowed
+        |FROM pages p LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_export_roundtrip" ->
       """WITH capped AS (

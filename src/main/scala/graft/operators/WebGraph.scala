@@ -228,6 +228,57 @@ object WebGraph {
    * checkpoint pattern ([[Dedup.dedupClusters]]); one step is what the
    * oracle can pin exactly.
    */
+  /**
+   * Robots-exclusion filtering (RFC 9309 subset): decide per page whether
+   * the crawl may keep it, from a rules table (host, rule ∈
+   * allow|disallow, path_prefix). Precedence follows the standard:
+   * among the host's rules whose path_prefix prefixes the page's path,
+   * the LONGEST prefix wins; a length tie resolves to allow; a page
+   * whose host has no matching rule (or no rules at all) is allowed.
+   * Subset scope — single '*' agent group, literal prefixes (no $ / *
+   * wildcards) — documented divergence from full REP.
+   *
+   * Scale: rules are first aggregated to ONE array row per host (robots
+   * files are KB-sized, so per-host rule lists are bounded by
+   * construction), then ONE host-keyed join attaches them — the rules
+   * table is host-count-scale, corpus-sublinear, AQE broadcasts it while
+   * it fits — and the verdict fold runs ARRAY-LOCALLY inside the scan
+   * (max over (plen, is_allow): associative+commutative, order-
+   * independent). No per-page regroup, no second shuffle.
+   *
+   * Output: input columns + (host, path, matched_len, allowed);
+   * matched_len = −1 when no rule matched.
+   */
+  def robotsFilter(pages: DataFrame, rules: DataFrame,
+                   urlCol: String): DataFrame = {
+    val hostRules = rules.groupBy(col("host"))
+      .agg(collect_list(struct(
+        length(col("path_prefix")).cast("long").as("plen"),
+        col("path_prefix").as("pfx"),
+        (col("rule") === "allow").as("is_allow"))).as("_rules"))
+    val rawPath = regexp_extract(col(urlCol), "^[^/]*//[^/?#]*([^?#]*)", 1)
+    val zero = struct(lit(-1L).as("plen"), lit(true).as("is_allow"))
+    pages
+      .withColumn("host", hostOf(col(urlCol)))
+      .withColumn("path", when(rawPath === "", "/").otherwise(rawPath))
+      .join(hostRules, Seq("host"), "left")
+      .withColumn("_v", when(col("_rules").isNull, zero)
+        .otherwise(aggregate(
+          filter(col("_rules"),
+            r => startswith(col("path"), r.getField("pfx"))),
+          zero,
+          (acc, r) => when(
+            r.getField("plen") > acc.getField("plen") ||
+              (r.getField("plen") === acc.getField("plen") &&
+                r.getField("is_allow")),
+            struct(r.getField("plen").as("plen"),
+              r.getField("is_allow").as("is_allow")))
+            .otherwise(acc))))
+      .withColumn("matched_len", col("_v.plen"))
+      .withColumn("allowed", col("_v.is_allow"))
+      .drop("_rules", "_v")
+  }
+
   def pagerankStep(edges: DataFrame, damping: Double = 0.85): DataFrame = {
     val out = edges.groupBy(col("src_domain"))
       .agg(sum(col("n_links")).as("outw"))

@@ -167,4 +167,34 @@ class WebGraphSpec extends SparkSuite {
     assert(pp.contains("BroadcastHashJoin"), pp)
     assert(!pp.contains("SortMergeJoin"), pp)
   }
+
+  test("robots filter: longest prefix wins, allow beats disallow on tie, " +
+    "unmatched path and rule-less host default to allowed, root path " +
+    "normalized") {
+    val p = Seq(
+      (1L, "https://a.com/private/x"),      // disallow /private
+      (2L, "https://a.com/private/ok/x"),   // allow /private/ok (longer)
+      (3L, "https://a.com/pub/x"),          // tie at /pub -> allow wins
+      (4L, "https://a.com/other"),          // no matching rule -> allowed
+      (5L, "https://a.com"),                // empty path -> '/' -> unmatched
+      (6L, "https://norules.org/private/x") // host without robots -> allowed
+    ).toDF("doc_id", "url")
+    val r = Seq(
+      ("a.com", "disallow", "/private"),
+      ("a.com", "allow", "/private/ok"),
+      ("a.com", "allow", "/pub"),
+      ("a.com", "disallow", "/pub"))
+      .toDF("host", "rule", "path_prefix")
+    val got = WebGraph.robotsFilter(p, r, "url")
+      .select($"doc_id", $"path", $"matched_len", $"allowed")
+      .as[(Long, String, Long, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(got(1L) == ((1L, "/private/x", 8L, false)))
+    assert(got(2L) == ((2L, "/private/ok/x", 11L, true)),
+      "the longer allow must override the shorter disallow")
+    assert(got(3L) == ((3L, "/pub/x", 4L, true)),
+      "equal-length allow and disallow must resolve to allow")
+    assert(got(4L) == ((4L, "/other", -1L, true)))
+    assert(got(5L) == ((5L, "/", -1L, true)))
+    assert(got(6L) == ((6L, "/private/x", -1L, true)))
+  }
 }

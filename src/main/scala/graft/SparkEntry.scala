@@ -1350,6 +1350,27 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // web graph: one HITS update (Kleinberg 1999) from uniform init —
+    // authority then hub half-steps, unnormalized (rankings scale-
+    // invariant), integer-valued double sums so 4dp is exact
+    "q_hits" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.hitsStep(
+        WebGraph.domainEdges(pages, "source", "doc_id", "html"))
+        .orderBy("domain")
+    }),
+
+    // web graph: per-domain degree/weight table — the graph-health
+    // diagnostic (out/in distinct-neighbor counts + link-weight sums)
+    "q_degree_table" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.degreeTable(
+        WebGraph.domainEdges(pages, "source", "doc_id", "html"))
+        .orderBy("domain")
+    }),
+
     // web graph: PageRank iterated to a 3-step horizon — per-round
     // checkpointed power iteration, unrounded between rounds, 4dp only on
     // the final output (the implementation's contract); oracle is the
@@ -2987,6 +3008,61 @@ object SparkEntry {
     "q_pagerank_iters" -> pagerankOracleSql(iters = 3),
 
     "q_pagerank_conserving" -> pagerankConservingOracleSql(iters = 3),
+
+    "q_hits" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, source, $plantedHtmlSql AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+        |  FROM h),
+        |eg AS (
+        |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+        |    SELECT source AS src_domain,
+        |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+        |    FROM l)
+        |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+        |  GROUP BY 1, 2),
+        |a AS (SELECT dst_domain AS domain, sum(n)::DOUBLE AS auth FROM eg GROUP BY 1),
+        |hb AS (
+        |  SELECT src_domain AS domain, sum(n::DOUBLE * a.auth) AS hub
+        |  FROM eg JOIN a ON eg.dst_domain = a.domain GROUP BY 1),
+        |doms AS (
+        |  SELECT DISTINCT src_domain AS domain FROM eg
+        |  UNION SELECT DISTINCT dst_domain FROM eg)
+        |SELECT doms.domain,
+        |       floor(coalesce(a.auth, 0.0) * 10000.0 + 0.5) / 10000.0 AS auth,
+        |       floor(coalesce(hb.hub, 0.0) * 10000.0 + 0.5) / 10000.0 AS hub
+        |FROM doms LEFT JOIN a USING (domain) LEFT JOIN hb USING (domain)
+        |ORDER BY domain""".stripMargin,
+
+    "q_degree_table" ->
+      s"""WITH h AS (
+        |  SELECT doc_id, source, $plantedHtmlSql AS html
+        |  FROM documents),
+        |l AS (
+        |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+        |  FROM h),
+        |eg AS (
+        |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+        |    SELECT source AS src_domain,
+        |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+        |    FROM l)
+        |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+        |  GROUP BY 1, 2),
+        |o AS (
+        |  SELECT src_domain AS domain, count(*)::BIGINT AS out_deg, sum(n)::BIGINT AS out_weight
+        |  FROM eg GROUP BY 1),
+        |i AS (
+        |  SELECT dst_domain AS domain, count(*)::BIGINT AS in_deg, sum(n)::BIGINT AS in_weight
+        |  FROM eg GROUP BY 1)
+        |SELECT coalesce(o.domain, i.domain) AS domain,
+        |       coalesce(out_deg, 0)::BIGINT AS out_deg,
+        |       coalesce(out_weight, 0)::BIGINT AS out_weight,
+        |       coalesce(in_deg, 0)::BIGINT AS in_deg,
+        |       coalesce(in_weight, 0)::BIGINT AS in_weight
+        |FROM o FULL OUTER JOIN i ON o.domain = i.domain
+        |ORDER BY domain""".stripMargin,
 
     "q_curation_v3" ->
       """WITH tokf AS (

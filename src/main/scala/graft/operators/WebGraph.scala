@@ -279,6 +279,63 @@ object WebGraph {
       .drop("_rules", "_v")
   }
 
+  /**
+   * One HITS update (Kleinberg 1999, "Authoritative Sources in a
+   * Hyperlinked Environment") over the weighted domain edge list, from
+   * the uniform h₀ = 1 init: authority a₁(d) = Σ_in n_links (the
+   * in-weight under h₀ = 1), then hub h₁(s) = Σ_out n_links·a₁(dst) —
+   * the standard a-then-h half-steps of one power iteration,
+   * UNNORMALIZED (HITS rankings are scale-invariant; per-round
+   * normalization is one 1-row aggregate if absolute values are wanted —
+   * the pagerankConserving pattern). Iterate-to-convergence = this step
+   * in the [[graft.operators.Dedup.dedupClusters]] checkpoint loop, like
+   * [[pagerank]]. Exactness: all sums are integer-valued doubles (link
+   * counts and their products), so results are order-independent.
+   *
+   * Plan: two keyed aggregates + one AQE-sized join, all on the
+   * corpus-sublinear edge table. Output: (domain, auth, hub), 4dp.
+   */
+  def hitsStep(edges: DataFrame): DataFrame = {
+    val auth = edges.groupBy(col("dst_domain").as("domain"))
+      .agg(sum(col("n_links")).cast("double").as("auth"))
+    val hub = edges
+      .join(auth.select(col("domain").as("dst_domain"), col("auth")),
+        Seq("dst_domain"))
+      .groupBy(col("src_domain").as("domain"))
+      .agg(sum(col("n_links").cast("double") * col("auth")).as("hub"))
+    val allDomains = edges.select(col("src_domain").as("domain"))
+      .union(edges.select(col("dst_domain").as("domain"))).distinct()
+    allDomains
+      .join(auth, Seq("domain"), "left")
+      .join(hub, Seq("domain"), "left")
+      .select(col("domain"),
+        pround4(coalesce(col("auth"), lit(0.0))).as("auth"),
+        pround4(coalesce(col("hub"), lit(0.0))).as("hub"))
+  }
+
+  /**
+   * Per-domain degree/weight table — the first graph-health diagnostic
+   * of a crawl graph (degree distributions expose scraper loops, link
+   * farms, and dead hubs before any ranking runs): out_deg/in_deg =
+   * distinct neighbor counts (edge rows are already distinct pairs),
+   * out_weight/in_weight = link-multiplicity sums. One aggregate per
+   * direction + one AQE-sized full-outer join, all on the
+   * corpus-sublinear edge table; integer-only output (cross-engine
+   * exact).
+   */
+  def degreeTable(edges: DataFrame): DataFrame = {
+    val outd = edges.groupBy(col("src_domain").as("domain"))
+      .agg(count(lit(1)).as("out_deg"), sum(col("n_links")).as("out_weight"))
+    val ind = edges.groupBy(col("dst_domain").as("domain"))
+      .agg(count(lit(1)).as("in_deg"), sum(col("n_links")).as("in_weight"))
+    outd.join(ind, Seq("domain"), "full_outer")
+      .select(col("domain"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("out_weight"), lit(0L)).as("out_weight"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("in_weight"), lit(0L)).as("in_weight"))
+  }
+
   def pagerankStep(edges: DataFrame, damping: Double = 0.85): DataFrame = {
     val out = edges.groupBy(col("src_domain"))
       .agg(sum(col("n_links")).as("outw"))

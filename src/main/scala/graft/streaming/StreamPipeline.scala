@@ -330,6 +330,56 @@ object StreamPipeline {
   }
 
   /**
+   * Streaming Naive-Bayes gate — the ingest-time twin of
+   * [[graft.operators.Curation.nbcScore]]: documents arriving on the
+   * stream are scored against the NB model TRAINED ON THE STATIC LABELED
+   * CORPUS ([[graft.operators.Curation.nbcModel]] + the doc-count
+   * prior), so off-class / low-quality pages can be gated before
+   * landing — the fastText-classifier serving path.
+   *
+   * STATELESS like [[dsirGateStream]] (the same one-row broadcast-model
+   * recipe): the model is ONE row (bucket→w map + OOV floor w0 + prior),
+   * dim-BOUNDED BY CONSTRUCTION, trained once (localCheckpoint), never
+   * per trigger. Scoring is the identical array-local DECIMAL(28,12)
+   * fold, so scoring the training corpus through the gate equals the
+   * batch scorer bit-for-bit (StreamingSpec). Buckets the training
+   * corpus never produced price at w0 — a case the SELF-trained batch
+   * scorer cannot encounter, but the gate's whole point is a disjoint
+   * arriving corpus.
+   */
+  def nbcGateStream(docs: DataFrame, idCol: String, textCol: String,
+                    trainDocs: DataFrame, isPositive: Column,
+                    dim: Int = 64): DataFrame = {
+    import graft.operators.Curation
+    val model = Curation.nbcModel(trainDocs, textCol, isPositive, dim)
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("w"))))
+          .as("wm"),
+        first(col("w0")).as("w0"))
+      .crossJoin(trainDocs.agg(
+        log((sum(when(isPositive, 1L).otherwise(0L)) + 1.0) /
+            (sum(when(!isPositive, 1L).otherwise(0L)) + 1.0)).as("prior")))
+      .localCheckpoint() // train once, not per micro-batch trigger
+    val bucketOf = (t: Column) =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long") % dim
+    docs
+      .select(col(idCol),
+        graft.operators.TextAnalysis.toks(col(textCol)).as("_ts"))
+      .filter(size(col("_ts")) > 0)
+      .crossJoin(broadcast(model))
+      .withColumn("_bs", transform(col("_ts"), bucketOf))
+      .select(col(idCol), size(col("_ts")).cast("long").as("n_tokens"),
+        graft.operators.TextAnalysis.pround4(
+          aggregate(array_distinct(col("_bs")),
+            lit(0.0).cast("decimal(28,12)"),
+            (acc, b) => (acc +
+              (size(filter(col("_bs"), x => x === b)).cast("long") *
+                coalesce(element_at(col("wm"), b), col("w0")))
+                .cast("decimal(28,12)")).cast("decimal(28,12)"))
+            .cast("double") + col("prior")).as("nb_score"))
+      .withColumn("nb_pred", col("nb_score") > 0)
+  }
+
+  /**
    * Streaming keyed upsert — the delivery-semantics completion of
    * [[graft.operators.Exports.upsertByKey]]: each micro-batch MERGEs into
    * the partitioned parquet table (batch wins on key collision, only

@@ -299,6 +299,35 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains(99L), "OOV doc still scored (lr0 floor), not dropped")
   }
 
+  test("streaming NB gate: stateless append-mode scoring equals the batch " +
+    "classifier bit-for-bit on the training corpus; OOV buckets price at " +
+    "w0; predictions ride the rounded score") {
+    implicit val sq = spark.sqlContext
+    val corpus = (
+      (1L to 6L).map(i => StreamingSpec.SrcDoc(i, "good", "alpha beta alpha clean prose")) ++
+      (7L to 12L).map(i => StreamingSpec.SrcDoc(i, "spam", "zz yy zz buy now click"))).toSeq
+    val staticDf = corpus.toDF()
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val scored = StreamPipeline.nbcGateStream(mem.toDF(), "doc_id", "text",
+      staticDf, isPositive = $"source" === "good", dim = 256)
+    val q = scored.writeStream.outputMode("append").format("memory")
+      .queryName("nbc_stream").start()
+    mem.addData(corpus :+ StreamingSpec.SrcDoc(99L, "spam", "totally unseen vocabulary here"): _*)
+    q.processAllAvailable()
+    val got = spark.table("nbc_stream").as[(Long, Long, Double, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    q.stop()
+    val batch = graft.operators.Curation.nbcScore(staticDf, "doc_id", "text",
+      isPositive = $"source" === "good", dim = 256)
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    corpus.foreach(d => assert(got(d.doc_id) == batch(d.doc_id),
+      s"doc ${d.doc_id}: stream ${got(d.doc_id)} vs batch ${batch(d.doc_id)}"))
+    assert(got(1L)._3 && !got(7L)._3,
+      "separable classes must gate correctly through the stream")
+    assert(got.contains(99L), "OOV doc still scored (w0 floor), not dropped")
+  }
+
   test("streaming incremental dedup: stateless anti-join probes of the " +
     "stored index match the batch operator row-for-row") {
     implicit val sq = spark.sqlContext

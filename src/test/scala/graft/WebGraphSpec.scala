@@ -168,6 +168,32 @@ class WebGraphSpec extends SparkSuite {
     assert(!pp.contains("SortMergeJoin"), pp)
   }
 
+  test("hits step: hand-computed auth/hub on a weighted graph; pure hubs " +
+    "get zero authority and pure authorities zero hub") {
+    // A -2-> C, B -1-> C, B -3-> D : a1(C)=3, a1(D)=3;
+    // h1(A)=2*3=6, h1(B)=1*3+3*3=12; C,D are pure authorities
+    val edges = Seq(("A", "C", 2L), ("B", "C", 1L), ("B", "D", 3L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    val got = WebGraph.hitsStep(edges)
+      .as[(String, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 0.0, 6.0)))
+    assert(got("B") == (("B", 0.0, 12.0)))
+    assert(got("C") == (("C", 3.0, 0.0)))
+    assert(got("D") == (("D", 3.0, 0.0)))
+  }
+
+  test("degree table: distinct-neighbor counts and weight sums per " +
+    "direction; missing directions zero-filled") {
+    val edges = Seq(("A", "C", 2L), ("B", "C", 1L), ("B", "D", 3L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    val got = WebGraph.degreeTable(edges)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("A") == (("A", 1L, 2L, 0L, 0L)))
+    assert(got("B") == (("B", 2L, 4L, 0L, 0L)))
+    assert(got("C") == (("C", 0L, 0L, 2L, 3L)))
+    assert(got("D") == (("D", 0L, 0L, 1L, 3L)))
+  }
+
   test("robots filter: longest prefix wins, allow beats disallow on tie, " +
     "unmatched path and rule-less host default to allowed, root path " +
     "normalized") {

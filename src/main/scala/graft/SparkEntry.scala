@@ -1508,6 +1508,52 @@ object SparkEntry {
             .as("accuracy"))
     }),
 
+    // curation: KMV distinct-count sketch per source — the k=32 smallest
+    // 48-bit token hashes (Beyer 2007); reproducible relationally, so the
+    // sketch itself sits under the cross-engine oracle (unlike HLL)
+    "q_kmv_sketch" -> ((s, dir) =>
+      Curation.kmvSketch(t(s, dir, "documents"), "source", "text", k = 32)
+        .orderBy("source", "hv")),
+
+    // curation: KMV estimates + exact distinct per source in one row —
+    // the estimator under the oracle with its error visible in-row
+    "q_kmv_distinct" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val exact = d.select(col("source"),
+          explode(TextAnalysis.toks(col("text"))).as("tok"))
+        .select(col("source"),
+          conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+            .as("hv"))
+        .distinct()
+        .groupBy(col("source")).agg(count(lit(1)).as("exact_distinct"))
+      Curation.kmvEstimate(
+        Curation.kmvSketch(d, "source", "text", k = 32), "source", k = 32)
+        .join(exact, Seq("source"))
+        .orderBy("source")
+    }),
+
+    // curation: KMV MERGEABILITY — the global estimate from the union of
+    // per-source sketches equals the directly-built global sketch's
+    // estimate (k smallest of a union of bottom-k sets = k smallest of
+    // the union); one row carries merged, direct, and exact counts
+    "q_kmv_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merged = Curation.kmvMerge(
+        Curation.kmvSketch(d, "source", "text", k = 32), k = 32)
+        .withColumn("scope", lit("global"))
+      val direct = Curation.kmvSketch(
+        d.withColumn("corpus", lit("global")), "corpus", "text", k = 32)
+      val exact = d.select(explode(TextAnalysis.toks(col("text"))).as("tok"))
+        .select(conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+          .as("hv"))
+        .distinct().agg(count(lit(1)).as("exact_distinct"))
+      Curation.kmvEstimate(merged, "scope", 32)
+        .select(col("est_distinct").as("est_merged"))
+        .crossJoin(Curation.kmvEstimate(direct, "corpus", 32)
+          .select(col("est_distinct").as("est_direct")))
+        .crossJoin(exact)
+    }),
+
     // curation: Zipf rank-frequency slope — corpus-health diagnostic
     // (OLS of ln freq on ln rank); ranks assigned distributedly via the
     // O(√N)-bounded frequency-of-frequency table, no global vocab sort
@@ -3235,6 +3281,34 @@ object SparkEntry {
          |SELECT doc_id, n_tokens, nb_score, nb_score > 0 AS nb_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "q_kmv_sketch" ->
+      s"""$kmvCtes
+         |SELECT source, hv FROM sk ORDER BY source, hv""".stripMargin,
+
+    "q_kmv_distinct" ->
+      s"""$kmvCtes,
+         |s AS (SELECT source, count(*)::BIGINT AS n_sketch, max(hv) AS hk FROM sk GROUP BY 1),
+         |ex AS (SELECT source, count(*)::BIGINT AS exact_distinct FROM dv GROUP BY 1)
+         |SELECT source, n_sketch,
+         |       floor((CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
+         |              ELSE 31.0 / ((hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_distinct,
+         |       exact_distinct
+         |FROM s JOIN ex USING (source) ORDER BY source""".stripMargin,
+
+    "q_kmv_merge" ->
+      s"""$kmvCtes,
+         |mg AS (SELECT hv FROM (SELECT DISTINCT hv FROM sk) ORDER BY hv LIMIT 32),
+         |dg AS (SELECT hv FROM (SELECT DISTINCT hv FROM dv) ORDER BY hv LIMIT 32),
+         |em AS (SELECT count(*)::BIGINT AS n, max(hv) AS hk FROM mg),
+         |ed AS (SELECT count(*)::BIGINT AS n, max(hv) AS hk FROM dg),
+         |ex AS (SELECT count(DISTINCT hv)::BIGINT AS exact_distinct FROM dv)
+         |SELECT floor((CASE WHEN em.n < 32 THEN em.n::DOUBLE
+         |              ELSE 31.0 / ((em.hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_merged,
+         |       floor((CASE WHEN ed.n < 32 THEN ed.n::DOUBLE
+         |              ELSE 31.0 / ((ed.hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_direct,
+         |       exact_distinct
+         |FROM em, ed, ex""".stripMargin,
+
     "q_nbc_eval" ->
       s"""$nbcCtes,
          |truth AS (SELECT doc_id, lang = 'en' AS y FROM documents)
@@ -3683,6 +3757,20 @@ object SparkEntry {
    */
   /** DSIR hashed-unigram importance weights (no final ORDER BY so the
     * block can nest as a CTE body in the Gumbel-selection oracle). */
+  /** Shared CTE chain for the KMV-sketch oracles: distinct (source,
+    * 48-bit token hash) pairs, then the per-source bottom-32 sketch. */
+  private val kmvCtes: String =
+    """WITH tok AS (
+      |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS tok
+      |  FROM documents),
+      |dv AS (
+      |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 12))::UBIGINT::BIGINT AS hv
+      |  FROM tok),
+      |sk AS (
+      |  SELECT source, hv FROM (
+      |    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk FROM dv)
+      |  WHERE rk <= 32)""".stripMargin
+
   /** Shared CTE chain for the Naive-Bayes oracles: hashed per-doc class
     * counts → per-class bucket counts → Laplace log-ratios → doc-count
     * prior → DECIMAL-exact doc scores (mirrors Curation.nbcScore verbatim;

@@ -1227,6 +1227,65 @@ object Curation {
   }
 
   /**
+   * KMV (k-minimum-values) distinct-count sketch, build half (Bar-Yossef
+   * et al. 2002; Beyer et al. 2007, "On synopses for distinct-value
+   * estimation"): per group, the k SMALLEST 48-bit token hashes. Unlike
+   * HLL this sketch is exactly reproducible relationally (it is just a
+   * per-group bottom-k), so the estimator sits under the cross-engine
+   * oracle like any other operator — and it is MERGEABLE: the k smallest
+   * of a union of per-group sketches equal the k smallest of the union
+   * of the full sets ([[kmvMerge]]), which is what lets 10⁶ per-shard
+   * sketch rows answer global-distinct questions without rescanning a
+   * corpus. 48-bit hashes (12 md5 hex chars) are exact in DOUBLE (< 2⁵³)
+   * on both engines; hash collisions merging two tokens are part of any
+   * sketch's error budget.
+   *
+   * Plan: one tokenize scan → distinct (group, hv) → the skew-proof
+   * salted bottom-k ([[topKPerGroupSalted]] — exact for any salt, the
+   * largest sort partition bounded by |group|/salt). Output: (group, hv)
+   * sketch rows, ≤ k per group.
+   */
+  def kmvSketch(docs: DataFrame, grpCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    val dv = docs.select(col(grpCol),
+        explode(TextAnalysis.toks(col(textCol))).as("tok"))
+      .select(col(grpCol),
+        conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+          .as("hv"))
+      .distinct()
+    topKPerGroupSalted(dv, grpCol, col("hv"), salt = 4, k = k,
+      col("hv").asc)
+  }
+
+  /**
+   * KMV estimator over a [[kmvSketch]] table: per group,
+   * est = (k−1) / h_(k) with h = (hv + 0.5)/2⁴⁸ (the k-th smallest
+   * normalized hash), except a sketch with fewer than k values IS the
+   * group's whole distinct set — the estimate is exact there. Relative
+   * stderr ≈ 1/√(k−2). One group aggregate (max of the sketch = its k-th
+   * smallest); 4dp output.
+   */
+  def kmvEstimate(sketch: DataFrame, grpCol: String, k: Int): DataFrame =
+    sketch.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("hk"))
+      .select(col(grpCol), col("n_sketch"),
+        TextAnalysis.pround4(
+          when(col("n_sketch") < k, col("n_sketch").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              ((col("hk").cast("double") + 0.5) /
+                lit(281474976710656.0)))) // 2^48
+          .as("est_distinct"))
+
+  /** KMV merge: the global sketch from per-group sketches — k smallest
+    * of the deduplicated union (one TakeOrderedAndProject over ≤
+    * groups·k short rows; never touches the corpus). Feed the result to
+    * [[kmvEstimate]] under a constant group for the global estimate. */
+  def kmvMerge(sketch: DataFrame, k: Int): DataFrame =
+    sketch.select(col("hv")).distinct()
+      .orderBy(col("hv").asc).limit(k)
+
+  /**
    * Hashed Naive-Bayes document classifier, model half — the fastText
    * recipe (Joulin et al. 2016, "Bag of Tricks for Efficient Text
    * Classification") that CCNet/LLaMA-style pipelines run as the

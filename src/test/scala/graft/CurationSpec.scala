@@ -724,6 +724,37 @@ class CurationSpec extends SparkSuite {
       "bins in order must reproduce the concatenated corpus exactly")
   }
 
+  test("KMV sketch: exact below k, mergeable across groups, and within " +
+    "3-sigma of the true distinct count on a large vocabulary") {
+    // group 'small': 5 distinct tokens < k=16 -> estimate is EXACT
+    val small = Seq((1L, "a b c d e", "small")).toDF("doc_id", "text", "source")
+    val est = Curation.kmvEstimate(
+      Curation.kmvSketch(small, "source", "text", k = 16), "source", k = 16)
+      .as[(String, Long, Double)].collect().head
+    assert(est == (("small", 5L, 5.0)), s"sub-k sketch is the set itself: $est")
+    // 3000 distinct tokens split over 3 groups; k=64 -> stderr ~ 1/sqrt(62)
+    val big = (1L to 3000L).map(i => (i, s"tok$i", s"g${i % 3}"))
+      .toDF("doc_id", "text", "source")
+    val sk = Curation.kmvSketch(big, "source", "text", k = 64)
+      .localCheckpoint()
+    val global = Curation.kmvEstimate(
+      Curation.kmvMerge(sk, k = 64).withColumn("s", lit("all")), "s", k = 64)
+      .as[(String, Long, Double)].collect().head._3
+    val direct = Curation.kmvEstimate(
+      Curation.kmvSketch(big.withColumn("c", lit("all")), "c", "text", 64),
+      "c", k = 64)
+      .as[(String, Long, Double)].collect().head._3
+    assert(global == direct,
+      s"merged sketch estimate must equal the direct global one: $global vs $direct")
+    val rel = math.abs(global - 3000.0) / 3000.0
+    assert(rel < 3.0 / math.sqrt(62.0),
+      s"estimate $global is ${rel * 100}%% off 3000 — beyond 3 sigma")
+    // sketch rows are the k smallest: max of sketch <= min of the rest
+    val g0 = sk.filter($"source" === "g0").as[(String, Long)].collect()
+      .map(_._2).toSet
+    assert(g0.size == 64)
+  }
+
   test("NB classifier: separable corpus classified perfectly; prior " +
     "follows doc counts; model dim-bounded with constant OOV floor") {
     // positives share 'alpha beta', negatives share 'gamma delta' —

@@ -880,6 +880,20 @@ object SparkEntry {
           col("text"))).as("masked"))
         .orderBy("doc_id")),
 
+    // curation: payment-card detection with LUHN validation — the PII
+    // class a regex alone cannot decide; planted candidates cover valid,
+    // check-digit-invalid, and separator-spaced forms
+    "q_card_detect" -> ((s, dir) => {
+      val payload = concat(col("text"), lit(" "),
+        when(col("doc_id") % 3 === 0, lit("pay 4111111111111111 now"))
+          .when(col("doc_id") % 3 === 1, lit("id 4111111111111112 ref"))
+          .otherwise(lit("card 5500 0000 0000 0004 used")))
+      Curation.luhnCandidates(
+        t(s, dir, "documents").select(col("doc_id"), payload.as("text")),
+        "doc_id", "text")
+        .orderBy("doc_id", "cand")
+    }),
+
     // curation: deterministic stratified sampling — src10..src19 at 50%,
     // the rest at 20%; hash-mod keep rule, no rand() (resume-stable)
     "q_stratified_sample" -> ((s, dir) =>
@@ -2616,6 +2630,28 @@ object SparkEntry {
         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\+?\d[\d \-]{7,}\d', '<PHONE>', 'g') AS masked
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_card_detect" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' ' || CASE WHEN doc_id % 3 = 0 THEN 'pay 4111111111111111 now'
+        |                             WHEN doc_id % 3 = 1 THEN 'id 4111111111111112 ref'
+        |                             ELSE 'card 5500 0000 0000 0004 used' END AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, unnest(regexp_extract_all(text, '[0-9][0-9 \-]{11,21}[0-9]')) AS cand FROM p),
+        |d AS (
+        |  SELECT doc_id, cand, regexp_replace(cand, '[^0-9]', '', 'g') AS ds FROM c
+        |  WHERE length(regexp_replace(cand, '[^0-9]', '', 'g')) BETWEEN 13 AND 19),
+        |e AS (SELECT doc_id, cand, reverse(ds) AS r FROM d),
+        |f AS (
+        |  SELECT doc_id, cand,
+        |         sum(CASE WHEN i % 2 = 0 THEN (CASE WHEN dig * 2 > 9 THEN dig * 2 - 9 ELSE dig * 2 END)
+        |                  ELSE dig END) AS s
+        |  FROM (SELECT doc_id, cand, i, substr(r, i, 1)::BIGINT AS dig
+        |        FROM e, UNNEST(generate_series(1, length(r))) AS t(i))
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, cand, (s % 10 = 0) AS luhn_valid
+        |FROM f ORDER BY doc_id, cand""".stripMargin,
 
     "q_stratified_sample" ->
       """SELECT doc_id, source FROM documents

@@ -124,6 +124,58 @@ object Curation {
     regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"),
       PhoneRe, "<PHONE>")
 
+  /** Card-number candidate pattern: 13–19 digits allowing single space/
+    * dash separators (digit-bounded). RE2-portable. */
+  val CardRe = "[0-9][0-9 \\-]{11,21}[0-9]"
+
+  /**
+   * Payment-card PII detection with LUHN validation — the PII class a
+   * regex alone cannot decide: a 16-digit run is only a card number if
+   * its mod-10 check digit verifies (ISO/IEC 7812), so the detector
+   * extracts digit-run candidates and validates each with the Luhn sum
+   * computed ARRAY-LOCALLY (fold over the reversed digit string: double
+   * every second digit, subtract 9 above 9, sum % 10 == 0). Zero
+   * shuffles — pure per-row expressions; candidates whose digit count
+   * falls outside 13–19 are dropped before validation.
+   * Output: (id, candidate, luhn_valid) — one row per candidate, docs
+   * without candidates absent. Masking composition: replace validated
+   * candidates via [[maskValidCards]].
+   */
+  def luhnCandidates(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val digits = regexp_replace(col("cand"), "[^0-9]", "")
+    docs.select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(CardRe), lit(0)))
+          .as("cand"))
+      .withColumn("_ds", digits)
+      .filter(length(col("_ds")).between(13, 19))
+      .withColumn("luhn_valid", luhnOk(col("_ds")))
+      .select(col(idCol), col("cand"), col("luhn_valid"))
+  }
+
+  /** Luhn mod-10 validity of a digit string (array-local fold). */
+  def luhnOk(digitStr: Column): Column = {
+    val rev = reverse(digitStr)
+    val s = aggregate(sequence(lit(1), length(rev)), lit(0L),
+      (acc, i) => {
+        val d = rev.substr(i, lit(1)).cast("long")
+        acc + when(i % 2 === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      })
+    s % 10 === 0
+  }
+
+  /** Mask every Luhn-VALID card candidate in `text` with `<CARD>`:
+    * candidates extracted per row, invalid ones kept verbatim (a random
+    * 16-digit id is not PII), valid ones replaced via an array-local
+    * literal-replace fold. */
+  def maskValidCards(text: Column): Column = {
+    val cands = filter(regexp_extract_all(text, lit(CardRe), lit(0)),
+      c => length(regexp_replace(c, "[^0-9]", "")).between(13, 19) &&
+        luhnOk(regexp_replace(c, "[^0-9]", "")))
+    aggregate(cands, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+  }
+
   /**
    * Deterministic stratified sampling: keep a row iff
    * hash(stratum|id) mod 100 < rate(stratum). The hash is the same

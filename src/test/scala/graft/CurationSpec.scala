@@ -724,6 +724,33 @@ class CurationSpec extends SparkSuite {
       "bins in order must reproduce the concatenated corpus exactly")
   }
 
+  test("Luhn card detection: check digit decides, separators tolerated, " +
+    "length-gated; masking replaces only VALID candidates") {
+    val d = Seq(
+      (1L, "pay 4111111111111111 today"),          // valid Visa test number
+      (2L, "ref 4111111111111112 invalid"),        // check digit off by one
+      (3L, "card 5500 0000 0000 0004 spaced"),     // valid, space-separated
+      (4L, "id 4111-1111-1111-1111 dashed"),       // valid, dash-separated
+      (5L, "short 123456789012 run"),              // 12 digits -> not a card
+      (6L, "no digits here at all"))
+      .toDF("doc_id", "text")
+    val got = Curation.luhnCandidates(d, "doc_id", "text")
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "4111111111111111", true)))
+    assert(got(2L) == ((2L, "4111111111111112", false)))
+    assert(got(3L) == ((3L, "5500 0000 0000 0004", true)))
+    assert(got(4L) == ((4L, "4111-1111-1111-1111", true)))
+    assert(!got.contains(5L), "12-digit runs are below the card length gate")
+    assert(!got.contains(6L))
+    val masked = d.select($"doc_id", Curation.maskValidCards($"text").as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(masked(1L) == "pay <CARD> today")
+    assert(masked(2L) == "ref 4111111111111112 invalid",
+      "an invalid check digit is just a number, not PII")
+    assert(masked(3L) == "card <CARD> spaced")
+    assert(masked(5L) == "short 123456789012 run")
+  }
+
   test("KMV sketch: exact below k, mergeable across groups, and within " +
     "3-sigma of the true distinct count on a large vocabulary") {
     // group 'small': 5 distinct tokens < k=16 -> estimate is EXACT

@@ -1568,6 +1568,59 @@ object SparkEntry {
         .crossJoin(exact)
     }),
 
+    // crawl ops: the round-4 composition — INCREMENTAL crawl processing:
+    // diff two snapshots and keep only what moved (added/changed), gate
+    // through robots exclusion, then per-source stats with KMV distinct
+    // estimates; each stage applies over the previous stage's survivors
+    "q_crawl_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val oldSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("url_id"), col("text"))
+      val newSnap = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("url_id"), col("source"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [recrawled]")))
+            .otherwise(col("text")).as("text"))
+      val diff = Dedup.snapshotDiff(oldSnap,
+        newSnap.select(col("url_id"), col("text")), "url_id", "text")
+      val moved = newSnap.join(
+        diff.filter(col("status").isin("added", "changed")), Seq("url_id"))
+      val url = concat(lit("https://www."), col("source"),
+        lit(".example.com"),
+        when(col("url_id") % 4 === 0,
+          concat(lit("/private/doc"), col("url_id").cast("string")))
+          .when(col("url_id") % 4 === 1,
+            concat(lit("/private/ok/doc"), col("url_id").cast("string")))
+          .when(col("url_id") % 4 === 2,
+            concat(lit("/public/doc"), col("url_id").cast("string")))
+          .otherwise(lit("/")))
+      val rules = d.select(col("source")).distinct()
+        .filter(col("source") =!= "src0")
+        .select(concat(lit("www."), col("source"), lit(".example.com"))
+          .as("host"))
+        .select(col("host"), explode(array(
+          struct(lit("disallow").as("rule"), lit("/private").as("path_prefix")),
+          struct(lit("allow").as("rule"), lit("/private/ok").as("path_prefix")),
+          struct(lit("allow").as("rule"), lit("/public").as("path_prefix")),
+          struct(lit("disallow").as("rule"), lit("/public").as("path_prefix"))))
+          .as("r"))
+        .select(col("host"), col("r.rule").as("rule"),
+          col("r.path_prefix").as("path_prefix"))
+      val gated = WebGraph.robotsFilter(moved.withColumn("url", url), rules,
+        "url").filter(col("allowed"))
+      val stats = gated
+        .select(col("source"), TextAnalysis.toks(col("text")).as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(col("toks"))).cast("long").as("total_tokens"))
+      stats.join(
+        Curation.kmvEstimate(
+          Curation.kmvSketch(gated.select(col("source"), col("text")),
+            "source", "text", k = 32), "source", k = 32),
+        Seq("source"))
+        .orderBy("source")
+    }),
+
     // curation: Zipf rank-frequency slope — corpus-health diagnostic
     // (OLS of ln freq on ln rank); ranks assigned distributedly via the
     // O(√N)-bounded frequency-of-frequency table, no global vocab sort
@@ -3344,6 +3397,62 @@ object SparkEntry {
          |              ELSE 31.0 / ((ed.hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_direct,
          |       exact_distinct
          |FROM em, ed, ex""".stripMargin,
+
+    "q_crawl_pipeline" ->
+      """WITH o AS (
+        |  SELECT doc_id AS url_id, md5(text) AS h_old
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |n AS (
+        |  SELECT doc_id AS url_id, source,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawled]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |moved AS (
+        |  SELECT n.url_id, n.source, n.text
+        |  FROM n LEFT JOIN o USING (url_id)
+        |  WHERE o.url_id IS NULL OR md5(n.text) <> o.h_old),
+        |pages AS (
+        |  SELECT url_id, source, text,
+        |         'www.' || source || '.example.com' AS host,
+        |         CASE WHEN url_id % 4 = 0 THEN '/private/doc' || url_id::VARCHAR
+        |              WHEN url_id % 4 = 1 THEN '/private/ok/doc' || url_id::VARCHAR
+        |              WHEN url_id % 4 = 2 THEN '/public/doc' || url_id::VARCHAR
+        |              ELSE '/' END AS path
+        |  FROM moved),
+        |rules AS (
+        |  SELECT 'www.' || s.source || '.example.com' AS host, r.rule, r.path_prefix
+        |  FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0') s,
+        |       (VALUES ('disallow', '/private'), ('allow', '/private/ok'),
+        |               ('allow', '/public'), ('disallow', '/public')) AS r(rule, path_prefix)),
+        |m AS (
+        |  SELECT p.url_id, length(r.path_prefix) AS plen, (r.rule = 'allow') AS is_allow
+        |  FROM pages p JOIN rules r ON p.host = r.host AND starts_with(p.path, r.path_prefix)),
+        |best AS (
+        |  SELECT url_id, is_allow,
+        |         row_number() OVER (PARTITION BY url_id ORDER BY plen DESC, is_allow DESC) AS rn
+        |  FROM m),
+        |gated AS (
+        |  SELECT p.* FROM pages p
+        |  LEFT JOIN (SELECT url_id, is_allow FROM best WHERE rn = 1) b USING (url_id)
+        |  WHERE coalesce(b.is_allow, true)),
+        |tk AS (
+        |  SELECT source, url_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM gated),
+        |stats AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS total_tokens
+        |  FROM tk GROUP BY 1),
+        |dv AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(tok), 1, 12))::UBIGINT::BIGINT AS hv
+        |  FROM (SELECT source, unnest(toks) AS tok FROM tk)),
+        |sk AS (
+        |  SELECT source, hv FROM (
+        |    SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rk FROM dv)
+        |  WHERE rk <= 32),
+        |est AS (SELECT source, count(*)::BIGINT AS n_sketch, max(hv) AS hk FROM sk GROUP BY 1)
+        |SELECT s.source, n_docs, total_tokens, n_sketch,
+        |       floor((CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
+        |              ELSE 31.0 / ((hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_distinct
+        |FROM stats s JOIN est USING (source) ORDER BY source""".stripMargin,
 
     "q_nbc_eval" ->
       s"""$nbcCtes,

@@ -263,4 +263,55 @@ class PlanSpec extends SparkSuite {
     // the posexplode blowup folds map-side before the only wide exchange
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2, p)
   }
+
+  test("robots filter: ONE join (host-keyed, broadcast-sized rules), " +
+    "verdict array-local — no per-page regroup, no cross product") {
+    val pages = docs.select($"doc_id",
+      concat(lit("https://h"), $"doc_id" % 5, lit(".com/p/"), $"doc_id")
+        .as("url"))
+    val rules = Seq(("h1.com", "disallow", "/p"), ("h1.com", "allow", "/p/1"))
+      .toDF("host", "rule", "path_prefix")
+    val p = planOf(graft.operators.WebGraph.robotsFilter(pages, rules, "url"))
+    assert("Join".r.findAllIn(p).size <= 2, // one logical join (+ its hint row)
+      s"robots verdicts must not re-join per page:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      s"host-rules table is host-count-scale — AQE should broadcast it:\n$p")
+  }
+
+  test("url dedup: aggregates + co-partitioned join only — no window " +
+    "(a window would sort every crawl history)") {
+    val caps = docs.select($"doc_id",
+      concat(lit("https://x.com/"), $"doc_id" % 20).as("url"),
+      ($"doc_id" * 7 % 100).as("ts"))
+    val p = planOf(Dedup.urlDedup(caps, "doc_id", "url", "ts"))
+    assert(!p.contains("Window"), s"urlDedup must stay window-free:\n$p")
+    assert(p.contains("partial_"), "max/count must combine map-side: " + p)
+  }
+
+  test("snapshot diff: text projected to md5 BEFORE the single join — " +
+    "no text column crosses the exchange") {
+    val p = planOf(Dedup.snapshotDiff(
+      docs.select($"doc_id".as("url_id"), $"text"),
+      docs.filter($"doc_id" % 2 === 0).select($"doc_id".as("url_id"), $"text"),
+      "url_id", "text"))
+    assert("Join".r.findAllIn(p).size <= 2, p)
+    // the join's input schema carries only key + hash columns (on a
+    // local fixture the md5 constant-folds into the table scan — the
+    // exchange-schema assertion below is the load-bearing one)
+    val exchanged = "Exchange hashpartitioning\\([^)]*text".r.findFirstIn(p)
+    assert(exchanged.isEmpty,
+      s"raw text must not be a shuffle key or ride the exchange:\n$p")
+  }
+
+  test("KMV sketch: salted two-window bottom-k (skew-proof), estimate is " +
+    "one aggregate with map-side combine") {
+    val sk = Curation.kmvSketch(docs, "source", "text", k = 8)
+    val p = planOf(sk)
+    assert("Window".r.findAllIn(p).size >= 2,
+      s"salted path = two windows (per-salt-bucket, then survivors):\n$p")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val pe = planOf(Curation.kmvEstimate(sk.localCheckpoint(), "source", 8))
+    assert(pe.contains("partial_"), pe)
+  }
 }

@@ -1568,6 +1568,17 @@ object SparkEntry {
         .crossJoin(exact)
     }),
 
+    // layout: Z-order (Morton) clustering key — bit interleave of two
+    // dimensions, unrolled into codegen shift/mask terms; the write path
+    // (range-partition + sort on z) is spec-measured for file pruning
+    "q_zorder" -> ((s, dir) => {
+      val a = col("doc_id") % 97
+      val b = (col("doc_id") * 31) % 89
+      t(s, dir, "documents").select(col("doc_id"), a.as("a"), b.as("b"),
+        Exports.zValue(a, b, bits = 8).as("z"))
+        .orderBy("doc_id")
+    }),
+
     // crawl ops: the round-4 composition — INCREMENTAL crawl processing:
     // diff two snapshots and keep only what moved (added/changed), gate
     // through robots exclusion, then per-source stats with KMV distinct
@@ -3397,6 +3408,17 @@ object SparkEntry {
          |              ELSE 31.0 / ((ed.hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_direct,
          |       exact_distinct
          |FROM em, ed, ex""".stripMargin,
+
+    "q_zorder" -> {
+      val terms = (0 until 8).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH v AS (
+         |  SELECT doc_id, doc_id % 97 AS a, (doc_id * 31) % 89 AS b
+         |  FROM documents)
+         |SELECT doc_id, a, b, ($terms)::BIGINT AS z
+         |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     "q_crawl_pipeline" ->
       """WITH o AS (

@@ -160,4 +160,43 @@ class AggregatesSpec extends SparkSuite {
     assert(p3After == p3Files,
       "dynamic overwrite must leave untouched partitions' files alone")
   }
+
+  test("z-order layout: hand-computed Morton value; point scans on BOTH " +
+    "dimensions overlap fewer files than a single-column sort allows") {
+    // zValue(5, 3): a=101b at even bit positions (1,0,16), b=011b at odd
+    // (2,8) -> 1+2+8+16 = 27
+    val z = spark.range(1).select(
+      Exports.zValue(lit(5L), lit(3L), bits = 4).as("z"))
+      .as[Long].collect().head
+    assert(z == 27L, s"zValue(5,3) must be 27, got $z")
+    // 64x64 grid: a = id%64, b = id/64 — under an a-only sort every file
+    // spans ALL of b; under z-order each file covers a z-contiguous
+    // region that is local in both dimensions
+    val df = spark.range(4096).select(($"id" % 64).as("a"),
+      ($"id" / 64).cast("long").as("b"), $"id".as("payload"))
+    val zdir = tmpDir("zorder"); val adir = tmpDir("asort")
+    Exports.writeZOrdered(df, "a", "b", zdir, files = 16, bits = 8)
+    df.repartitionByRange(16, $"a").sortWithinPartitions($"a")
+      .write.mode("overwrite").parquet(adir)
+    def fileStats(dir: String, c: String): Seq[(Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f.getAbsolutePath)
+            .agg(min(col(c)), max(col(c))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+    def overlaps(stats: Seq[(Long, Long)], v: Long): Int =
+      stats.count { case (lo, hi) => lo <= v && v <= hi }
+    val zFiles = fileStats(zdir, "b")
+    assert(zFiles.size > 4, s"want a real multi-file layout: ${zFiles.size}")
+    val zOnB = overlaps(zFiles, 32L)
+    val aOnB = overlaps(fileStats(adir, "b"), 32L)
+    assert(zOnB < aOnB,
+      s"z-order must prune on b where the a-sort cannot: z=$zOnB a=$aOnB")
+    val zOnA = overlaps(fileStats(zdir, "a"), 7L)
+    assert(zOnA < zFiles.size,
+      s"z-order must still prune on a: $zOnA of ${zFiles.size} files")
+  }
 }

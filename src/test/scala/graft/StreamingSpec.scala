@@ -328,6 +328,36 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains(99L), "OOV doc still scored (w0 floor), not dropped")
   }
 
+  test("streaming robots gate: robotsFilter is streaming-transparent — " +
+    "the same operator runs on a stream via a stateless stream-static " +
+    "join and matches the batch verdicts row-for-row") {
+    implicit val sq = spark.sqlContext
+    val pages = Seq(
+      StreamingSpec.Doc(1L, "https://a.com/private/x"),
+      StreamingSpec.Doc(2L, "https://a.com/private/ok/x"),
+      StreamingSpec.Doc(3L, "https://a.com/other"),
+      StreamingSpec.Doc(4L, "https://norules.org/private/x"))
+    val rules = Seq(
+      ("a.com", "disallow", "/private"),
+      ("a.com", "allow", "/private/ok"))
+      .toDF("host", "rule", "path_prefix")
+    def project(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.WebGraph.robotsFilter(
+        df.withColumnRenamed("text", "url"), rules, "url")
+        .select($"doc_id", $"matched_len", $"allowed")
+    val mem = MemoryStream[StreamingSpec.Doc]
+    val q = project(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("robots_stream").start()
+    mem.addData(pages: _*)
+    q.processAllAvailable()
+    val got = spark.table("robots_stream").as[(Long, Long, Boolean)]
+      .collect().toSet
+    q.stop()
+    val batch = project(pages.toDF()).as[(Long, Long, Boolean)].collect().toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.contains((1L, 8L, false)) && got.contains((2L, 11L, true)))
+  }
+
   test("streaming incremental dedup: stateless anti-join probes of the " +
     "stored index match the batch operator row-for-row") {
     implicit val sq = spark.sqlContext

@@ -117,6 +117,14 @@ object SparkEntry {
         .filter(Analytics.textMatch(col("text"), "spark window"))
         .select(col("doc_id")).orderBy("doc_id")),
 
+    // E1 (phrase variant) — exact ADJACENT-token phrase match with
+    // occurrence counts and first position, array-local (zero shuffle);
+    // overlapping occurrences counted
+    "q_text_phrase" -> ((s, dir) =>
+      Analytics.phraseMatch(t(s, dir, "documents"), "doc_id", "text",
+        Seq("the", "fast"))
+        .orderBy("doc_id")),
+
     // E1 (scored variant) — tf-ranked text match: term-frequency of the
     // query tokens as relevance key (closes the documented boolean-vs-
     // scored divergence from ES match; ElasticsearchService.java:279-283)
@@ -1839,6 +1847,19 @@ object SparkEntry {
       """SELECT doc_id FROM documents
         |WHERE regexp_matches(lower(text), '\b(spark|window)\b')
         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_phrase" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS p
+        |  FROM tokf WHERE len(toks) >= 2),
+        |hit AS (
+        |  SELECT doc_id, p FROM pos
+        |  WHERE toks[p] = 'the' AND toks[p + 1] = 'fast')
+        |SELECT doc_id, count(*)::BIGINT AS n_occurrences, min(p)::BIGINT AS first_pos
+        |FROM hit GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // same 5-rule Porter-light chain as the Spark side, RE2 \1 backrefs,
     // global flag; query "sparks window" stems to (spark, window)

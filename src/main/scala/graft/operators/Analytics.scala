@@ -207,6 +207,37 @@ object Analytics {
   }
 
   /**
+   * Exact PHRASE matching — the match_phrase query of the reference's
+   * search surface family, computed ARRAY-LOCALLY: for an m-token
+   * phrase, keep token positions p where tokens[p..p+m−1] equal the
+   * phrase; output (id, n_occurrences, first_pos), non-matching docs
+   * absent. Zero shuffles — the whole operator lives inside the scan
+   * (the token array is lambda-bound once; interpreted HOFs do no CSE).
+   * Overlapping occurrences all count ("a a a" matches "a a" twice).
+   * Serving-side note: phrase queries over the STORED index would need
+   * positional postings ([[writeTextIndex]] stores tf only — documented
+   * scope boundary; the scan-local operator is the batch-filter path).
+   */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one token")
+    val m = phrase.length
+    val ph = phrase.map(_.toLowerCase)
+    val tsC = TextAnalysis.toks(col(textCol))
+    val hits = element_at(transform(array(tsC), ts =>
+      when(size(ts) >= m,
+        filter(sequence(lit(1), size(ts) - (m - 1)), p =>
+          ph.zipWithIndex.map { case (w, i) =>
+            element_at(ts, p + i) === w }.reduce(_ && _)))
+        .otherwise(array().cast("array<int>"))), 1)
+    docs.select(col(idCol), hits.as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col(idCol),
+        size(col("hits")).cast("long").as("n_occurrences"),
+        element_at(col("hits"), 1).cast("long").as("first_pos"))
+  }
+
+  /**
    * Stored inverted text index — the SERVING artifact for the BM25 family,
    * completing the stored-index set (IVF cells, sign-LSH buckets, MinHash
    * signature index) for text retrieval. Layout under `path`:

@@ -250,4 +250,28 @@ class AnalyticsSpec extends SparkSuite {
     val rank = idx.map(_._1)
     assert(rank.indexOf(3L) > rank.indexOf(5L))
   }
+
+  test("phrase match: adjacency required, overlaps counted, case-folded, " +
+    "plan is scan-local (zero Exchange)") {
+    val d = Seq(
+      (1L, "the quick fox and the quick fox again"), // 2 occurrences
+      (2L, "quick the fox"),                         // right words, wrong order
+      (3L, "THE Quick fox"),                         // case folds
+      (4L, "the slow fox"),                          // not adjacent pair
+      (5L, "a a a"),                                 // overlap corpus
+      (6L, "the"))                                   // shorter than phrase
+      .toDF("doc_id", "text")
+    val got = Analytics.phraseMatch(d, "doc_id", "text",
+      Seq("the", "quick"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L)))
+    assert(got(3L) == ((3L, 1L, 1L)))
+    assert(!got.contains(2L) && !got.contains(4L) && !got.contains(6L))
+    val ov = Analytics.phraseMatch(d, "doc_id", "text", Seq("a", "a"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(ov == Seq((5L, 2L, 1L)), s"overlapping matches both count: $ov")
+    val plan = Analytics.phraseMatch(d, "doc_id", "text", Seq("x", "y"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"phrase match must be scan-local:\n$plan")
+  }
 }

@@ -1576,6 +1576,42 @@ object SparkEntry {
         .crossJoin(exact)
     }),
 
+    // crawl ops: snapshot diff against the STORED snapshot artifact —
+    // hash paid once at write time, the diff column-prunes the stored
+    // side to (key, content_hash); oracle identical to q_snapshot_diff
+    // (the roundtrip must not change a single row)
+    "q_snapshot_diff_stored" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val path = s"/tmp/graft_snapshot_${s.sparkContext.applicationId}"
+      Dedup.writeSnapshot(d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("url_id"), col("text")),
+        "url_id", "text", path)
+      val newSnap = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("url_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" [recrawled]")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDiffAgainstTable(s, path, newSnap, "url_id", "text")
+        .orderBy("url_id")
+    }),
+
+    // text analysis: Unicode-script composition profile — Cyrillic /
+    // Han / Arabic / digit snippets planted per doc_id so every script
+    // fraction is exercised (corpus text itself is Latin-only)
+    "q_script_profile" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" привет мир"))
+          .when(col("doc_id") % 4 === 1, lit(" 你好世界"))
+          .when(col("doc_id") % 4 === 2, lit(" مرحبا بالعالم"))
+          .otherwise(lit(" 12345")))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.scriptProfile(planted).as("p"))
+        .select(col("doc_id"), col("p.n_chars"), col("p.latin_frac"),
+          col("p.cyrillic_frac"), col("p.han_frac"), col("p.arabic_frac"),
+          col("p.digit_frac"))
+        .orderBy("doc_id")
+    }),
+
     // layout: Z-order (Morton) clustering key — bit interleave of two
     // dimensions, unrolled into codegen shift/mask terms; the write path
     // (range-partition + sort on z) is spec-measured for file pruning
@@ -2347,21 +2383,29 @@ object SparkEntry {
         |GROUP BY canonical, last_ts, n_crawls
         |ORDER BY canonical""".stripMargin,
 
-    "q_snapshot_diff" ->
-      """WITH o AS (
-        |  SELECT doc_id AS url_id, md5(text) AS h_old
-        |  FROM documents WHERE doc_id % 5 <> 0),
-        |n AS (
-        |  SELECT doc_id AS url_id,
-        |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawled]' ELSE text END) AS h_new
-        |  FROM documents WHERE doc_id % 3 <> 0)
-        |SELECT COALESCE(o.url_id, n.url_id) AS url_id,
-        |       CASE WHEN h_old IS NULL THEN 'added'
-        |            WHEN h_new IS NULL THEN 'removed'
-        |            WHEN h_old = h_new THEN 'unchanged'
-        |            ELSE 'changed' END AS status
-        |FROM o FULL OUTER JOIN n ON o.url_id = n.url_id
-        |ORDER BY url_id""".stripMargin,
+    "q_snapshot_diff" -> snapshotDiffOracle,
+
+    "q_snapshot_diff_stored" -> snapshotDiffOracle,
+
+    "q_script_profile" -> {
+      val classes = Seq("latin_frac" -> "\\p{Latin}",
+        "cyrillic_frac" -> "\\p{Cyrillic}", "han_frac" -> "\\p{Han}",
+        "arabic_frac" -> "\\p{Arabic}", "digit_frac" -> "[0-9]")
+      val cols = classes.map { case (name, cls) =>
+        s"floor((CASE WHEN n_chars = 0 THEN 0.0 ELSE (n_chars - length(regexp_replace(s, '$cls', '', 'g')))::DOUBLE / n_chars END) * 10000.0 + 0.5) / 10000.0 AS $name"
+      }.mkString(",\n       ")
+      s"""WITH p AS (
+         |  SELECT doc_id, text || CASE WHEN doc_id % 4 = 0 THEN ' привет мир'
+         |                              WHEN doc_id % 4 = 1 THEN ' 你好世界'
+         |                              WHEN doc_id % 4 = 2 THEN ' مرحبا بالعالم'
+         |                              ELSE ' 12345' END AS t
+         |  FROM documents),
+         |c AS (SELECT doc_id, regexp_replace(t, '\\s+', '', 'g') AS s FROM p),
+         |m AS (SELECT doc_id, s, length(s)::BIGINT AS n_chars FROM c)
+         |SELECT doc_id, n_chars,
+         |       $cols
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
 
     "q_dedup_minhash_est" -> {
       val perms = graft.operators.Dedup.MinhashA
@@ -3945,6 +3989,24 @@ object SparkEntry {
    */
   /** DSIR hashed-unigram importance weights (no final ORDER BY so the
     * block can nest as a CTE body in the Gumbel-selection oracle). */
+  /** Snapshot-diff oracle shared by the direct and stored-artifact
+    * variants (the roundtrip must not change a single row). */
+  private val snapshotDiffOracle: String =
+    """WITH o AS (
+      |  SELECT doc_id AS url_id, md5(text) AS h_old
+      |  FROM documents WHERE doc_id % 5 <> 0),
+      |n AS (
+      |  SELECT doc_id AS url_id,
+      |         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [recrawled]' ELSE text END) AS h_new
+      |  FROM documents WHERE doc_id % 3 <> 0)
+      |SELECT COALESCE(o.url_id, n.url_id) AS url_id,
+      |       CASE WHEN h_old IS NULL THEN 'added'
+      |            WHEN h_new IS NULL THEN 'removed'
+      |            WHEN h_old = h_new THEN 'unchanged'
+      |            ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.url_id = n.url_id
+      |ORDER BY url_id""".stripMargin
+
   /** Shared CTE chain for the KMV-sketch oracles: distinct (source,
     * 48-bit token hash) pairs, then the per-source bottom-32 sketch. */
   private val kmvCtes: String =

@@ -807,6 +807,34 @@ object Dedup {
           .otherwise("changed").as("status"))
   }
 
+  /** Persist a crawl snapshot with its content hash precomputed — the
+    * artifact [[snapshotDiffAgainstTable]] probes. The hash is paid ONCE
+    * at write time; every later diff against this snapshot reads only
+    * (key, content_hash) — column pruning keeps the old corpus's text
+    * bytes unopened (ReadSchema asserted in DedupSpec). */
+  def writeSnapshot(docs: DataFrame, keyCol: String, textCol: String,
+                    path: String): Unit =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[snapshotDiff]] against a STORED [[writeSnapshot]] artifact — the
+    * production shape: crawl N is a table on disk; diffing crawl N+1
+    * re-hashes only the NEW side and column-prunes the stored side to
+    * (key, content_hash). Same output contract as snapshotDiff. */
+  def snapshotDiffAgainstTable(spark: org.apache.spark.sql.SparkSession,
+                               tableDir: String, newDocs: DataFrame,
+                               keyCol: String, textCol: String): DataFrame = {
+    val a = spark.read.parquet(tableDir)
+      .select(col(keyCol), col("content_hash").as("h_old"))
+    val b = newDocs.select(col(keyCol), md5(col(textCol)).as("h_new"))
+    a.join(b, Seq(keyCol), "full_outer")
+      .select(col(keyCol),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /**
    * Connected components via alternating LARGE-STAR / SMALL-STAR
    * (Kiveris et al. 2014, "Connected Components in MapReduce and

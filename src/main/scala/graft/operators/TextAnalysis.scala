@@ -89,6 +89,36 @@ object TextAnalysis {
         lit(0.3) * least(stopwordRatio(text) / 0.4, lit(1.0))))
 
   /**
+   * Unicode-script composition profile — the multilingual-crawl triage
+   * signal (a "de"-labeled page that is 90% Han characters is
+   * mislabeled; a Latin page with a Cyrillic spam injection shows a
+   * mixed profile): fractions of non-whitespace characters in Latin /
+   * Cyrillic / Han / Arabic scripts plus ASCII digits, 4dp. Counting is
+   * length-difference after deleting the class — scan-local codegen
+   * regexps, zero shuffles. Script property NAMES differ between
+   * engines (Java `\p{IsLatin}` vs RE2 `\p{Latin}`) but the property is
+   * the same Unicode standard, so the oracle mirrors with RE2 names.
+   * Both engines count CODEPOINTS for BMP text (supplementary-plane
+   * characters — emoji — would diverge UTF-16 vs codepoint counting;
+   * out of scope, documented).
+   */
+  def scriptProfile(text: Column): Column = {
+    val compact = regexp_replace(text, "\\s+", "")
+    val total = length(compact)
+    def frac(cls: String) = pround4(
+      when(total === 0, 0.0).otherwise(
+        (total - length(regexp_replace(compact, cls, "")))
+          .cast("double") / total))
+    struct(
+      total.cast("long").as("n_chars"),
+      frac("\\p{IsLatin}").as("latin_frac"),
+      frac("\\p{IsCyrillic}").as("cyrillic_frac"),
+      frac("\\p{IsHan}").as("han_frac"),
+      frac("\\p{IsArabic}").as("arabic_frac"),
+      frac("[0-9]").as("digit_frac"))
+  }
+
+  /**
    * Document fingerprint: md5 of the whitespace-normalized, case-folded
    * text — the canonical-form content hash used for near-exact dedup
    * (robust to whitespace/case-only edits).

@@ -724,6 +724,27 @@ class CurationSpec extends SparkSuite {
       "bins in order must reproduce the concatenated corpus exactly")
   }
 
+  test("script profile: hand-computed fractions on mixed-script text; " +
+    "whitespace excluded; empty text safe") {
+    import graft.operators.TextAnalysis
+    // "abc привет 你好 123" -> non-space chars: abc(3 Latin) + привет(6
+    // Cyrillic) + 你好(2 Han) + 123(3 digits) = 14
+    val d = Seq((1L, "abc привет 你好 123"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = d.select($"doc_id", TextAnalysis.scriptProfile($"text").as("p"))
+      .select($"doc_id", $"p.n_chars", $"p.latin_frac", $"p.cyrillic_frac",
+        $"p.han_frac", $"p.arabic_frac", $"p.digit_frac")
+      .as[(Long, Long, Double, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got(1L)._2 == 14L)
+    assert(got(1L)._3 == r4(3.0 / 14) && got(1L)._4 == r4(6.0 / 14) &&
+      got(1L)._5 == r4(2.0 / 14) && got(1L)._6 == 0.0 &&
+      got(1L)._7 == r4(3.0 / 14), s"${got(1L)}")
+    assert(got(2L) == ((2L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0)))
+    assert(got(3L)._2 == 0L, "whitespace-only text has zero counted chars")
+  }
+
   test("Luhn card detection: check digit decides, separators tolerated, " +
     "length-gated; masking replaces only VALID candidates") {
     val d = Seq(

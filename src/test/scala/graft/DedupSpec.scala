@@ -388,6 +388,26 @@ class DedupSpec extends SparkSuite {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("stored-snapshot diff: equals the direct diff row-for-row, and " +
+    "the stored side's scan reads only (key, content_hash) — text bytes " +
+    "never opened") {
+    val oldSnap = Seq((1L, "same text"), (2L, "will change"), (3L, "gone"))
+      .toDF("url_id", "text")
+    val newSnap = Seq((1L, "same text"), (2L, "changed text"), (4L, "brand new"))
+      .toDF("url_id", "text")
+    val path = tmpDir("snap-store")
+    Dedup.writeSnapshot(oldSnap, "url_id", "text", path)
+    val viaTable = Dedup.snapshotDiffAgainstTable(spark, path, newSnap,
+      "url_id", "text")
+    val direct = Dedup.snapshotDiff(oldSnap, newSnap, "url_id", "text")
+    assert(viaTable.as[(Long, String)].collect().toSet ==
+      direct.as[(Long, String)].collect().toSet)
+    val plan = viaTable.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("content_hash") && !scan.contains("text"),
+      s"stored-side ReadSchema must prune the text column:\n$scan")
+  }
+
   test("star connected components: equals min-label propagation on the " +
     "minhash candidate graph, resolves a long chain (the diameter case " +
     "label propagation is slow on), and handles stars/singleton edges") {

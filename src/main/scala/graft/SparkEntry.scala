@@ -1372,6 +1372,18 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // web graph: TrustRank to a 3-step horizon (Gyöngyi 2004) — teleport
+    // biased onto the {site0.com, site1.com} seed set; unreached domains
+    // score exactly 0 (the spam-demotion contract)
+    "q_trustrank" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.trustrank(
+        WebGraph.domainEdges(pages, "source", "doc_id", "html"),
+        seeds = Seq("site0.com", "site1.com"), iters = 3)
+        .orderBy("domain")
+    }),
+
     // web graph: one HITS update (Kleinberg 1999) from uniform init —
     // authority then hub half-steps, unnormalized (rankings scale-
     // invariant), integer-valued double sums so 4dp is exact
@@ -3218,6 +3230,9 @@ object SparkEntry {
 
     "q_pagerank_iters" -> pagerankOracleSql(iters = 3),
 
+    "q_trustrank" ->
+      trustrankOracleSql(iters = 3, seeds = Seq("site0.com", "site1.com")),
+
     "q_pagerank_conserving" -> pagerankConservingOracleSql(iters = 3),
 
     "q_hits" ->
@@ -3894,6 +3909,47 @@ object SparkEntry {
    * the one engine-order float hazard, absorbed by the final pround4 —
    * identical trade to the single-step q_pagerank oracle.
    */
+  /** Unrolled DuckDB SQL for [[graft.operators.WebGraph.trustrank]]:
+    * the pagerank rounds with the teleport biased onto the seed set
+    * (uniform share over seeds, zero elsewhere), t₀ = s. */
+  private def trustrankOracleSql(iters: Int, seeds: Seq[String]): String = {
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val share = s"(1.0::DOUBLE / ${seeds.size})"
+    val tele = s"(CASE WHEN domain IN ($seedList) THEN $share ELSE 0.0::DOUBLE END)"
+    val rounds = (1 to iters).map { i =>
+      s"""inf$i AS (
+         |  SELECT dst_domain AS domain, sum(tr * n::DOUBLE / outw) AS inflow
+         |  FROM eg JOIN outd USING (src_domain)
+         |       JOIN tr${i - 1} ON tr${i - 1}.domain = eg.src_domain
+         |  GROUP BY 1),
+         |tr$i AS (
+         |  SELECT doms.domain,
+         |         ((1.0::DOUBLE - 0.85::DOUBLE) * $tele + 0.85::DOUBLE * coalesce(inflow, 0.0::DOUBLE)) AS tr
+         |  FROM doms LEFT JOIN inf$i USING (domain))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, $plantedHtmlSql AS html
+       |  FROM documents),
+       |l AS (
+       |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+       |  FROM h),
+       |eg AS (
+       |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+       |    SELECT source AS src_domain,
+       |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+       |    FROM l)
+       |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+       |  GROUP BY 1, 2),
+       |outd AS (SELECT src_domain, sum(n) AS outw FROM eg GROUP BY 1),
+       |doms AS (
+       |  SELECT DISTINCT src_domain AS domain FROM eg
+       |  UNION SELECT DISTINCT dst_domain FROM eg),
+       |tr0 AS (SELECT domain, $tele AS tr FROM doms),
+       |$rounds
+       |SELECT domain, floor(tr * 10000.0 + 0.5) / 10000.0 AS tr
+       |FROM tr$iters ORDER BY domain""".stripMargin
+  }
+
   private def pagerankOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""inf$i AS (

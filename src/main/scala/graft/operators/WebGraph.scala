@@ -166,6 +166,49 @@ object WebGraph {
   }
 
   /**
+   * TrustRank to a fixed horizon (Gyöngyi, Garcia-Molina & Pedersen
+   * 2004, "Combating Web Spam with TrustRank"): PageRank with the
+   * teleport biased ENTIRELY onto a trusted seed set —
+   * t₀ = s, t_{k+1} = (1−d)·s + d·M t_k with s uniform over seeds and
+   * zero elsewhere. Trust reaches a domain only through a link path
+   * from a seed, so spam clusters with no trusted in-path score exactly
+   * 0 — the deliberate difference from [[pagerank]]'s uniform teleport
+   * (which gives every domain the (1−d) floor). Same plan per round as
+   * pagerank: one out-weight join (materialized once) + one dst-keyed
+   * aggregate, per-round localCheckpoint; the seed set is a literal IN
+   * list (seed sets are human-curated — hundreds, not millions).
+   */
+  def trustrank(edges: DataFrame, seeds: Seq[String], iters: Int,
+                damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(seeds.nonEmpty, "TrustRank needs a non-empty seed set")
+    val withOut = edges
+      .join(edges.groupBy(col("src_domain"))
+        .agg(sum(col("n_links")).as("outw")), Seq("src_domain"))
+      .localCheckpoint()
+    val doms = edges.select(col("src_domain").as("domain"))
+      .union(edges.select(col("dst_domain").as("domain"))).distinct()
+      .localCheckpoint()
+    val tele = when(col("domain").isin(seeds.map(x => x: Any): _*),
+      lit(1.0 / seeds.size)).otherwise(lit(0.0))
+    var tr = doms.withColumn("tr", tele)
+    for (_ <- 1 to iters) {
+      val inflow = withOut
+        .join(tr.withColumnRenamed("domain", "src_domain"),
+          Seq("src_domain"))
+        .select(col("dst_domain").as("domain"),
+          (col("tr") * col("n_links").cast("double") / col("outw")).as("c"))
+        .groupBy(col("domain")).agg(sum(col("c")).as("inflow"))
+      tr = doms.join(inflow, Seq("domain"), "left")
+        .select(col("domain"),
+          (lit(1.0 - damping) * tele +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("tr"))
+        .localCheckpoint()
+    }
+    tr.select(col("domain"), pround4(col("tr")).as("tr"))
+  }
+
+  /**
    * Mass-CONSERVING PageRank to a fixed horizon — the standard power
    * iteration [[pagerank]] deliberately is not: each round the damped
    * mass of DANGLING domains (in-links, no out-links) is summed (one

@@ -168,6 +168,32 @@ class WebGraphSpec extends SparkSuite {
     assert(!pp.contains("SortMergeJoin"), pp)
   }
 
+  test("trustrank: trust flows only along link paths from seeds; " +
+    "unreached (spam) domains score exactly 0; hand-computed rounds") {
+    // S -> A -> B, plus spam C -> A (C unreachable from S)
+    val edges = Seq(("S", "A", 1L), ("A", "B", 1L), ("C", "A", 1L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    // round 1 from t0 = {S: 1.0}: t(S)=0.15, t(A)=0.85*(t0(S)+t0(C))=0.85,
+    // t(B)=0.85*t0(A)=0, t(C)=0
+    val r1 = WebGraph.trustrank(edges, Seq("S"), iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(r1 == Map("S" -> 0.15, "A" -> 0.85, "B" -> 0.0, "C" -> 0.0), r1.toString)
+    // round 2: t(A)=0.85*t1(S)=0.1275, t(B)=0.85*t1(A)=0.7225, t(S)=0.15
+    val r2 = WebGraph.trustrank(edges, Seq("S"), iters = 2)
+      .as[(String, Double)].collect().toMap
+    assert(r2 == Map("S" -> 0.15, "A" -> 0.1275, "B" -> 0.7225, "C" -> 0.0),
+      r2.toString)
+    // C never acquires trust at ANY horizon — the spam-demotion contract
+    val r5 = WebGraph.trustrank(edges, Seq("S"), iters = 5)
+      .as[(String, Double)].collect().toMap
+    assert(r5("C") == 0.0)
+    // two seeds split the teleport share
+    val r0 = WebGraph.trustrank(edges, Seq("S", "C"), iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(r0("A") == 0.85 && r0("S") == 0.075 && r0("C") == 0.075,
+      s"uniform seed share: $r0")
+  }
+
   test("hits step: hand-computed auth/hub on a weighted graph; pure hubs " +
     "get zero authority and pure authorities zero hub") {
     // A -2-> C, B -1-> C, B -3-> D : a1(C)=3, a1(D)=3;

@@ -1688,6 +1688,15 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // curation: pairwise source Jaccard from KMV sketches ALONE — the
+    // sketch-algebra similarity matrix; never re-touches the corpus
+    // (contrast q_source_overlap's shingle shuffle)
+    "q_kmv_pair_jaccard" -> ((s, dir) =>
+      Curation.kmvPairJaccard(
+        Curation.kmvSketch(t(s, dir, "documents"), "source", "text", k = 32),
+        "source", k = 32)
+        .orderBy("source_a", "source_b")),
+
     // curation: Zipf rank-frequency slope — corpus-health diagnostic
     // (OLS of ln freq on ln rank); ranks assigned distributedly via the
     // O(√N)-bounded frequency-of-frequency table, no global vocab sort
@@ -3555,6 +3564,35 @@ object SparkEntry {
         |       floor((CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
         |              ELSE 31.0 / ((hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_distinct
         |FROM stats s JOIN est USING (source) ORDER BY source""".stripMargin,
+
+    "q_kmv_pair_jaccard" ->
+      s"""$kmvCtes,
+         |gs AS (SELECT DISTINCT source FROM sk),
+         |prs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM gs a JOIN gs b ON a.source < b.source),
+         |u AS (
+         |  SELECT source_a, source_b, hv,
+         |         max(in_a) AS in_a, max(in_b) AS in_b
+         |  FROM (
+         |    SELECT p.source_a, p.source_b, s.hv, 1 AS in_a, 0 AS in_b
+         |    FROM prs p JOIN sk s ON s.source = p.source_a
+         |    UNION ALL
+         |    SELECT p.source_a, p.source_b, s.hv, 0, 1
+         |    FROM prs p JOIN sk s ON s.source = p.source_b)
+         |  GROUP BY 1, 2, 3),
+         |tp AS (
+         |  SELECT * FROM (
+         |    SELECT u.*, row_number() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rk
+         |    FROM u)
+         |  WHERE rk <= 32),
+         |agg AS (
+         |  SELECT source_a, source_b, count(*)::BIGINT AS n_union_sketch,
+         |         sum(in_a * in_b)::BIGINT AS n_both
+         |  FROM tp GROUP BY 1, 2)
+         |SELECT source_a, source_b, n_union_sketch, n_both,
+         |       floor((n_both::DOUBLE / least(32, n_union_sketch)) * 10000.0 + 0.5) / 10000.0 AS est_jaccard
+         |FROM agg ORDER BY source_a, source_b""".stripMargin,
 
     "q_nbc_eval" ->
       s"""$nbcCtes,

@@ -1338,6 +1338,55 @@ object Curation {
       .orderBy(col("hv").asc).limit(k)
 
   /**
+   * Pairwise set similarity from KMV sketches ALONE (Beyer et al. 2007
+   * §5): for groups A, B with bottom-k sketches L_A, L_B, the union
+   * sketch L = k smallest of L_A ∪ L_B, and
+   * Ĵ(A,B) = |L ∩ L_A ∩ L_B| / |L| — when the union has fewer than k
+   * distinct hashes the estimate is EXACT (L is the whole union). This
+   * is the sketch-algebra payoff: the full cross-source similarity
+   * matrix costs O(groups²·k) sketch rows and never re-touches the
+   * corpus (compare [[sourceOverlap]], which shuffles the shingle
+   * table). At 10⁶ sources the pair space itself needs blocking (LSH on
+   * sketch prefixes) or a fixed reference set — documented boundary;
+   * the per-pair cost stays O(k) regardless.
+   *
+   * Plan: group list × group list (a < b) is a groups²-sized table;
+   * each side joins its sketch rows, one (pair, hv) aggregate unions
+   * membership, one per-pair window takes the k smallest (≤ 2k rows per
+   * pair by construction — the window cannot skew). Output:
+   * (source_a, source_b, n_union_sketch, n_both, est_jaccard).
+   */
+  def kmvPairJaccard(sketch: DataFrame, grpCol: String,
+                     k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sketch.select(col(grpCol).as("g"), col("hv"))
+    val gs = s.select(col("g")).distinct()
+    val pairs = gs.select(col("g").as("source_a"))
+      .join(gs.select(col("g").as("source_b")),
+        col("source_a") < col("source_b"))
+    val aRows = pairs.join(s, col("g") === col("source_a"))
+      .select(col("source_a"), col("source_b"), col("hv"),
+        lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val bRows = pairs.join(s, col("g") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("hv"),
+        lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val u = aRows.union(bRows)
+      .groupBy(col("source_a"), col("source_b"), col("hv"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("hv"))
+    u.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_union_sketch"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("source_a"), col("source_b"), col("n_union_sketch"),
+        col("n_both"),
+        TextAnalysis.pround4(col("n_both").cast("double") /
+          least(lit(k.toLong), col("n_union_sketch")))
+          .as("est_jaccard"))
+  }
+
+  /**
    * Hashed Naive-Bayes document classifier, model half — the fastText
    * recipe (Joulin et al. 2016, "Bag of Tricks for Efficient Text
    * Classification") that CCNet/LLaMA-style pipelines run as the

@@ -803,6 +803,39 @@ class CurationSpec extends SparkSuite {
     assert(g0.size == 64)
   }
 
+  test("KMV pair Jaccard: exact below k (identical -> 1, disjoint -> 0, " +
+    "hand overlap exact); estimate within 3-sigma on large vocabularies") {
+    // 3 small groups, all unions below k=16 -> estimator is EXACT
+    val d = Seq(
+      (1L, "a b c d", "g1"), (2L, "a b c d", "g2"),  // identical sets
+      (3L, "p q r s", "g3"))                         // disjoint from both
+      .toDF("doc_id", "text", "source")
+    val got = Curation.kmvPairJaccard(
+      Curation.kmvSketch(d, "source", "text", k = 16), "source", k = 16)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(got(("g1", "g2")) == 1.0 && got(("g1", "g3")) == 0.0 &&
+      got(("g2", "g3")) == 0.0, got.toString)
+    // hand overlap: {a b c d} vs {c d e f} -> J = 2/6
+    val h = Seq((1L, "a b c d", "x"), (2L, "c d e f", "y"))
+      .toDF("doc_id", "text", "source")
+    val hj = Curation.kmvPairJaccard(
+      Curation.kmvSketch(h, "source", "text", k = 16), "source", k = 16)
+      .as[(String, String, Long, Long, Double)].collect().head
+    assert(hj._5 == math.floor(2.0 / 6.0 * 10000 + 0.5) / 10000, hj.toString)
+    // large vocab: A = tok1..tok1000, B = tok501..tok1500 -> J = 1/3;
+    // k=128 -> stderr ~ sqrt(J(1-J)/k) ~ 0.042
+    val big = Seq(
+      (1L, (1 to 1000).map(i => s"tok$i").mkString(" "), "A"),
+      (2L, (501 to 1500).map(i => s"tok$i").mkString(" "), "B"))
+      .toDF("doc_id", "text", "source")
+    val bj = Curation.kmvPairJaccard(
+      Curation.kmvSketch(big, "source", "text", k = 128), "source", k = 128)
+      .as[(String, String, Long, Long, Double)].collect().head
+    assert(math.abs(bj._5 - 1.0 / 3.0) < 3 * math.sqrt(1.0 / 3 * 2.0 / 3 / 128),
+      s"estimate ${bj._5} too far from 1/3")
+  }
+
   test("NB classifier: separable corpus classified perfectly; prior " +
     "follows doc counts; model dim-bounded with constant OOV floor") {
     // positives share 'alpha beta', negatives share 'gamma delta' —

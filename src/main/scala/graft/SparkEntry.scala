@@ -1688,6 +1688,13 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // curation: PMI collocations — windowed ordered-pair pointwise
+    // mutual information (Church & Hanks 1990), pairs built array-
+    // locally, top-50 by (pmi desc, x, y) over a min-count cut
+    "q_pmi_collocations" -> ((s, dir) =>
+      Curation.pmiCollocations(t(s, dir, "documents"), "text",
+        window = 2, minCount = 5L, topK = 50)),
+
     // curation: pairwise source Jaccard from KMV sketches ALONE — the
     // sketch-algebra similarity matrix; never re-touches the corpus
     // (contrast q_source_overlap's shingle shuffle)
@@ -3564,6 +3571,29 @@ object SparkEntry {
         |       floor((CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
         |              ELSE 31.0 / ((hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_distinct
         |FROM stats s JOIN est USING (source) ORDER BY source""".stripMargin,
+
+    "q_pmi_collocations" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS p
+        |  FROM tokf WHERE len(toks) >= 2),
+        |pr AS (
+        |  SELECT toks[p] AS x, toks[p + d] AS y
+        |  FROM pos, UNNEST(generate_series(1, least(2, len(toks) - p))) AS t(d)),
+        |pa AS (SELECT x, y, count(*)::BIGINT AS c_xy FROM pr GROUP BY 1, 2),
+        |pt AS (SELECT sum(c_xy)::BIGINT AS p_total FROM pa),
+        |uc AS (
+        |  SELECT tok, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM tokf) GROUP BY 1),
+        |nt AS (SELECT sum(c)::BIGINT AS n_tokens FROM uc)
+        |SELECT x, y, c_xy,
+        |       floor(ln((c_xy::DOUBLE / p_total) / ((cx.c::DOUBLE / n_tokens) * (cy.c::DOUBLE / n_tokens))) * 10000.0 + 0.5) / 10000.0 AS pmi
+        |FROM pa JOIN uc cx ON cx.tok = pa.x JOIN uc cy ON cy.tok = pa.y
+        |CROSS JOIN pt CROSS JOIN nt
+        |WHERE c_xy >= 5
+        |ORDER BY pmi DESC, x, y LIMIT 50""".stripMargin,
 
     "q_kmv_pair_jaccard" ->
       s"""$kmvCtes,

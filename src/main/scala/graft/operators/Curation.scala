@@ -1338,6 +1338,60 @@ object Curation {
       .orderBy(col("hv").asc).limit(k)
 
   /**
+   * PMI collocations — pointwise mutual information of ordered token
+   * pairs co-occurring within a `window` skip distance (Church & Hanks
+   * 1990): the distributional statistic behind phrase induction and
+   * collocation mining.
+   *
+   *   pmi(x,y) = ln( (c_xy / P) / ((c_x/N)·(c_y/N)) )
+   *
+   * with c_xy the windowed ordered-pair count, c_x/c_y token occurrence
+   * counts, P total pairs, N total tokens. Pairs below `minCount` are
+   * dropped (rare-pair PMI is noise — the standard cut), output is the
+   * top-`topK` by (pmi desc, x, y).
+   *
+   * Plan: pairs are built ARRAY-LOCALLY (positions × window — ≤
+   * window·n per doc, linear, never the quadratic all-pairs of
+   * unwindowed co-occurrence), ONE (x,y) partial-agg shuffle + one
+   * unigram shuffle, marginal joins AQE-sized (token-vocab scale), then
+   * TakeOrderedAndProject. 4dp ln output per the family convention.
+   */
+  def pmiCollocations(docs: DataFrame, textCol: String, window: Int = 2,
+                      minCount: Long = 5L, topK: Int = 100): DataFrame = {
+    require(window >= 1 && topK >= 1, "window and topK must be >= 1")
+    val ts = TextAnalysis.toks(col(textCol))
+    // (x, y) rows: for each position p and distance d in [1, window]
+    val pairsOf = element_at(transform(array(ts), t =>
+      when(size(t) >= 2,
+        flatten(transform(sequence(lit(1), size(t) - 1), p =>
+          transform(sequence(lit(1),
+            least(lit(window), size(t) - p)), d =>
+            struct(element_at(t, p).as("x"),
+              element_at(t, p + d).as("y"))))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))), 1)
+    val pairAgg = docs.select(explode(pairsOf).as("pr"))
+      .select(col("pr.x").as("x"), col("pr.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint() // feeds P (pre-cut, the true marginal) AND the rows
+    val pairRows = pairAgg.filter(col("c_xy") >= minCount)
+    val uni = docs.select(explode(ts).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("n_tokens"))
+    val pairTotal = pairAgg.agg(sum(col("c_xy")).as("p_total"))
+    pairRows
+      .join(uni.select(col("tok").as("x"), col("c").as("cx")), Seq("x"))
+      .join(uni.select(col("tok").as("y"), col("c").as("cy")), Seq("y"))
+      .crossJoin(broadcast(totals)).crossJoin(broadcast(pairTotal))
+      .select(col("x"), col("y"), col("c_xy"),
+        TextAnalysis.pround4(
+          log((col("c_xy").cast("double") / col("p_total")) /
+            ((col("cx").cast("double") / col("n_tokens")) *
+              (col("cy").cast("double") / col("n_tokens"))))).as("pmi"))
+      .orderBy(col("pmi").desc, col("x"), col("y"))
+      .limit(topK)
+  }
+
+  /**
    * Pairwise set similarity from KMV sketches ALONE (Beyer et al. 2007
    * §5): for groups A, B with bottom-k sketches L_A, L_B, the union
    * sketch L = k smallest of L_A ∪ L_B, and

@@ -803,6 +803,37 @@ class CurationSpec extends SparkSuite {
     assert(g0.size == 64)
   }
 
+  test("PMI collocations: hand-computed pmi at window 1, window-2 skip " +
+    "pairs included, min-count cut applied, deterministic total order") {
+    // corpus: "a b" x6 docs + "a c" x2 + "c b" x2 -> at window=1:
+    // pairs: (a,b)x6, (a,c)x2, (c,b)x2; P=10; tokens: a=8, b=8, c=4, N=20
+    val d = ((1 to 6).map(i => (i.toLong, "a b")) ++
+      Seq((7L, "a c"), (8L, "a c"), (9L, "c b"), (10L, "c b")))
+      .toDF("doc_id", "text")
+    val got = Curation.pmiCollocations(d, "text", window = 1,
+      minCount = 2L, topK = 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(got(("a", "b"))._3 == 6L)
+    assert(got(("a", "b"))._4 == r4(math.log((6.0 / 10) / (8.0 / 20 * (8.0 / 20)))),
+      got.toString)
+    assert(got(("a", "c"))._4 == r4(math.log((2.0 / 10) / (8.0 / 20 * (4.0 / 20)))))
+    // window=2 adds the skip pair (x, z) from "x y z"
+    val sk = Seq((1L, "x y z"), (2L, "x y z"), (3L, "x y z"), (4L, "x y z"),
+      (5L, "x y z")).toDF("doc_id", "text")
+    val w2 = Curation.pmiCollocations(sk, "text", window = 2,
+      minCount = 5L, topK = 10)
+      .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(w2 == Set(("x", "y"), ("y", "z"), ("x", "z")),
+      s"skip-distance-2 pair must appear: $w2")
+    // min-count cut: a pair seen once vanishes at minCount=2
+    val once = Seq((1L, "p q"), (2L, "p r"), (3L, "p r")).toDF("doc_id", "text")
+    val cut = Curation.pmiCollocations(once, "text", 1, 2L, 10)
+      .as[(String, String, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(cut == Set(("p", "r")))
+  }
+
   test("KMV pair Jaccard: exact below k (identical -> 1, disjoint -> 0, " +
     "hand overlap exact); estimate within 3-sigma on large vocabularies") {
     // 3 small groups, all unions below k=16 -> estimator is EXACT

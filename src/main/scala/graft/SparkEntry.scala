@@ -1688,6 +1688,16 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // curation: novel-n-gram memorization audit — the %5==0 batch's
+    // per-doc novelty fraction vs the rest of the corpus (the same
+    // split as q_dedup_incremental; this REPORTS where that DROPS)
+    "q_novel_ngrams" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Curation.novelNgramFraction(d.filter(col("doc_id") % 5 === 0),
+        d.filter(col("doc_id") % 5 =!= 0), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // curation: PMI collocations — windowed ordered-pair pointwise
     // mutual information (Church & Hanks 1990), pairs built array-
     // locally, top-50 by (pmi desc, x, y) over a min-count cut
@@ -3571,6 +3581,22 @@ object SparkEntry {
         |       floor((CASE WHEN n_sketch < 32 THEN n_sketch::DOUBLE
         |              ELSE 31.0 / ((hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_distinct
         |FROM stats s JOIN est USING (source) ORDER BY source""".stripMargin,
+
+    "q_novel_ngrams" ->
+      """WITH tokf AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |ng AS (
+        |  SELECT DISTINCT doc_id, toks[p] || ' ' || toks[p + 1] || ' ' || toks[p + 2] AS g
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS p
+        |        FROM tokf WHERE len(toks) >= 3)),
+        |newg AS (SELECT doc_id, md5(g) AS h FROM ng WHERE doc_id % 5 = 0),
+        |seng AS (SELECT DISTINCT md5(g) AS h FROM ng WHERE doc_id % 5 <> 0)
+        |SELECT n.doc_id, count(*)::BIGINT AS n_grams,
+        |       sum(CASE WHEN s.h IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+        |       floor((sum(CASE WHEN s.h IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 10000.0 + 0.5) / 10000.0 AS novel_frac
+        |FROM newg n LEFT JOIN seng s ON n.h = s.h
+        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin,
 
     "q_pmi_collocations" ->
       """WITH tokf AS (

@@ -1338,6 +1338,39 @@ object Curation {
       .orderBy(col("hv").asc).limit(k)
 
   /**
+   * Novel-n-gram memorization audit: for each NEW document, the fraction
+   * of its distinct n-grams absent from the SEEN corpus — the
+   * train-test-leakage / memorization-risk report (near-zero novelty
+   * means the doc is effectively already in the training set even when
+   * no dedup rule fired; the corpus-side complement of what
+   * [[contamination]] measures against a benchmark). This REPORTS —
+   * feed the fraction to a gate downstream.
+   *
+   * Plan: both sides shingle in their own scans; the seen side ships
+   * only DISTINCT md5(gram) short keys (never text); one hash-keyed
+   * left join marks membership, one per-doc roll-up aggregates. At
+   * production scale the seen side is a STORED shingle index, not a
+   * re-scan (the [[Dedup.writeSignatureIndex]] pattern). Docs with
+   * fewer than n tokens have no n-grams and are absent (family
+   * convention).
+   */
+  def novelNgramFraction(newDocs: DataFrame, seenDocs: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int = 3): DataFrame = {
+    val newG = Dedup.shingles(newDocs, idCol, textCol, n)
+      .select(col(idCol), md5(col("shingle")).as("h"))
+    val seen = Dedup.shingles(seenDocs, idCol, textCol, n)
+      .select(md5(col("shingle")).as("h")).distinct()
+      .withColumn("seen", lit(1L))
+    newG.join(seen, Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novel_frac", TextAnalysis.pround4(
+        col("n_novel").cast("double") / col("n_grams")))
+  }
+
+  /**
    * PMI collocations — pointwise mutual information of ordered token
    * pairs co-occurring within a `window` skip distance (Church & Hanks
    * 1990): the distributional statistic behind phrase induction and

@@ -803,6 +803,27 @@ class CurationSpec extends SparkSuite {
     assert(g0.size == 64)
   }
 
+  test("novel n-gram audit: fully-seen doc scores 0, fully-novel 1, " +
+    "partial overlap exact; sub-n docs absent") {
+    val seen = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val newDocs = Seq(
+      (1L, "alpha beta gamma delta"),   // grams all inside the seen doc
+      (2L, "one two three four"),       // fully novel: 2 grams, both new
+      // 4 grams: 'beta gamma delta' + 'gamma delta epsilon' seen,
+      // the edge grams ('x beta gamma', 'delta epsilon q') novel -> 1/2
+      (3L, "x beta gamma delta epsilon q"),
+      (4L, "too short"))                // < 3 tokens -> absent
+      .toDF("doc_id", "text")
+    val got = Curation.novelNgramFraction(newDocs, seen, "doc_id", "text", 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 0L, 0.0)), got.toString)
+    assert(got(2L) == ((2L, 2L, 2L, 1.0)))
+    assert(got(3L) == ((3L, 4L, 2L, 0.5)),
+      "only fully-contained grams count as seen: " + got(3L))
+    assert(!got.contains(4L))
+  }
+
   test("PMI collocations: hand-computed pmi at window 1, window-2 skip " +
     "pairs included, min-count cut applied, deterministic total order") {
     // corpus: "a b" x6 docs + "a c" x2 + "c b" x2 -> at window=1:

@@ -1373,14 +1373,18 @@ object SparkEntry {
     }),
 
     // web graph: TrustRank to a 3-step horizon (Gyöngyi 2004) — teleport
-    // biased onto the {site0.com, site1.com} seed set; unreached domains
-    // score exactly 0 (the spam-demotion contract)
+    // biased onto {src0, src1, site0.com}: src0/src1 are SOURCE domains
+    // with out-edges, so trust actually flows through all 3 iterations
+    // (the damping feedback is oracle-pinned, not just the teleport
+    // term); site0.com is destination-only, pinning the inflow-plus-
+    // teleport case; non-seed srcN (no trusted in-path) score exactly 0
+    // (the spam-demotion contract)
     "q_trustrank" -> ((s, dir) => {
       val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
         plantedHtml.cast("binary").as("html"))
       WebGraph.trustrank(
         WebGraph.domainEdges(pages, "source", "doc_id", "html"),
-        seeds = Seq("site0.com", "site1.com"), iters = 3)
+        seeds = Seq("src0", "src1", "site0.com"), iters = 3)
         .orderBy("domain")
     }),
 
@@ -1811,6 +1815,126 @@ object SparkEntry {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
         .orderBy("split")
+    }),
+
+    // F6 — anomaly COUNT in a detected_at range
+    // (AnomalyDetectionRepository.java:39-40,
+    // countByIsAnomalyTrueAndDetectedAtBetween): the real countInRange
+    // operator (an aggregate-only plan — no row materialization), its one
+    // scalar wrapped back into a 1-row frame for the oracle compare
+    "q_anomaly_count_range" -> ((s, dir) => {
+      val anoms = t(s, dir, "events").select(
+        col("event_id").as("log_id"),
+        col("ts").as("detected_at"),
+        Score.anomalyScore(synthMsg, level).as("anomaly_score"))
+        .withColumn("is_anomaly", Score.isAnomaly(col("anomaly_score")))
+      val n = Analytics.Anomalies.countInRange(anoms,
+        Timestamp.valueOf("2024-01-05 00:00:00"),
+        Timestamp.valueOf("2024-01-20 00:00:00"))
+      s.range(1).select(lit(n).as("n_anomalies")) // 1 scalar — model-sized
+    }),
+
+    // B4/J2 — dead-letter rows with reject reasons
+    // (consumer/LogConsumer.java:52-62 nack→DLQ): the REAL Parse-stage
+    // validation gate over a pages-shaped frame (invalid/null urls + null
+    // text planted from table fields), rejected rows + their reasons;
+    // precedence pinned (invalid_url wins over null_text on doc_id 0)
+    "q_rejected_rows" -> ((s, dir) =>
+      Parse(docPages(s, dir), Pipeline.DefaultJobStart)
+        .filter(!col("parse_ok"))
+        .select(col("doc_id"), col("reject_reason"))
+        .orderBy("doc_id")),
+
+    // C4+D3-D5+E1+I1+I2 — the FULL composite search endpoint in ONE query
+    // (controller/LogSearchController.java:38-61 → searchLogs): coalesced
+    // optional params, tokenized match gate, level/service IN filters,
+    // two-sided ts range, the D6 dead hosts param (accepted-and-ignored),
+    // dynamic sort desc, page 2 of 15 with deterministic tiebreak
+    "q_search_composite" -> ((s, dir) => {
+      val logs = t(s, dir, "events").select(
+        col("event_id").as("id"), col("ts"), level.as("level"),
+        service.as("service"), synthMsg.as("message"), col("value"))
+      Analytics.searchLogs(logs,
+        queryText = Some("timeout connection exception"),
+        levels = Seq("ERROR", "INFO"),
+        services = Seq("svc-1", "svc-2", "svc-3", "svc-5", "svc-7", "svc-8"),
+        hosts = Seq("dead-host-filter"), // D6: declared but never applied
+        start = Some(Timestamp.valueOf("2024-01-03 00:00:00")),
+        end = Some(Timestamp.valueOf("2024-01-25 00:00:00")),
+        sortBy = "ts", ascending = false, page = 2, size = 15,
+        tiebreak = "id")
+        .select(col("id"), col("ts"), col("level"), col("service"))
+    }),
+
+    // I2' — KEYSET pagination (search_after recast): the page after the
+    // (ts, id) cursor via a pushed-down range predicate + top-k — plans
+    // as TakeOrderedAndProject with NO global sort and NO offset
+    // (PlanSpec), the scale-safe variant ES forces past from+size=10k
+    "q_pagination_keyset" -> ((s, dir) =>
+      Analytics.searchAfter(
+        t(s, dir, "events").select(col("event_id"), col("ts"), col("event_type")),
+        sortCol = "ts", idCol = "event_id",
+        lastSort = lit(Timestamp.valueOf("2024-01-15 00:00:00")),
+        lastId = lit(5000L), size = 20)),
+
+    // index maintenance — APPEND into the stored signature index: base
+    // index from half the seen corpus, second half appended (O(batch)
+    // append-mode write, existing files untouched), then the SAME probe as
+    // q_dedup_incremental_index; oracle IDENTICAL to q_dedup_incremental —
+    // probe-after-append must equal rebuild-from-scratch row for row
+    "q_index_append" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = s"/tmp/graft_sig_append_${s.sparkContext.applicationId}"
+      val p = new org.apache.hadoop.fs.Path(idx)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // bench reruns: fresh roundtrip
+      Dedup.writeSignatureIndex(
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0),
+        "doc_id", "text", idx, n = 3)
+      Dedup.appendSignatureIndex(s, idx,
+        d.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 1),
+        "doc_id", "text", n = 3)
+      Dedup.incrementalDedupAgainstIndex(s, idx,
+        d.filter(col("doc_id") % 5 === 0), "doc_id", "text", n = 3)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    }),
+
+    // J1+J7 — resume + lineage conservation under the driver: the FULL
+    // checkpointed Pipeline.run (parse→enrich→score→route→aggregate with
+    // commit markers) over a pages-shaped frame, run TWICE — the second
+    // run must skip both committed stages (RESUME_SKIPPED_OK row). The
+    // result is derived from the checkpoint artifacts themselves: per-
+    // severity doc counts from the per-file LINEAGE table (not the sink),
+    // the REJECTED partition count, and the commit row's input_rows
+    // (TOTAL_COMMITTED) — so Σ sinks + rejected == input is pinned against
+    // the oracle's severity distribution computed from the INPUT rules
+    "q_lineage_conservation" -> ((s, dir) => {
+      val root = s"/tmp/graft_lineage_${s.sparkContext.applicationId}"
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val pages = docPages(s, dir)
+      Pipeline.run(s, pages, Synth.domainReputation(s), Synth.langMeta(s), root)
+      val second =
+        Pipeline.run(s, pages, Synth.domainReputation(s), Synth.langMeta(s), root)
+      val bySev = s.read.parquet(s"$root/_checkpoint/route/lineage")
+        .groupBy(col("severity")).agg(sum(col("rows")).as("doc_count"))
+      val rejected = s.read.parquet(s"$root/routed")
+        .filter(col("severity") === Route.RejectedPartition)
+        .agg(count(lit(1)).as("doc_count"))
+        .select(lit(Route.RejectedPartition).as("severity"), col("doc_count"))
+      val committed = s.read.parquet(s"$root/_checkpoint/route/commit")
+        .select(lit("TOTAL_COMMITTED").as("severity"),
+          col("inputRows").as("doc_count"))
+      val resumed = s.range(1).select(
+        lit("RESUME_SKIPPED_OK").as("severity"),
+        lit(if (!second.ran && !second.ranAggregate) 1L else 0L)
+          .as("doc_count"))
+      bySev.select(col("severity").cast("string").as("severity"),
+          col("doc_count"))
+        .union(rejected).union(committed).union(resumed)
+        .orderBy("severity")
     })
   )
 
@@ -1830,6 +1954,37 @@ object SparkEntry {
       (col("doc_id") * 3 + 1) % 7,
       lit(".com/q\">link "), col("doc_id") % 3,
       lit("</a></body></html>"))
+
+  /** Pages-shaped frame synthesized from the documents table for the
+    * driver-pinned pipeline rows (q_rejected_rows, q_lineage_conservation):
+    * plants invalid urls (doc_id%11), null urls (%13) and null text (%7=3)
+    * so every validation branch and the reject-reason precedence fire.
+    * Mirrored verbatim by [[docPagesSql]]. */
+  private def docPages(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("not-a-url-"), col("doc_id")))
+        .when(col("doc_id") % 13 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.com/p/"), col("doc_id"))).as("url"),
+      lit(null).cast("timestamp").as("warc_ts"),
+      lit(null).cast("binary").as("html"),
+      when(col("doc_id") % 7 === 3, lit(null).cast("string"))
+        .otherwise(col("text")).as("text"),
+      col("lang"))
+
+  /** SQL twin of [[docPages]] — ONE definition interpolated into both
+    * pipeline oracles so the two recipes cannot drift independently. */
+  private val docPagesSql: String =
+    """pages AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 11 = 0 THEN 'not-a-url-' || doc_id::VARCHAR
+      |              WHEN doc_id % 13 = 0 THEN NULL
+      |              ELSE 'https://' || source || '.example.com/p/' || doc_id::VARCHAR END AS url,
+      |         CASE WHEN doc_id % 7 = 3 THEN NULL ELSE text END AS text,
+      |         lang
+      |  FROM documents)""".stripMargin
 
   /** Little-endian hex encoding of a long column into `nBytes` bytes
     * (query-synthesis helper; the parse inverse is Multimodal.leUint). */
@@ -1860,6 +2015,37 @@ object SparkEntry {
       |    SELECT doc_id, source, tok || ' ' || lead(tok,1) OVER w || ' ' || lead(tok,2) OVER w AS g
       |    FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY p))
       |  WHERE g IS NOT NULL)""".stripMargin
+
+  /** Incremental-dedup survivors oracle — ONE definition shared by
+    * q_dedup_incremental (recomputed seen side), q_dedup_incremental_index
+    * (stored-index rebuild) and q_index_append (stored index grown by an
+    * O(batch) append): all three implementations must produce the exact
+    * same survivor set, so they pin to the same SQL. */
+  private lazy val incrementalSurvivorsSql: String = {
+    val perms = graft.operators.Dedup.MinhashA
+      .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+      .map { case ((a, b), i) =>
+        s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+    s"""$shinglesCte,
+       |hh AS (
+       |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+       |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+       |bk AS (
+       |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+       |seenb AS (SELECT DISTINCT band, band_key FROM bk WHERE doc_id % 5 <> 0),
+       |neardup AS (
+       |  SELECT DISTINCT n.doc_id FROM bk n JOIN seenb s USING (band, band_key)
+       |  WHERE n.doc_id % 5 = 0),
+       |seenh AS (SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 5 <> 0)
+       |SELECT d.doc_id, d.source FROM documents d
+       |WHERE d.doc_id % 5 = 0
+       |  AND md5(d.text) NOT IN (SELECT ch FROM seenh)
+       |  AND d.doc_id NOT IN (SELECT doc_id FROM neardup)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Converged-components oracle shared by q_dedup_clusters (min-label
     * propagation) and q_dedup_clusters_star (large-star/small-star): the
@@ -2874,59 +3060,11 @@ object SparkEntry {
         |       floor(count(*) FILTER (rk = 1)::DOUBLE / count(*) * 10000.0 + 0.5) / 10000.0 AS kept_frac
         |FROM rk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_incremental" -> {
-      val perms = graft.operators.Dedup.MinhashA
-        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
-        .map { case ((a, b), i) =>
-          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
-      s"""$shinglesCte,
-         |hh AS (
-         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
-         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
-         |bk AS (
-         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
-         |seenb AS (SELECT DISTINCT band, band_key FROM bk WHERE doc_id % 5 <> 0),
-         |neardup AS (
-         |  SELECT DISTINCT n.doc_id FROM bk n JOIN seenb s USING (band, band_key)
-         |  WHERE n.doc_id % 5 = 0),
-         |seenh AS (SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 5 <> 0)
-         |SELECT d.doc_id, d.source FROM documents d
-         |WHERE d.doc_id % 5 = 0
-         |  AND md5(d.text) NOT IN (SELECT ch FROM seenh)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM neardup)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "q_dedup_incremental" -> incrementalSurvivorsSql,
 
     // same result set as q_dedup_incremental: the stored-index roundtrip
     // must be invisible to the survivors
-    "q_dedup_incremental_index" -> {
-      val perms = graft.operators.Dedup.MinhashA
-        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
-        .map { case ((a, b), i) =>
-          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
-      s"""$shinglesCte,
-         |hh AS (
-         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
-         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
-         |bk AS (
-         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
-         |seenb AS (SELECT DISTINCT band, band_key FROM bk WHERE doc_id % 5 <> 0),
-         |neardup AS (
-         |  SELECT DISTINCT n.doc_id FROM bk n JOIN seenb s USING (band, band_key)
-         |  WHERE n.doc_id % 5 = 0),
-         |seenh AS (SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id % 5 <> 0)
-         |SELECT d.doc_id, d.source FROM documents d
-         |WHERE d.doc_id % 5 = 0
-         |  AND md5(d.text) NOT IN (SELECT ch FROM seenh)
-         |  AND d.doc_id NOT IN (SELECT doc_id FROM neardup)
-         |ORDER BY d.doc_id""".stripMargin
-    },
+    "q_dedup_incremental_index" -> incrementalSurvivorsSql,
 
     "q_cluster_keeper" -> {
       val perms = graft.operators.Dedup.MinhashA
@@ -3257,7 +3395,7 @@ object SparkEntry {
     "q_pagerank_iters" -> pagerankOracleSql(iters = 3),
 
     "q_trustrank" ->
-      trustrankOracleSql(iters = 3, seeds = Seq("site0.com", "site1.com")),
+      trustrankOracleSql(iters = 3, seeds = Seq("src0", "src1", "site0.com")),
 
     "q_pagerank_conserving" -> pagerankConservingOracleSql(iters = 3),
 
@@ -3983,7 +4121,76 @@ object SparkEntry {
          |            ELSE 'test' END AS split,
          |       count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
          |FROM budg WHERE prefix < 800
-         |GROUP BY 1 ORDER BY split""".stripMargin
+         |GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_anomaly_count_range" ->
+      s"""WITH m AS (SELECT event_id, ts, $synthMsgSql AS msg, $levelSql AS level FROM events),
+         |sc AS (
+         |  SELECT ts,
+         |         round(least(1.0,
+         |             0.30 * (CASE WHEN lower(msg) LIKE '%exception%' OR lower(msg) LIKE '%error%' THEN 1.0 ELSE 0.0 END)
+         |           + 0.25 * (CASE WHEN lower(msg) LIKE '%connection%' AND (lower(msg) LIKE '%refused%' OR lower(msg) LIKE '%failed%' OR lower(msg) LIKE '%reset%') THEN 1.0 ELSE 0.0 END)
+         |           + 0.20 * (CASE WHEN lower(msg) LIKE '%timeout%' OR lower(msg) LIKE '%timed out%' THEN 1.0 ELSE 0.0 END)
+         |           + 0.10 * (CASE WHEN level = 'ERROR' THEN 1.0 ELSE 0.0 END)
+         |           + 0.05 * (CASE WHEN level = 'WARN' THEN 1.0 ELSE 0.0 END)
+         |           + 0.10 * least(length(msg) / 10000.0, 1.0)), 4) AS anomaly_score
+         |  FROM m)
+         |SELECT count(*)::BIGINT AS n_anomalies FROM sc
+         |WHERE anomaly_score >= 0.5
+         |  AND ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'""".stripMargin,
+
+    "q_rejected_rows" ->
+      s"""WITH $docPagesSql
+         |SELECT doc_id,
+         |       CASE WHEN url IS NULL OR NOT regexp_matches(url, '^https?://[^/]+')
+         |            THEN 'invalid_url' ELSE 'null_text' END AS reject_reason
+         |FROM pages
+         |WHERE url IS NULL OR NOT regexp_matches(url, '^https?://[^/]+') OR text IS NULL
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_search_composite" ->
+      s"""WITH logs AS (
+         |  SELECT event_id AS id, ts, $levelSql AS level, $serviceSql AS service, $synthMsgSql AS message
+         |  FROM events)
+         |SELECT id, ts, level, service FROM logs
+         |WHERE regexp_matches(lower(message), '\\b(timeout|connection|exception)\\b')
+         |  AND level IN ('ERROR', 'INFO')
+         |  AND service IN ('svc-1', 'svc-2', 'svc-3', 'svc-5', 'svc-7', 'svc-8')
+         |  AND ts >= TIMESTAMP '2024-01-03 00:00:00'
+         |  AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+         |ORDER BY ts DESC, id DESC LIMIT 15 OFFSET 30""".stripMargin,
+
+    "q_pagination_keyset" ->
+      """SELECT event_id, ts, event_type FROM events
+        |WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+        |   OR (ts = TIMESTAMP '2024-01-15 00:00:00' AND event_id < 5000)
+        |ORDER BY ts DESC, event_id DESC LIMIT 20""".stripMargin,
+
+    // identical to q_dedup_incremental: probing the APPENDED index must
+    // equal probing a rebuilt-from-scratch index, row for row
+    "q_index_append" -> incrementalSurvivorsSql,
+
+    "q_lineage_conservation" ->
+      s"""WITH $docPagesSql,
+         |ok AS (
+         |  SELECT doc_id, text,
+         |         (url IS NOT NULL AND regexp_matches(url, '^https?://[^/]+') AND text IS NOT NULL) AS parse_ok
+         |  FROM pages),
+         |msg AS (
+         |  SELECT parse_ok,
+         |         CASE WHEN length(text) > 10000 THEN substr(text, 1, 10000) || '... [truncated]' ELSE text END AS m
+         |  FROM ok),
+         |sev AS (
+         |  SELECT CASE WHEN NOT parse_ok THEN 'REJECTED'
+         |              WHEN lower(m) LIKE '%exception%' OR lower(m) LIKE '%error%' THEN 'ERROR'
+         |              WHEN lower(m) LIKE '%timeout%' OR lower(m) LIKE '%connection%' OR lower(m) LIKE '%connect%' THEN 'WARN'
+         |              ELSE 'INFO' END AS severity
+         |  FROM msg),
+         |dist AS (SELECT severity, count(*)::BIGINT AS doc_count FROM sev GROUP BY 1)
+         |SELECT severity, doc_count FROM dist
+         |UNION ALL SELECT 'TOTAL_COMMITTED', count(*)::BIGINT FROM pages
+         |UNION ALL SELECT 'RESUME_SKIPPED_OK', 1::BIGINT
+         |ORDER BY severity""".stripMargin
   )
 
   /**

@@ -384,6 +384,34 @@ object Analytics {
   }
 
   /**
+   * I2' — KEYSET pagination (the `search_after` recast): fetch the page
+   * AFTER a (sortValue, id) cursor instead of `offset(page·size)`. ES
+   * itself caps from+size at 10,000 and forces `search_after` past it
+   * (the reference's from/size path, `ElasticsearchService.java:259-260`,
+   * inherits that cap) — this is the 100×-scale variant: the cursor
+   * predicate `(sort, id) < (lastSort, lastId)` is pushed into the scan
+   * (PushedFilters) and `orderBy+limit` plans as TakeOrderedAndProject —
+   * per-partition top-k then a k-row merge on the driver, NO global sort,
+   * NO offset operator, page depth does not change the plan (asserted in
+   * PlanSpec). The (sortCol, idCol) pair must be a total order (idCol
+   * unique) or pages can skip/repeat rows at cursor ties.
+   */
+  def searchAfter(logs: DataFrame, sortCol: String, idCol: String,
+                  lastSort: Column, lastId: Column, size: Int,
+                  ascending: Boolean = false): DataFrame = {
+    val (pred, sorts) =
+      if (ascending)
+        (col(sortCol) > lastSort ||
+          (col(sortCol) === lastSort && col(idCol) > lastId),
+          Seq(col(sortCol).asc, col(idCol).asc))
+      else
+        (col(sortCol) < lastSort ||
+          (col(sortCol) === lastSort && col(idCol) < lastId),
+          Seq(col(sortCol).desc, col(idCol).desc))
+    logs.filter(pred).orderBy(sorts: _*).limit(size)
+  }
+
+  /**
    * F1+F2 — dashboard metrics in ONE conditional-aggregate pass (the
    * reference issues 3 sequential count searches,
    * `ElasticsearchService.java:372-431`; SURVEY.md notes the fusion).

@@ -168,12 +168,25 @@ object Curation {
   /** Mask every Luhn-VALID card candidate in `text` with `<CARD>`:
     * candidates extracted per row, invalid ones kept verbatim (a random
     * 16-digit id is not PII), valid ones replaced via an array-local
-    * literal-replace fold. */
+    * regexp_replace fold. Replacement is POSITIONALLY anchored with
+    * digit-boundary lookarounds `(?<![0-9])cand(?![0-9])` so a valid
+    * candidate's digit sequence embedded inside a LONGER non-candidate
+    * run elsewhere in the document is never masked, and a candidate that
+    * is a substring of another (disjoint regexp_extract_all spans, but
+    * literal replace() was span-blind) cannot double-apply. Candidates
+    * are `[0-9 -]` only (CardRe), so interpolating them into the pattern
+    * needs no regex escaping; `array_distinct` drops redundant fold
+    * passes for repeated candidates. Lookaround is Java-regex (this
+    * expression is spec-pinned, not DuckDB-oracle-paired — the oracle'd
+    * detector is [[luhnCandidates]]). */
   def maskValidCards(text: Column): Column = {
-    val cands = filter(regexp_extract_all(text, lit(CardRe), lit(0)),
-      c => length(regexp_replace(c, "[^0-9]", "")).between(13, 19) &&
-        luhnOk(regexp_replace(c, "[^0-9]", "")))
-    aggregate(cands, text, (acc, c) => replace(acc, c, lit("<CARD>")))
+    val cands = array_distinct(
+      filter(regexp_extract_all(text, lit(CardRe), lit(0)),
+        c => length(regexp_replace(c, "[^0-9]", "")).between(13, 19) &&
+          luhnOk(regexp_replace(c, "[^0-9]", ""))))
+    aggregate(cands, text, (acc, c) =>
+      regexp_replace(acc,
+        concat(lit("(?<![0-9])"), c, lit("(?![0-9])")), lit("<CARD>")))
   }
 
   /**
@@ -689,6 +702,12 @@ object Curation {
    * lineage depth — the [[Dedup.dedupClusters]] / [[WebGraph.pagerank]]
    * pattern). Stops early if no adjacent pair remains. Returns the merge
    * list (round, t1, t2, c) — c is the pair's count BEFORE merging.
+   *
+   * JOB-COUNT TRADE (deliberate): one shuffle per merge means a 32k-merge
+   * vocabulary is 32k sequential jobs — acceptable because TRAINING runs
+   * on a bounded sample (tokenizer corpora are GB-scale samples, not the
+   * corpus), while the corpus-scale half of the loop is [[bpeEncode]],
+   * which applies the trained list in a single depth-independent scan.
    */
   def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
                iters: Int): DataFrame = {
@@ -756,16 +775,19 @@ object Curation {
    * — and the scan never rescans replaced text, so no new cross-boundary
    * matches arise. One codegen'd StringReplace per merge, chained.
    *
-   * Scale: the merge list is model-sized (vocab-budget rows, driver-held
-   * like the k-means centroid seam in [[Similarity.kmeansCentroids]]);
-   * the encode itself is scan-local per document — zero shuffles, no
-   * per-token explode, whole-stage codegen end to end. Adding merges
-   * deepens the replace chain linearly; for production-sized vocabularies
-   * the chain compiles once and streams the corpus through.
+   * DEPTH LIMIT (measured, BpeDepthProbe / BENCH.md): one StringReplace
+   * node per merge means expression depth = merge count — throughput
+   * degrades superlinearly (each merge re-scans the whole wrapped
+   * string; 5.8k → 1.9k docs/s from depth 64 → 256) and Catalyst
+   * analysis StackOverflows near depth 512, an order of magnitude below
+   * production vocabularies. Kept as the small-vocabulary reference
+   * implementation and spec twin (CurationSpec asserts chain ==
+   * [[bpeEncode]] expression on the same corpus); use [[bpeEncode]]
+   * beyond toy merge counts.
    */
-  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)],
-                carry: Seq[String] = Nil): DataFrame = {
+  def bpeEncodeChain(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)],
+                     carry: Seq[String] = Nil): DataFrame = {
     val sep1 = "\u0002"; val sep2 = "\u0003"
     val cc = carry.map(col)
     val wrapped = concat_ws("",
@@ -784,6 +806,47 @@ object Curation {
         // trailing sep2 survives the split on the last element — trim it
         (transform(col("enc"), t => regexp_replace(t, sep2 + "$", ""))
           .as("toks"): Column): _*)
+      .select(col(idCol) +: cc :+
+        concat_ws("|", col("toks")).as("toks_str") :+
+        (size(col("toks")).cast("long").as("n_tokens"): Column): _*)
+  }
+
+  /**
+   * BPE ENCODE — apply an ordered merge list (the output of [[bpeTrain]])
+   * to tokenize documents: the inference half of the tokenizer loop
+   * (train once, encode the whole corpus forever after).
+   *
+   * Routed through the native [[graft.functions.BpeEncodeTokens]]
+   * expression: ONE codegen'd scan-local kernel whose plan shape and
+   * analysis cost are INDEPENDENT of the merge count — the merge list
+   * rides along as a single model-sized reference object (the
+   * k-means-centroid seam in [[Similarity.kmeansCentroids]]), so a
+   * production vocabulary (10⁴–10⁵ merges) compiles and streams exactly
+   * like a 3-merge test. This replaced the StringReplace chain
+   * ([[bpeEncodeChain]]) after measurement (BpeDepthProbe, BENCH.md):
+   * the chain's expression depth equals the merge count, whose per-merge
+   * full-string re-scan degrades superlinearly (5.8k → 1.9k docs/s from
+   * depth 64 → 256) and whose analysis StackOverflows Catalyst at depth
+   * 512 — and the checkpoint-seam workaround would
+   * cost one full corpus materialization per ~64 merges (~500 corpus
+   * writes for a 32k vocab). Semantics unchanged (CurationSpec pins
+   * expression == chain == [[bpeTrain]]'s fold): per merge in training
+   * order, one left-to-right pass fuses adjacent (t1, t2) into "t1 t2";
+   * overlapping candidate runs merge at positions 1, 3, ....
+   *
+   * Scale: zero shuffles, no per-token explode, whole-stage codegen end
+   * to end at ANY merge count (probe-measured through 4096 merges).
+   */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)],
+                carry: Seq[String] = Nil): DataFrame = {
+    val cc = carry.map(col)
+    // raw split, NOT TextAnalysis.toks: the kernel drops the ""-boundary
+    // artifacts itself, because the filter() HOF is CodegenFallback and
+    // would evict the whole projection from whole-stage codegen
+    docs.select(col(idCol) +: cc :+
+      graft.functions.BpeExprs.bpeEncodeTokens(
+        split(lower(col(textCol)), "\\W+"), merges).as("toks"): _*)
       .select(col(idCol) +: cc :+
         concat_ws("|", col("toks")).as("toks_str") :+
         (size(col("toks")).cast("long").as("n_tokens"): Column): _*)

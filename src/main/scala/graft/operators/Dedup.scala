@@ -253,6 +253,36 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /**
+   * APPEND a new batch into a stored [[writeSignatureIndex]] artifact —
+   * the index-MAINTENANCE half of the rolling-snapshot loop (write once →
+   * ingest batch → append → next batch probes the grown index). The
+   * append is O(batch), never O(index): only the NEW batch's distinct
+   * hashes / band keys are written (mode=append under the same partition
+   * layout), the existing files are untouched and un-read. Keys already
+   * present in the index may thus appear twice across file generations —
+   * harmless BY CONSTRUCTION: every probe is a left_semi/left_anti join,
+   * where duplicate build-side keys cannot change a single output row
+   * (q_index_append pins probe-after-append == rebuild-from-scratch
+   * under the same oracle as q_dedup_incremental). Compact by rebuilding
+   * when generation count grows (small-files maintenance, same trade as
+   * any LSM). Same `n` identity guard as the probe path.
+   */
+  def appendSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           n: Int = 3): Unit = {
+    val storedN = spark.read.parquet(s"$indexPath/meta")
+      .head().getAs[Int]("shingle_n")
+    require(storedN == n,
+      s"signature index at $indexPath was built with n=$storedN, appended with n=$n")
+    newDocs.select(md5(col(textCol)).as("content_hash")).distinct()
+      .write.mode("append").parquet(s"$indexPath/hashes")
+    bucketsFromSignatures(minhashSignatures(newDocs, idCol, textCol, n), idCol)
+      .select(col("band"), col("band_key")).distinct()
+      .write.mode("append").partitionBy("band").parquet(s"$indexPath/bands")
+  }
+
   /** [[incrementalDedup]] against a STORED [[writeSignatureIndex]]
     * artifact instead of recomputing the seen side — the production shape
     * for rolling snapshot ingestion. Refuses an `n` that differs from the
@@ -897,11 +927,21 @@ object Dedup {
       iter += 1
     }
     // fixed point: every non-root points straight at its component min;
-    // roots carry no outgoing edge → coalesce to themselves
+    // roots carry no outgoing edge → coalesce to themselves.
+    // Output-contract guard (defensive): if maxIters exhausted BEFORE the
+    // gate converged, a node can still carry several outgoing edges — the
+    // min-reduce below keeps the contract (exactly one row per node, the
+    // smallest label reached so far) instead of emitting duplicates; at a
+    // converged fixed point each u has one edge and the reduce is a no-op.
+    if (!converged)
+      System.err.println(s"[dedupClustersStar] WARNING: not converged " +
+        s"after $maxIters rounds — labels are smallest-reached, not " +
+        s"guaranteed component minima; raise maxIters")
+    val mapping = edges.groupBy(col("u").as("id"))
+      .agg(min(col("v")).as("cluster"))
     val nodes = pairs.select(col("id1").as("id"))
       .union(pairs.select(col("id2").as("id"))).distinct()
-    nodes.join(edges.select(col("u").as("id"), col("v").as("cluster")),
-        Seq("id"), "left")
+    nodes.join(mapping, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 }

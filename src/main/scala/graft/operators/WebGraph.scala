@@ -299,7 +299,16 @@ object WebGraph {
         length(col("path_prefix")).cast("long").as("plen"),
         col("path_prefix").as("pfx"),
         (col("rule") === "allow").as("is_allow"))).as("_rules"))
-    val rawPath = regexp_extract(col(urlCol), "^[^/]*//[^/?#]*([^?#]*)", 1)
+    // scheme-OPTIONAL, mirroring [[hostOf]]'s exact scheme scope
+    // ("(?:https?://)?"): a scheme-less URL like "example.com/private/x"
+    // must still yield "/private/x" — with a mandatory "//" it parsed to
+    // "/" and silently bypassed every disallow rule (failed OPEN, the
+    // wrong direction for a compliance filter). Non-http(s) schemes are
+    // outside robots scope and outside hostOf's contract — keeping the
+    // two regexes scope-identical means host and path always come from
+    // the SAME parse of the URL.
+    val rawPath = regexp_extract(col(urlCol),
+      "^(?:https?://)?[^/?#]*([^?#]*)", 1)
     val zero = struct(lit(-1L).as("plen"), lit(true).as("is_allow"))
     pages
       .withColumn("host", hostOf(col(urlCol)))

@@ -351,6 +351,18 @@ object StreamPipeline {
                     trainDocs: DataFrame, isPositive: Column,
                     dim: Int = 64): DataFrame = {
     import graft.operators.Curation
+    // fail FAST on a degenerate training corpus: an empty or single-class
+    // trainDocs would yield a null w0 / empty map, every arriving doc
+    // would score null, and the gate would silently pass NOTHING — a
+    // stream that runs forever doing nothing is worse than one that
+    // refuses to start. One model-sized action at stream setup.
+    val classes = trainDocs.agg(
+      sum(when(isPositive, 1L).otherwise(0L)).as("pos"),
+      sum(when(!isPositive, 1L).otherwise(0L)).as("neg")).head()
+    require(classes.get(0) != null && classes.getLong(0) > 0 &&
+        classes.getLong(1) > 0,
+      s"nbcGateStream needs BOTH classes in the training corpus; got " +
+        s"pos=${classes.get(0)}, neg=${classes.get(1)}")
     val model = Curation.nbcModel(trainDocs, textCol, isPositive, dim)
       .agg(map_from_entries(collect_list(struct(col("bucket"), col("w"))))
           .as("wm"),

@@ -441,6 +441,35 @@ class CurationSpec extends SparkSuite {
     assert(enc(2L) == "a a|a a|a", "train+encode agree on the overlap run")
   }
 
+  test("BPE encode: native expression == StringReplace chain at depth 128, " +
+    "and the expression survives a production-shaped 512-merge list") {
+    // deterministic 40-doc corpus over a 64-word vocab, long repeat runs
+    val docs = (1L to 40L).map { i =>
+      val toks = (0 until 120).map(j => s"w${(i * 31 + j * 17) % 64}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    // depth 128: first-order pairs then second-order pairs, all can fire
+    val m128 = (0 until 32).map(i => (s"w${2 * i}", s"w${2 * i + 1}")) ++
+      (0 until 96).map { i =>
+        val a = (i * 4) % 64; (s"w$a w${a + 1}", s"w${(a + 2) % 64}")
+      }
+    val viaExpr = Curation.bpeEncode(docs, "doc_id", "text", m128)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val viaChain = Curation.bpeEncodeChain(docs, "doc_id", "text", m128)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(viaExpr == viaChain,
+      "expression and chain must agree token-for-token at depth 128")
+    // 512 merges: the depth that StackOverflowed the chain's analysis
+    // (BpeDepthProbe) — the expression must plan and run unchanged
+    val m512 = (0 until 512).map { i =>
+      (s"w${(2 * i) % 64} w${(2 * i + 1) % 64}", s"w${(3 * i) % 64}")
+    }
+    val deep = Curation.bpeEncode(docs, "doc_id", "text", m128 ++ m512)
+    assert(deep.queryExecution.executedPlan.toString.nonEmpty) // analysis ok
+    val n = deep.agg(sum($"n_tokens")).as[Long].head()
+    assert(n > 0 && n <= 40L * 120, s"token conservation bound: $n")
+  }
+
   test("salted and adaptive top-k per group match the single-window path " +
     "exactly, ties included") {
     val d = (1L to 300L).map { i =>
@@ -770,6 +799,20 @@ class CurationSpec extends SparkSuite {
       "an invalid check digit is just a number, not PII")
     assert(masked(3L) == "card <CARD> spaced")
     assert(masked(5L) == "short 123456789012 run")
+  }
+
+  test("card masking is POSITIONALLY anchored: a valid candidate's digit " +
+    "string embedded in a longer run elsewhere is never masked") {
+    val d = Seq(
+      // the valid span masks; the same digits inside a 20-digit run do not
+      (1L, "a 4111111111111111 b 994111111111111111 c"),
+      // repeated identical candidate: both occurrences mask, no double-apply
+      (2L, "x 4111111111111111 y 4111111111111111 z"))
+      .toDF("doc_id", "text")
+    val masked = d.select($"doc_id", Curation.maskValidCards($"text").as("m"))
+      .as[(Long, String)].collect().toMap
+    assert(masked(1L) == "a <CARD> b 994111111111111111 c", masked(1L))
+    assert(masked(2L) == "x <CARD> y <CARD> z", masked(2L))
   }
 
   test("KMV sketch: exact below k, mergeable across groups, and within " +

@@ -249,6 +249,47 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("built with n=3"))
   }
 
+  test("signature-index APPEND: probe after append equals probe of a " +
+    "rebuilt-from-scratch index; append refuses a mismatched n") {
+    val seenA = docs.filter($"doc_id".isin(1L, 3L))
+    val seenB = docs.filter($"doc_id" === 5L)
+    val newBatch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog near the river bank", "s1"),
+      (13L, "a fast crimson fox jumps over the lazy dog near the river bank forever", "s1"),
+      (15L, "entirely novel observations on functional programming language design", "s1"))
+      .toDF("doc_id", "text", "source")
+    val grown = tmpDir("sigappend")
+    Dedup.writeSignatureIndex(seenA, "doc_id", "text", grown)
+    Dedup.appendSignatureIndex(spark, grown, seenB, "doc_id", "text")
+    val rebuilt = tmpDir("sigrebuild")
+    Dedup.writeSignatureIndex(seenA.union(seenB), "doc_id", "text", rebuilt)
+    val viaGrown = Dedup.incrementalDedupAgainstIndex(spark, grown, newBatch,
+      "doc_id", "text").select($"doc_id").as[Long].collect().sorted.toSeq
+    val viaRebuilt = Dedup.incrementalDedupAgainstIndex(spark, rebuilt,
+      newBatch, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(viaGrown == viaRebuilt && viaGrown == Seq(15L),
+      s"append must be invisible to the probe: $viaGrown vs $viaRebuilt")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendSignatureIndex(spark, grown, seenB, "doc_id", "text", n = 5)
+    }
+    assert(e.getMessage.contains("built with n=3"))
+  }
+
+  test("star CC under exhausted maxIters: output contract holds — exactly " +
+    "one row per node, labels are smallest-reached") {
+    // a 6-node chain needs >1 star round; cap at 1 round to force the
+    // non-converged exit path
+    val chain = (1L to 5L).map(i => (i, i + 1)).toDF("id1", "id2")
+    val got = Dedup.dedupClustersStar(chain, maxIters = 1)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.map(_._1).distinct.size == got.size,
+      s"one row per node even without convergence: $got")
+    assert(got.size == 6)
+    assert(got.forall { case (id, c) => c <= id },
+      s"labels must be smallest-REACHED (never above the node id): $got")
+  }
+
   test("cluster keepers: argmax quality per cluster, quality tie -> min id") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
       .toDF("id", "cluster")

@@ -51,6 +51,31 @@ class PlanSpec extends SparkSuite {
       "(?s).*HashAggregate.*HashAggregate.*".r.matches(p), p)
   }
 
+  test("keyset pagination (searchAfter): TakeOrderedAndProject top-k, no " +
+    "offset operator, no global sort — page depth cannot change the plan") {
+    val logs = (1L to 500L)
+      .map(i => (i, new java.sql.Timestamp(1700000000000L + (i % 40) * 3600000L), s"e${i % 5}"))
+      .toDF("event_id", "ts", "event_type")
+    val page = Analytics.searchAfter(logs, "ts", "event_id",
+      lastSort = lit(new java.sql.Timestamp(1700000000000L + 20 * 3600000L)),
+      lastId = lit(250L), size = 20)
+    val p = planOf(page)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"keyset page must plan as per-partition top-k:\n$p")
+    assert(!p.contains("GlobalLimitExec") && !"(?i)offset".r.findFirstIn(p).isDefined,
+      s"no offset operator may appear:\n$p")
+    // functional: keyset page == the offset page whose cursor is the last
+    // row of the previous page (the search_after contract)
+    val all = logs.orderBy($"ts".desc, $"event_id".desc)
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    val cursor = all(99) // last row of page 5 (size 20)
+    val viaKeyset = Analytics.searchAfter(logs, "ts", "event_id",
+      lit(cursor._2), lit(cursor._1), size = 20)
+      .as[(Long, java.sql.Timestamp, String)].collect().toSeq
+    val viaOffset = all.slice(100, 120).toSeq
+    assert(viaKeyset == viaOffset, "keyset page must equal the offset page")
+  }
+
   test("textRankIdf: df table and N broadcast, only the tf agg shuffles") {
     val p = planOf(Analytics.textRankIdf(docs, "doc_id", "text", "alpha beta"))
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p)

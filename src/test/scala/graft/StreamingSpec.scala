@@ -328,6 +328,25 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains(99L), "OOV doc still scored (w0 floor), not dropped")
   }
 
+  test("streaming NB gate refuses a degenerate training corpus (empty or " +
+    "single-class) instead of silently passing nothing") {
+    implicit val sq = spark.sqlContext
+    val oneClass = (1L to 5L)
+      .map(i => StreamingSpec.SrcDoc(i, "good", "alpha beta")).toSeq.toDF()
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val e = intercept[IllegalArgumentException] {
+      StreamPipeline.nbcGateStream(mem.toDF(), "doc_id", "text",
+        oneClass, isPositive = $"source" === "good", dim = 64)
+    }
+    assert(e.getMessage.contains("BOTH classes"), e.getMessage)
+    val empty = oneClass.filter($"doc_id" < 0)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamPipeline.nbcGateStream(mem.toDF(), "doc_id", "text",
+        empty, isPositive = $"source" === "good", dim = 64)
+    }
+    assert(e2.getMessage.contains("BOTH classes"), e2.getMessage)
+  }
+
   test("streaming robots gate: robotsFilter is streaming-transparent — " +
     "the same operator runs on a stream via a stateless stream-static " +
     "join and matches the batch verdicts row-for-row") {

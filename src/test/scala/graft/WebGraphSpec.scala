@@ -249,4 +249,22 @@ class WebGraphSpec extends SparkSuite {
     assert(got(5L) == ((5L, "/", -1L, true)))
     assert(got(6L) == ((6L, "/private/x", -1L, true)))
   }
+
+  test("robots filter: scheme-less URLs parse host AND path consistently — " +
+    "a malformed URL cannot fail open past a disallow rule") {
+    val p = Seq(
+      (1L, "a.com/private/x"),          // scheme-less: must still match
+      (2L, "a.com/pub/x"),              // scheme-less allowed path
+      (3L, "http://a.com/private/x"))   // plain http: same host+path
+      .toDF("doc_id", "url")
+    val r = Seq(("a.com", "disallow", "/private"), ("a.com", "allow", "/pub"))
+      .toDF("host", "rule", "path_prefix")
+    val got = WebGraph.robotsFilter(p, r, "url")
+      .select($"doc_id", $"host", $"path", $"allowed")
+      .as[(Long, String, String, Boolean)].collect().map(x => x._1 -> x).toMap
+    assert(got(1L) == ((1L, "a.com", "/private/x", false)),
+      "scheme-less URL must NOT bypass the disallow rule (fail-open bug)")
+    assert(got(2L) == ((2L, "a.com", "/pub/x", true)))
+    assert(got(3L) == ((3L, "a.com", "/private/x", false)))
+  }
 }

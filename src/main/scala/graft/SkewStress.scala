@@ -78,15 +78,24 @@ object SkewStress {
     val hostDim = pages.groupBy(col("host"))
       .agg(count(lit(1)).as("host_docs"), sum(col("len")).as("host_bytes"))
       .localCheckpoint()
+    // max(length(url)) keeps the url PAYLOAD crossing the join shuffle
+    // (column pruning otherwise strips the probe side down to `host`
+    // alone — a partition of identical strings compresses below any
+    // skew threshold and the experiment measures nothing)
     val joined = pages.join(hostDim, Seq("host"))
-      .agg(count(lit(1)).as("rows"), sum(col("host_docs")).as("chk"))
+      .agg(count(lit(1)).as("rows"), sum(col("host_docs")).as("chk"),
+        max(length(col("url"))).as("mx_url"))
     val t0 = System.nanoTime()
-    val row = joined.head()
+    // collect(), NOT head(): head wraps the plan in a NEW limit query
+    // execution, leaving joined.queryExecution's adaptive plan unexecuted
+    // (isFinalPlan=false) — the skew splits would be invisible
+    val row = joined.collect()(0)
     val tJoin = (System.nanoTime() - t0) / 1e9
     val finalPlan = joined.queryExecution.executedPlan.toString
     val skewedReads = "skewed".r.findAllIn(finalPlan).size
     println(f"AQE skew-join: ${row.getLong(0)}%,d joined rows in $tJoin%.1fs; " +
       s"final plan AQEShuffleRead skew markers: $skewedReads")
+    if (skewedReads == 0) System.err.println(finalPlan)
     require(skewedReads > 0,
       "AQE did not split any skewed partition — thresholds or skew wrong")
 

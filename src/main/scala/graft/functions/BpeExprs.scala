@@ -17,8 +17,8 @@ import org.apache.spark.unsafe.types.UTF8String
  * applying an ORDERED merge list with built-in operators requires one
  * expression node per merge — a chain whose depth equals the merge
  * count. Measured on this build (BpeDepthProbe, BENCH.md): the chain
- * stays in codegen but its throughput degrades superlinearly (5.8k →
- * 1.9k docs/s from depth 64 → 256: each merge re-scans the whole
+ * stays in codegen but its throughput degrades superlinearly (4.9k →
+ * 1.7k docs/s from depth 64 → 256: each merge re-scans the whole
  * wrapped string) and Catalyst analysis StackOverflows at depth 512 —
  * an order of magnitude below production vocabularies (10⁴–10⁵
  * merges). Chunking the chain with checkpoint

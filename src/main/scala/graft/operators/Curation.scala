@@ -778,7 +778,7 @@ object Curation {
    * DEPTH LIMIT (measured, BpeDepthProbe / BENCH.md): one StringReplace
    * node per merge means expression depth = merge count — throughput
    * degrades superlinearly (each merge re-scans the whole wrapped
-   * string; 5.8k → 1.9k docs/s from depth 64 → 256) and Catalyst
+   * string; 4.9k → 1.7k docs/s from depth 64 → 256) and Catalyst
    * analysis StackOverflows near depth 512, an order of magnitude below
    * production vocabularies. Kept as the small-vocabulary reference
    * implementation and spec twin (CurationSpec asserts chain ==
@@ -825,7 +825,7 @@ object Curation {
    * like a 3-merge test. This replaced the StringReplace chain
    * ([[bpeEncodeChain]]) after measurement (BpeDepthProbe, BENCH.md):
    * the chain's expression depth equals the merge count, whose per-merge
-   * full-string re-scan degrades superlinearly (5.8k → 1.9k docs/s from
+   * full-string re-scan degrades superlinearly (4.9k → 1.7k docs/s from
    * depth 64 → 256) and whose analysis StackOverflows Catalyst at depth
    * 512 — and the checkpoint-seam workaround would
    * cost one full corpus materialization per ~64 merges (~500 corpus

@@ -59,7 +59,12 @@ def main(outdir, sfdir):
     con = duckdb.connect()
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; ScaleUp (sf sweep)
+        # writes Spark-style DIRECTORIES of part files — glob those
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracles = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_ok = n_bad = 0
     matrix = []

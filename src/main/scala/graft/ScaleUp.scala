@@ -71,7 +71,7 @@ object ScaleUp {
       else {
         val words = split(text, "\\s+")
         val salted = concat_ws(" ", flatten(transform(
-          sequence(lit(0), (size(words) - 1) / 2),
+          sequence(lit(0), ((size(words) - 1) / 2).cast("int")),
           g => concat(array(lit(s"copysalt$k")),
             slice(words, g * 2 + 1, lit(2))))))
         when(text.isNull, lit(null).cast("string"))

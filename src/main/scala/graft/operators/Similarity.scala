@@ -546,20 +546,30 @@ object Similarity {
    * fixed df bound shrinks the surviving vocabulary toward zero as the
    * corpus grows (the same Heaps'-law failure mode as a fixed LM
    * minCount), while a fraction keeps the vector space stable at any
-   * scale. The cap is the license for the array-local quadratic,
-   * exactly as in the Jaccard variant — worst-case postings list is
-   * maxDfFrac·N, so pick the block column so blocks bound the pairs
-   * (as [[Dedup.ngramJaccardPairs]] does with `source`).
+   * scale.
+   *
+   * The BLOCK, not the df cap, bounds the arrays: postings are collected
+   * per (token, block), so the quadratic is C(block_df, 2) per bucket —
+   * the df cap trims the idf-dead vocabulary, the block choice is the
+   * license for the pair space (as [[Dedup.ngramJaccardPairs]] with
+   * `source`). The first formulation collected per TOKEN (all blocks in
+   * one array, block equality filtered array-locally after an O(df²)
+   * index enumeration): the fractional cap made that array O(maxDfFrac·N)
+   * — corpus-proportional — and a 10× scale-up OOM'd the executor on the
+   * hottest token (measured, BENCH.md §9). Same results, block-bounded
+   * memory.
    *
    * Determinism: dot products and norms are summed through
    * DECIMAL(28,12) (the [[kmeansCentroids]] recipe), so results are
    * independent of partition order and engine — a raw double sum would
    * be neither.
    *
-   * Plan: ONE scan builds (id, blk, tok, tf) with a single (id, tok)
-   * partial-agg shuffle; ONE shuffle on tok applies the df-cap and
-   * collects bounded postings; pairs are enumerated array-locally
-   * (≤ C(cap, 2) per token); two id-keyed joins attach norms at the end.
+   * Plan: ONE scan builds (id, blk, tok, tf) with a single (id, blk, tok)
+   * partial-agg shuffle; ONE shuffle on (tok, blk) collects block-bounded
+   * postings; the GLOBAL df for cap + idf comes from a tok-partitioned
+   * window over that aggregated (vocab × blocks)-row table — bounded,
+   * never corpus-sized; pairs are enumerated array-locally (≤ C(block_df,
+   * 2) per bucket); two id-keyed joins attach norms at the end.
    */
   def tfidfAllPairs(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, threshold: Double = 0.5,
@@ -569,16 +579,20 @@ object Similarity {
       .groupBy(col(idCol), col(blockCol), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    // one tok-keyed shuffle: df-cap + weighted postings (df == size(ds))
-    val buckets = tf.groupBy(col("tok"))
-      .agg(collect_list(struct(col(blockCol).as("blk"),
-        col(idCol).as("id"), col("tf").as("tf"))).as("ds"))
+    // one (tok, blk)-keyed shuffle: postings bounded by the BLOCK
+    val perBlk = tf.groupBy(col("tok"), col(blockCol).as("blk"))
+      .agg(collect_list(struct(col(idCol).as("id"),
+        col("tf").as("tf"))).as("ds"))
+    // global token df: window over the aggregated vocab×blocks table
+    val wTok = org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))
+    val buckets = perBlk
+      .withColumn("df", sum(size(col("ds")).cast("long")).over(wTok))
       .crossJoin(broadcast(n))
-      .filter(size(col("ds")) <= ceil(lit(maxDfFrac) * col("n_docs")))
+      .filter(col("df") <= ceil(lit(maxDfFrac) * col("n_docs")))
       .select(transform(col("ds"), d => struct(
-        d.getField("blk").as("blk"), d.getField("id").as("id"),
+        d.getField("id").as("id"),
         (d.getField("tf") *
-          log(lit(1.0) + col("n_docs") / size(col("ds")))).as("w"))).as("ds"))
+          log(lit(1.0) + col("n_docs") / col("df"))).as("w"))).as("ds"))
       .localCheckpoint() // feeds norms AND pairs once
     val norms = buckets.select(explode(col("ds")).as("d"))
       .groupBy(col("d.id").as("id"))
@@ -597,22 +611,22 @@ object Similarity {
   }
 
   /**
-   * Weighted variant of [[Dedup.pairCombos]]: all same-block unordered
-   * (id1 < id2) pairs from a postings array of (blk, id, w) structs,
-   * each carrying the weight product — the per-token dot-product
-   * contribution. Output is ≤ C(len, 2) structs, array-local.
+   * Weighted variant of [[Dedup.pairCombos]]: all unordered (id1 < id2)
+   * pairs from a SAME-BLOCK postings array of (id, w) structs, each
+   * carrying the weight product — the per-token dot-product
+   * contribution. Callers group postings by (token, block), so block
+   * equality holds by construction and the inner sequence starts at i
+   * (half the transient index structs of the former 1..n × 1..n
+   * enumeration; `sequence(i+1, n)` would DESCEND when i = n, hence
+   * start-at-i plus the strict filter). Output is ≤ C(len, 2) structs,
+   * array-local.
    */
   def weightedPairCombos(ds: Column): Column = {
     val n = greatest(size(ds), lit(1))
     val idx = flatten(transform(sequence(lit(1), n), i =>
-      transform(sequence(lit(1), n), j =>
+      transform(sequence(i, n), j =>
         struct(i.as("i"), j.as("j")))))
-    val valid = filter(idx, p => {
-      val a = element_at(ds, p.getField("i"))
-      val b = element_at(ds, p.getField("j"))
-      p.getField("i") < p.getField("j") &&
-        a.getField("blk") === b.getField("blk")
-    })
+    val valid = filter(idx, p => p.getField("i") < p.getField("j"))
     transform(valid, p => {
       val a = element_at(ds, p.getField("i"))
       val b = element_at(ds, p.getField("j"))

@@ -19,13 +19,24 @@ import org.apache.spark.sql.functions._
  *  - document TEXT is salted per copy with a copy-token inserted before
  *    every 2-word group: any 3-token shingle window then contains a salt
  *    token, so NO shingle (and no MinHash band key, no content md5)
- *    collides across copies — near-dup/exact-dup structure is preserved
- *    WITHIN each copy and candidate volumes scale ~N× (un-salted copies
- *    would collide every doc with its 9 twins and blow candidate pairs
- *    up ~N²×, measuring the data shape, not the plan);
+ *    collides across copies; candidate volumes scale linearly in N —
+ *    src + (N−1)·salted, where "salted" is a constant per-copy count
+ *    that runs somewhat ABOVE the source's (a salt-containing shingle
+ *    like "copysalt1 merge a" is shared by any two docs with the same
+ *    2-word group at a boundary; the count varies per copy with the
+ *    salt token's hashes — ScaleUpSpec bounds it at 4× the source's,
+ *    measured ~1.9×). Un-salted copies would
+ *    collide every doc with its 9 twins and blow candidate pairs up
+ *    ~N²×, measuring the data shape, not the plan;
  *  - embeddings keep their vectors (ANN cost is scan/bucket-shaped;
  *    duplicate vectors only create score ties, which every ANN query
- *    tiebreaks by id).
+ *    tiebreaks by id);
+ *  - token IDENTITY across copies is deliberate: a copy-k doc keeps all
+ *    its original tokens (plus salts), so token-level similarity ops
+ *    (tf-idf pairs, simhash) correctly see cross-copy docs as the
+ *    near-duplicates they ARE — a 10×-duplicated corpus honestly has
+ *    ~N² near-dup PAIRS; those queries' ratios measure output volume,
+ *    annotated as such in BENCH.md §9.
  *
  * Copy 0 is bit-identical to the source tables.
  *
@@ -33,12 +44,10 @@ import org.apache.spark.sql.functions._
  */
 object ScaleUp {
 
-  private val KeyStride = 100000000L // 10^8: far above any sf0.1 key
+  val KeyStride = 100000000L // 10^8: far above any sf0.1 key
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, dstDir, factorS) = args
-    val factor = factorS.toInt
-    require(factor >= 1, "factor must be >= 1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -46,6 +55,13 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, srcDir, dstDir, factorS.toInt)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, srcDir: String, dstDir: String,
+          factor: Int): Unit = {
+    require(factor >= 1, "factor must be >= 1")
 
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
@@ -99,6 +115,5 @@ object ScaleUp {
       println(s"[scaleup] $n: $a -> $b (expect ${a * factor})")
       require(b == a * factor, s"$n scaled wrong")
     }
-    spark.stop()
   }
 }

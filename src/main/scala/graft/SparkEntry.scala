@@ -1766,8 +1766,11 @@ object SparkEntry {
 
     // curation: v3 composition over THIS round's LM operators — unigram-LM
     // band gate (drop both tails: boilerplate scores low, gibberish high;
-    // band [3.39, 3.41] is non-degenerate at every SF, distribution
-    // probed SF-stable) → exact-dedup keeper on the whitespace/case
+    // band [3.39, 3.41] is non-degenerate at every DRIVER SF, distribution
+    // probed SF-stable — but calibrated to the UNSALTED corpus: on
+    // ScaleUp's salted sweep tables the LM distribution shifts and the
+    // band selects 0 rows; both engines agree, see BENCH.md §9)
+    // → exact-dedup keeper on the whitespace/case
     // fingerprint (min doc_id per fingerprint) → per-source corpus stats
     // with mean LM score. The gate compares the ALREADY-4dp-rounded
     // lm_score, which is hash-match-proven bit-identical cross-engine, so

@@ -23,6 +23,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shared (doc_id, punct_ratio, stopword_ratio, quality) design matrix
+    * for the OLS queries — mirrors the oracle's `qualityCtes` exactly. */
+  private def qualityFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+      TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+
   // ---- shared column recipes (must stay in lock-step with the SQL below) --
 
   /** events → log level (D-row carrier mapping). */
@@ -590,6 +598,15 @@ object SparkEntry {
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text", n = 3)
         .orderBy("id1", "id2")),
 
+    // dedup: edit-distance-VERIFIED near-dup pairs — the LSH candidates
+    // re-joined to their texts and kept iff Levenshtein ≤ 40 (thresholded
+    // banded DP, O(len·maxDist) per pair); drops the band-collision false
+    // positives the probabilistic blocker admits (6 of 34 at sf0.001)
+    "q_dedup_edit" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, maxDist = 40)
+        .orderBy("id1", "id2")),
+
     // dedup: near-dup CLUSTERING — connected components over the minhash
     // candidate graph via min-label propagation (cluster = min reachable
     // id); oracle = DuckDB recursive CTE over the same pair set
@@ -812,6 +829,31 @@ object SparkEntry {
         nprobe = 2, excludeId = Some(0L))
     }),
 
+    // similarity: product-quantization ADC top-k (Jégou et al. 2011) —
+    // 4 subspaces × 16 dims, one deterministic k-means codebook each;
+    // rank by cos(exact query, reconstructed database vector); fully
+    // scan-local scoring + ONE TakeOrdered, codebooks driver-held
+    "q_ann_pq" -> ((s, dir) =>
+      Similarity.pqTopK(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        "vec_id", "v", queryId = 0L, dim = 64, topK = 10, m = 4, k = 8,
+        iters = 2, sampleN = 256)),
+
+    // similarity: the PQ CODES themselves — the stored representation
+    // (64 floats → 4 small ints per vector); each code is a scan-local
+    // argmax against its subspace codebook, no join, no shuffle
+    "q_ann_pq_codes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "v", dim = 64, m = 4,
+        k = 8, iters = 2, sampleN = 256)
+      val codes = Similarity.pqCodeColumns(col("v"), cbs, sub = 16)
+      e.select(col("vec_id") +:
+        codes.zipWithIndex.map { case (c, i) => c.as(s"code$i") }: _*)
+        .orderBy("vec_id")
+    }),
+
     // text: heuristic language ID
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -826,6 +868,24 @@ object SparkEntry {
         TextAnalysis.stopwordRatio(col("text")).as("stopword_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+
+    // curation: closed-form OLS fit (normal equations, Cramer on ONE
+    // DECIMAL-exact moment row) — quality regressed on punct/stopword
+    // ratios; the distributed linear probe, zero gradient iterations
+    "q_linreg_fit" -> ((s, dir) =>
+      Curation.olsFit(qualityFeatures(t(s, dir, "documents")),
+        "quality", "punct_ratio", "stopword_ratio")),
+
+    // curation: score the corpus with the fitted model — ŷ + residual
+    // from the PUBLISHED 4dp betas; scan-local arithmetic, the 1-row
+    // model broadcast by construction
+    "q_linreg_score" -> ((s, dir) => {
+      val feats = qualityFeatures(t(s, dir, "documents"))
+      Curation.olsScore(feats, "doc_id", "quality", "punct_ratio",
+        "stopword_ratio",
+        Curation.olsFit(feats, "quality", "punct_ratio", "stopword_ratio"))
+        .orderBy("doc_id")
+    }),
 
     // text: token counting (whitespace + BPE-ish pre-tokenization)
     "q_token_count" -> ((s, dir) =>
@@ -1383,6 +1443,20 @@ object SparkEntry {
       val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
         plantedHtml.cast("binary").as("html"))
       WebGraph.trustrank(
+        WebGraph.domainEdges(pages, "source", "doc_id", "html"),
+        seeds = Seq("src0", "src1", "site0.com"), iters = 3)
+        .orderBy("domain")
+    }),
+
+    // web graph: relative spam mass (Gyöngyi et al. 2006) — the fraction
+    // of each domain's PageRank earned through UNtrusted paths,
+    // m = (pr − n·tr)/pr with tr rescaled to pr's total teleport mass;
+    // seeds go negative, spam-suspect domains → 1; composition of the
+    // two oracle-pinned rank vectors, one aggregate-scale join
+    "q_spam_mass" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      WebGraph.spamMass(
         WebGraph.domainEdges(pages, "source", "doc_id", "html"),
         seeds = Seq("src0", "src1", "site0.com"), iters = 3)
         .orderBy("domain")
@@ -2569,6 +2643,32 @@ object SparkEntry {
          |ORDER BY id1, id2""".stripMargin
     },
 
+    "q_dedup_edit" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+      s"""$shinglesCte,
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id1, id2, levenshtein(d1.text, d2.text)::BIGINT AS edit_dist
+         |FROM cand JOIN documents d1 ON d1.doc_id = cand.id1
+         |          JOIN documents d2 ON d2.doc_id = cand.id2
+         |WHERE levenshtein(d1.text, d2.text) <= 40
+         |ORDER BY id1, id2""".stripMargin
+    },
+
     "q_dedup_clusters" -> clustersOracle,
 
     "q_dedup_clusters_star" -> clustersOracle,
@@ -2854,6 +2954,12 @@ object SparkEntry {
     "q_ann_ivf_index" -> ivfOracleSql(k = 8, iters = 2, sampleN = 256,
       nprobe = 2, topK = 10),
 
+    "q_ann_pq" -> pqOracleSql(m = 4, sub = 16, k = 8, iters = 2,
+      sampleN = 256, topK = 10),
+
+    "q_ann_pq_codes" -> pqCodesOracleSql(m = 4, sub = 16, k = 8, iters = 2,
+      sampleN = 256),
+
     "q_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL THEN 'und'
@@ -2865,6 +2971,28 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_quality" -> qualitySql,
+
+    "q_linreg_fit" ->
+      s"""WITH $qualityCtes,
+         |$olsMomentsCtes
+         |SELECT n::BIGINT AS n_rows,
+         |       CASE WHEN det <> 0.0 THEN floor(det0 / det * 10000.0 + 0.5) / 10000.0 END AS b0,
+         |       CASE WHEN det <> 0.0 THEN floor(det1 / det * 10000.0 + 0.5) / 10000.0 END AS b1,
+         |       CASE WHEN det <> 0.0 THEN floor(det2 / det * 10000.0 + 0.5) / 10000.0 END AS b2
+         |FROM fit""".stripMargin,
+
+    "q_linreg_score" ->
+      s"""WITH $qualityCtes,
+         |$olsMomentsCtes,
+         |b AS (
+         |  SELECT CASE WHEN det <> 0.0 THEN floor(det0 / det * 10000.0 + 0.5) / 10000.0 END AS b0,
+         |         CASE WHEN det <> 0.0 THEN floor(det1 / det * 10000.0 + 0.5) / 10000.0 END AS b1,
+         |         CASE WHEN det <> 0.0 THEN floor(det2 / det * 10000.0 + 0.5) / 10000.0 END AS b2
+         |  FROM fit)
+         |SELECT q.doc_id AS doc_id,
+         |       floor((b.b0 + b.b1 * q.punct_ratio + b.b2 * q.stopword_ratio) * 10000.0 + 0.5) / 10000.0 AS y_hat,
+         |       floor((q.quality - (b.b0 + b.b1 * q.punct_ratio + b.b2 * q.stopword_ratio)) * 10000.0 + 0.5) / 10000.0 AS residual
+         |FROM qual q CROSS JOIN b ORDER BY doc_id""".stripMargin,
 
     "q_calibrate" ->
       s"""WITH $qualityCtes
@@ -3399,6 +3527,9 @@ object SparkEntry {
 
     "q_trustrank" ->
       trustrankOracleSql(iters = 3, seeds = Seq("src0", "src1", "site0.com")),
+
+    "q_spam_mass" ->
+      spamMassOracleSql(iters = 3, seeds = Seq("src0", "src1", "site0.com")),
 
     "q_pagerank_conserving" -> pagerankConservingOracleSql(iters = 3),
 
@@ -4254,6 +4385,67 @@ object SparkEntry {
        |FROM tr$iters ORDER BY domain""".stripMargin
   }
 
+  /**
+   * Spam-mass oracle: [[pagerankOracleSql]]'s rounds (pr, `pinf`) and
+   * [[trustrankOracleSql]]'s rounds (tr, `tinf`) unrolled over the SAME
+   * edge CTEs, both floor-rounded to their published 4dp values, then
+   * m = (pr − n·tr)/pr with n = |doms| — mirroring
+   * `WebGraph.spamMass`'s composition of the two published vectors.
+   */
+  private def spamMassOracleSql(iters: Int, seeds: Seq[String]): String = {
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val share = s"(1.0::DOUBLE / ${seeds.size})"
+    val tele = s"(CASE WHEN domain IN ($seedList) THEN $share ELSE 0.0::DOUBLE END)"
+    val prRounds = (1 to iters).map { i =>
+      s"""pinf$i AS (
+         |  SELECT dst_domain AS domain, sum(pr * n::DOUBLE / outw) AS inflow
+         |  FROM eg JOIN outd USING (src_domain)
+         |       JOIN pr${i - 1} ON pr${i - 1}.domain = eg.src_domain
+         |  GROUP BY 1),
+         |pr$i AS (
+         |  SELECT doms.domain,
+         |         ((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(inflow, 0.0::DOUBLE)) AS pr
+         |  FROM doms LEFT JOIN pinf$i USING (domain))""".stripMargin
+    }.mkString(",\n")
+    val trRounds = (1 to iters).map { i =>
+      s"""tinf$i AS (
+         |  SELECT dst_domain AS domain, sum(tr * n::DOUBLE / outw) AS inflow
+         |  FROM eg JOIN outd USING (src_domain)
+         |       JOIN tr${i - 1} ON tr${i - 1}.domain = eg.src_domain
+         |  GROUP BY 1),
+         |tr$i AS (
+         |  SELECT doms.domain,
+         |         ((1.0::DOUBLE - 0.85::DOUBLE) * $tele + 0.85::DOUBLE * coalesce(inflow, 0.0::DOUBLE)) AS tr
+         |  FROM doms LEFT JOIN tinf$i USING (domain))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, $plantedHtmlSql AS html
+       |  FROM documents),
+       |l AS (
+       |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+       |  FROM h),
+       |eg AS (
+       |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+       |    SELECT source AS src_domain,
+       |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+       |    FROM l)
+       |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+       |  GROUP BY 1, 2),
+       |outd AS (SELECT src_domain, sum(n) AS outw FROM eg GROUP BY 1),
+       |doms AS (
+       |  SELECT DISTINCT src_domain AS domain FROM eg
+       |  UNION SELECT DISTINCT dst_domain FROM eg),
+       |pr0 AS (SELECT domain, 1.0::DOUBLE AS pr FROM doms),
+       |tr0 AS (SELECT domain, $tele AS tr FROM doms),
+       |$prRounds,
+       |$trRounds,
+       |prf AS (SELECT domain, floor(pr * 10000.0 + 0.5) / 10000.0 AS pr FROM pr$iters),
+       |trf AS (SELECT domain, floor(tr * 10000.0 + 0.5) / 10000.0 AS tr FROM tr$iters)
+       |SELECT prf.domain AS domain, prf.pr AS pr, trf.tr AS tr,
+       |       floor((prf.pr - (SELECT count(*) FROM doms)::DOUBLE * trf.tr) / prf.pr * 10000.0 + 0.5) / 10000.0 AS spam_mass
+       |FROM prf JOIN trf USING (domain) ORDER BY domain""".stripMargin
+  }
+
   private def pagerankOracleSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       s"""inf$i AS (
@@ -4529,6 +4721,30 @@ object SparkEntry {
       steps :+ assign("cells", "e", s"c$iters")
   }
 
+  /** OLS moment + Cramer CTEs over `qual` (x1 = punct_ratio,
+    * x2 = stopword_ratio, y = quality): DECIMAL-exact sums, then the
+    * determinant arithmetic with the EXACT operand order of
+    * `Curation.olsFit` — yields `mom` and `fit(n, det, det0, det1, det2)`. */
+  private val olsMomentsCtes: String =
+    """mom AS (
+      |  SELECT count(*)::DOUBLE AS n,
+      |         CAST(sum(CAST(punct_ratio AS DECIMAL(28,12))) AS DOUBLE) AS s1,
+      |         CAST(sum(CAST(stopword_ratio AS DECIMAL(28,12))) AS DOUBLE) AS s2,
+      |         CAST(sum(CAST(punct_ratio * punct_ratio AS DECIMAL(28,12))) AS DOUBLE) AS s11,
+      |         CAST(sum(CAST(punct_ratio * stopword_ratio AS DECIMAL(28,12))) AS DOUBLE) AS s12,
+      |         CAST(sum(CAST(stopword_ratio * stopword_ratio AS DECIMAL(28,12))) AS DOUBLE) AS s22,
+      |         CAST(sum(CAST(quality AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+      |         CAST(sum(CAST(punct_ratio * quality AS DECIMAL(28,12))) AS DOUBLE) AS s1y,
+      |         CAST(sum(CAST(stopword_ratio * quality AS DECIMAL(28,12))) AS DOUBLE) AS s2y
+      |  FROM qual),
+      |fit AS (
+      |  SELECT n,
+      |         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2) AS det,
+      |         sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |         n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |         n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM mom)""".stripMargin
+
   private def ivfOracleSql(k: Int, iters: Int, sampleN: Long, nprobe: Int,
                            topK: Int): String = {
     val ctes = kmeansCellsCtes(k, iters, sampleN) ++ Seq(
@@ -4541,6 +4757,76 @@ object SparkEntry {
        |JOIN probe ON cells.cell = probe.cid CROSS JOIN q
        |WHERE e.vec_id <> 0
        |ORDER BY cos_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
+  /** One PQ subspace's k-means CTE chain — [[kmeansCellsCtes]] with every
+    * name prefixed `p<s>` and vectors SLICED to the subspace ([lo:hi],
+    * 1-based inclusive, mirroring Spark's `slice(v, lo, len)`). */
+  private def pqSubCtes(p: String, lo: Int, hi: Int, k: Int, iters: Int,
+                        sampleN: Long): Seq[String] = {
+    def assign(name: String, src: String, cents: String) =
+      s"""$name AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT s.vec_id, c.cid,
+         |           row_number() OVER (PARTITION BY s.vec_id
+         |             ORDER BY list_cosine_similarity(s.v, c.cv) DESC, c.cid) AS rn
+         |    FROM $src s CROSS JOIN $cents c) WHERE rn = 1)""".stripMargin
+    def means(name: String, asg: String) =
+      s"""$name AS (
+         |  SELECT cid, list(m ORDER BY pos) AS cv FROM (
+         |    SELECT a.cell AS cid, u.pos,
+         |           CAST(sum(CAST(u.x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+         |    FROM (SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM ${p}smp) u
+         |    JOIN $asg a ON a.vec_id = u.vec_id
+         |    GROUP BY a.cell, u.pos) GROUP BY cid)""".stripMargin
+    val steps = (1 to iters).flatMap { i =>
+      Seq(assign(s"${p}a$i", s"${p}smp", s"${p}c${i - 1}"),
+        means(s"${p}c$i", s"${p}a$i"))
+    }
+    Seq(
+      s"${p}e AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS v FROM embeddings)",
+      s"${p}smp AS (SELECT vec_id, v FROM ${p}e WHERE vec_id < $sampleN)",
+      s"${p}c0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM ${p}e WHERE vec_id < $k)") ++
+      steps :+ assign(s"${p}cells", s"${p}e", s"${p}c$iters")
+  }
+
+  /** PQ/ADC oracle: per-subspace k-means cells, reconstruction by
+    * concatenating assigned centroids, rank by cos(exact query, x̂). */
+  private def pqOracleSql(m: Int, sub: Int, k: Int, iters: Int,
+                          sampleN: Long, topK: Int): String = {
+    val subCtes = (0 until m).flatMap(s =>
+      pqSubCtes(s"p$s", s * sub + 1, (s + 1) * sub, k, iters, sampleN))
+    val joins = (0 until m).map(s =>
+      s"JOIN p${s}cells ON p${s}cells.vec_id = fe.vec_id JOIN p${s}c$iters cc$s ON cc$s.cid = p${s}cells.cell")
+      .mkString("\n  ")
+    val recon = (0 until m).map(s => s"cc$s.cv").mkString(" || ")
+    s"""WITH fe AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${subCtes.mkString(",\n")},
+       |q AS (SELECT v AS qv FROM fe WHERE vec_id = 0),
+       |recon AS (
+       |  SELECT fe.vec_id, ($recon) AS rv
+       |  FROM fe
+       |  $joins)
+       |SELECT recon.vec_id AS vec_id, round(list_cosine_similarity(q.qv, recon.rv), 4) AS pq_sim
+       |FROM recon CROSS JOIN q
+       |WHERE recon.vec_id <> 0
+       |ORDER BY pq_sim DESC, vec_id LIMIT $topK""".stripMargin
+  }
+
+  /** PQ code-table oracle: each vector's per-subspace cell id. */
+  private def pqCodesOracleSql(m: Int, sub: Int, k: Int, iters: Int,
+                               sampleN: Long): String = {
+    val subCtes = (0 until m).flatMap(s =>
+      pqSubCtes(s"p$s", s * sub + 1, (s + 1) * sub, k, iters, sampleN))
+    val joins = (0 until m).map(s =>
+      s"JOIN p${s}cells ON p${s}cells.vec_id = fe.vec_id").mkString("\n  ")
+    val codes = (0 until m).map(s => s"p${s}cells.cell AS code$s").mkString(", ")
+    s"""WITH fe AS (SELECT vec_id FROM embeddings),
+       |${subCtes.mkString(",\n")}
+       |SELECT fe.vec_id AS vec_id, $codes
+       |FROM fe
+       |  $joins
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** SemDeDup oracle: within-cell pairs at rounded-cosine ≥ eps. */

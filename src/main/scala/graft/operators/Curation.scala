@@ -1667,4 +1667,68 @@ object Curation {
       pround4((n * sum(x * y) - sum(x) * sum(y)) /
         (n * sum(x * x) - sum(x) * sum(x))).as("zipf_slope"))
   }
+
+  /**
+   * Closed-form OLS fit, two features + intercept, via the normal
+   * equations — the distributed "linear probe" of classic curation
+   * stacks (quality regressors are linear models over cheap features;
+   * fastText's classifier is a linear model): the whole corpus enters
+   * through NINE moment sums computed in ONE map-side-combinable
+   * aggregate — count, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y —
+   * and the 3×3 system solves ON that single moment row by Cramer's
+   * rule, still inside the plan. No gradient iterations, no corpus
+   * re-scan, no driver-side math: at 100 TB this is one aggregate job
+   * whatever the row count. Moment sums use exact DECIMAL(28,12)
+   * accumulation (the [[Similarity.kmeansCentroids]] recipe) so the
+   * fitted coefficients are order- and partitioning-independent —
+   * bit-reproducible, oracle-checkable in any engine. The determinant
+   * arithmetic runs in plain IEEE doubles with a FIXED operand order
+   * mirrored exactly by the oracle SQL. One row out:
+   * (n_rows, b0, b1, b2), betas 4dp. Degenerate designs (collinear
+   * features → det 0) surface as null betas rather than a silent fit.
+   */
+  def olsFit(df: DataFrame, yCol: String, x1Col: String,
+             x2Col: String): DataFrame = {
+    def dsum(c: Column) = sum(c.cast("decimal(28,12)")).cast("double")
+    val (x1, x2, y) = (col(x1Col), col(x2Col), col(yCol))
+    val m = df.agg(
+      count(lit(1)).cast("double").as("n"),
+      dsum(x1).as("s1"), dsum(x2).as("s2"),
+      dsum(x1 * x1).as("s11"), dsum(x1 * x2).as("s12"),
+      dsum(x2 * x2).as("s22"),
+      dsum(y).as("sy"), dsum(x1 * y).as("s1y"), dsum(x2 * y).as("s2y"))
+    val (n, s1, s2) = (col("n"), col("s1"), col("s2"))
+    val (s11, s12, s22) = (col("s11"), col("s12"), col("s22"))
+    val (sy, s1y, s2y) = (col("sy"), col("s1y"), col("s2y"))
+    // Cramer's rule on A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    // b = [sy,s1y,s2y] — operand order is the oracle contract
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val det0 = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val det1 = n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val det2 = n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    m.select(n.cast("long").as("n_rows"),
+      when(det =!= 0.0, pround4(det0 / det)).as("b0"),
+      when(det =!= 0.0, pround4(det1 / det)).as("b1"),
+      when(det =!= 0.0, pround4(det2 / det)).as("b2"))
+  }
+
+  /**
+   * Score rows with an [[olsFit]] model: ŷ = b0 + b1·x1 + b2·x2 and the
+   * residual y − ŷ, both 4dp. The fit is ONE row (the model — broadcast
+   * by construction via crossJoin, the scalar-model seam used throughout);
+   * scoring is scan-local arithmetic, zero shuffles beyond the scan.
+   * Scores use the PUBLISHED (4dp-rounded) betas — the model's output
+   * contract — so training and scoring can run in different engines.
+   */
+  def olsScore(df: DataFrame, idCol: String, yCol: String, x1Col: String,
+               x2Col: String, fit: DataFrame): DataFrame = {
+    val yhat = col("b0") + col("b1") * col(x1Col) + col("b2") * col(x2Col)
+    df.crossJoin(broadcast(fit.select(col("b0"), col("b1"), col("b2"))))
+      .select(col(idCol), pround4(yhat).as("y_hat"),
+        pround4(col(yCol) - yhat).as("residual"))
+  }
 }

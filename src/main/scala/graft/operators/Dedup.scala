@@ -146,6 +146,38 @@ object Dedup {
   }
 
   /**
+   * Edit-distance-VERIFIED near-dup pairs: the LSH candidate set
+   * ([[minhashCandidates]] — band-bucket-bounded, never all-pairs)
+   * re-joined to the two documents' texts and kept iff
+   * Levenshtein(t1, t2) ≤ `maxDist`. This is the exact-verification stage
+   * a production dedup pipeline runs between blocking and removal:
+   * MinHash bounds WHICH pairs are compared, the edit distance decides.
+   *
+   * Plan contract: text ships through exactly TWO hash joins (one per
+   * pair side), and only for candidate rows — the corpus text column
+   * never enters the pair product. The verify itself uses Spark's
+   * THRESHOLDED `levenshtein(l, r, maxDist)` (banded DP that early-exits
+   * once the running minimum exceeds the bound — O(len·maxDist) per pair
+   * instead of O(len²)); it returns −1 above the bound, so the filter
+   * keeps exactly the verified pairs and every kept row carries the true
+   * distance. At 100 TB the candidate volume is the LSH-bounded set and
+   * each verify is bound-limited — the two properties that make exact
+   * verification affordable at corpus scale.
+   */
+  def editVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, maxDist: Int = 40,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val cand = minhashCandidates(docs, idCol, textCol, n, maxBucketSize)
+    val t1 = docs.select(col(idCol).as("id1"), col(textCol).as("_t1"))
+    val t2 = docs.select(col(idCol).as("id2"), col(textCol).as("_t2"))
+    cand.join(t1, Seq("id1")).join(t2, Seq("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("_t1"), col("_t2"), maxDist).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") >= 0)
+  }
+
+  /**
    * Near-dup CLUSTERING: connected components over an undirected candidate-
    * pair graph (id1, id2) via min-label propagation — the step a real
    * dedup pipeline runs after pair generation (pairs alone don't say which

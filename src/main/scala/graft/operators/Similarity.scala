@@ -448,6 +448,88 @@ object Similarity {
   }
 
   /**
+   * Product-quantization codebooks (Jégou, Douze & Schmid 2011, "Product
+   * Quantization for Nearest Neighbor Search", IEEE TPAMI): the vector
+   * space splits into `m` contiguous subspaces of dim/m components and a
+   * SEPARATE deterministic k-means codebook ([[kmeansCentroids]] — seeds
+   * = smallest ids, fixed sample, DECIMAL-exact means) trains per
+   * subspace. A database vector then stores m small codes instead of dim
+   * floats (k ≤ 256 → m bytes) — the standard way a 100 TB embedding
+   * corpus keeps its index in RAM, and the effective codebook is kᵐ
+   * cells for m·k trained centroids. Driver-held return (model-sized:
+   * m·k·(dim/m) doubles — the same seam as [[materializedCentroids]]),
+   * sorted by centroid id for determinism.
+   */
+  def pqCodebooks(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int = 4, k: Int = 8, iters: Int = 2,
+                  sampleN: Long = 256): Seq[Seq[(Long, Seq[Double])]] = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must be divisible by m $m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      materializedCentroids(
+        emb.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("_v")),
+        idCol, "_v", k, iters, sampleN)
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .sortBy(_._1).toSeq
+    }
+  }
+
+  /** Scan-local nearest-codebook-centroid VECTOR for one subspace slice:
+    * `array_max` over k struct(cosine, −cid, centroid) literals — the
+    * [[cellColumn]] argmax carrying the centroid itself as payload (ties
+    * impossible past −cid, so the array field never drives the compare). */
+  private def nearestCentroidVec(sl: Column,
+                                 cb: Seq[(Long, Seq[Double])]): Column =
+    array_max(array(cb.map { case (cid, cv) =>
+      struct(cosine(sl, typedlit(cv)).as("c"), lit(-cid).as("nc"),
+        typedlit(cv).as("cv"))
+    }: _*)).getField("cv")
+
+  /** PQ code per subspace (the stored representation): [[cellColumn]]'s
+    * argmax on each slice — scan-local, no join, no shuffle. */
+  def pqCodeColumns(vecCol: Column, codebooks: Seq[Seq[(Long, Seq[Double])]],
+                    sub: Int): Seq[Column] =
+    codebooks.zipWithIndex.map { case (cb, s) =>
+      cellColumn(slice(vecCol, s * sub + 1, sub), cb)
+    }
+
+  /** PQ reconstruction x̂: each subspace's assigned centroid, concatenated
+    * back to a dim-length vector — pure scan-local expression. */
+  def pqReconstruct(vecCol: Column, codebooks: Seq[Seq[(Long, Seq[Double])]],
+                    sub: Int): Column =
+    concat(codebooks.zipWithIndex.map { case (cb, s) =>
+      nearestCentroidVec(slice(vecCol, s * sub + 1, sub), cb)
+    }: _*)
+
+  /**
+   * PQ asymmetric-distance top-k: rank by cos(q, x̂) with the query kept
+   * EXACT and every database vector replaced by its PQ reconstruction —
+   * ADC, the paper's recommended regime (quantizing only one side halves
+   * the quantization noise vs symmetric). The whole scoring pass is
+   * scan-local (codebooks are driver-held literals; the reconstruction
+   * and cosine run inside the scan) followed by ONE TakeOrdered — at
+   * corpus scale there is no join and no shuffle, only the scan and the
+   * top-k. Combine with the IVF partition layout ([[writeIvfIndex]]) for
+   * IVFADC: coarse cells prune the scan, PQ codes score the survivors.
+   * Recall vs [[bruteForceTopK]] is measured in SimilaritySpec.
+   */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, queryId: Long,
+             dim: Int, topK: Int = 10, m: Int = 4, k: Int = 8,
+             iters: Int = 2, sampleN: Long = 256): DataFrame = {
+    val cbs = pqCodebooks(emb, idCol, vecCol, dim, m, k, iters, sampleN)
+    val sub = dim / m
+    val qv = emb.filter(col(idCol) === queryId) // 1 row — the query
+      .select(col(vecCol)).collect()(0).getSeq[Double](0)
+    emb.filter(col(idCol) =!= queryId)
+      .select(col(idCol),
+        round(cosine(typedlit(qv), pqReconstruct(col(vecCol), cbs, sub)), 4)
+          .as("pq_sim"))
+      .orderBy(col("pq_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * Persist the sign-LSH ANN index in its scale layout: vectors
    * PARTITIONED BY their nBits sign bucket — the sign-LSH sibling of
    * [[writeIvfIndex]] (data-independent buckets, so no centroid table to

@@ -209,6 +209,38 @@ object WebGraph {
   }
 
   /**
+   * Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen 2006,
+   * "Link Spam Detection Based on Mass Estimation", VLDB): the fraction
+   * of a domain's PageRank that arrives through UNtrusted paths,
+   * m = (PR − PR⁺)/PR, where PR⁺ is the rank earned when teleport lands
+   * only on the trusted seeds. Here PR is [[pagerank]] (uniform teleport,
+   * 1.0 per domain — total mass n) and PR⁺ = n · [[trustrank]] (seed
+   * teleport totals 1.0, so the ×n rescale puts both vectors on the same
+   * total teleport mass, the paper's core normalization). m → 1 means the
+   * domain's rank is almost entirely spam-suspect; seeds themselves go
+   * NEGATIVE (they hold more trusted than total rank under the leaked-PR
+   * formulation) — the paper thresholds on m, this emits the raw value.
+   *
+   * Plan: both rank vectors are domain-keyed aggregate-scale tables
+   * (never corpus-scale), so the composition is ONE AQE-sized join plus
+   * scalar arithmetic; the domain count is a driver scalar (model-sized,
+   * same seam as [[pagerankConserving]]'s nDoms). Inputs are the two
+   * operators' published 4dp-rounded ranks, so the division composes
+   * engine-portably — both engines divide the same doubles. PR ≥ (1−d)
+   * everywhere under uniform teleport, so the denominator never vanishes.
+   */
+  def spamMass(edges: DataFrame, seeds: Seq[String], iters: Int,
+               damping: Double = 0.85): DataFrame = {
+    val pr = pagerank(edges, iters, damping)
+    val tr = trustrank(edges, seeds, iters, damping)
+    val nDoms = pr.count().toDouble // domain count — model-sized driver scalar
+    pr.join(tr, Seq("domain"))
+      .select(col("domain"), col("pr"), col("tr"),
+        pround4((col("pr") - lit(nDoms) * col("tr")) / col("pr"))
+          .as("spam_mass"))
+  }
+
+  /**
    * Mass-CONSERVING PageRank to a fixed horizon — the standard power
    * iteration [[pagerank]] deliberately is not: each round the damped
    * mass of DANGLING domains (in-links, no out-links) is summed (one

@@ -984,4 +984,32 @@ class CurationSpec extends SparkSuite {
       .as[Double].collect().head
     assert(eval == 1.0, s"disjoint vocabularies must separate: acc=$eval")
   }
+
+  test("OLS closed-form fit: exact recovery of a noiseless linear target; " +
+    "scores have zero residual; collinear design yields null betas, not " +
+    "a silent fit") {
+    val rows = (1 to 50).map { i =>
+      val x1 = i * 0.01; val x2 = ((i * 7) % 13) * 0.05
+      (i.toLong, x1, x2, 2.0 + 3.0 * x1 - 1.0 * x2)
+    }
+    val d = rows.toDF("id", "x1", "x2", "y")
+    val fit = Curation.olsFit(d, "y", "x1", "x2")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(fit._1 == 50L)
+    assert(fit._2 == 2.0 && fit._3 == 3.0 && fit._4 == -1.0, fit.toString)
+    val scored = Curation.olsScore(d, "id", "y", "x1", "x2",
+      Curation.olsFit(d, "y", "x1", "x2"))
+      .as[(Long, Double, Double)].collect()
+    assert(scored.length == 50 && scored.forall(_._3 == 0.0),
+      "noiseless target + exact betas -> zero residuals")
+    // determinism: partitioning must not change the moments (DECIMAL sums)
+    val fitR = Curation.olsFit(d.repartition(7), "y", "x1", "x2")
+      .as[(Long, Double, Double, Double)].collect().head
+    assert(fitR == fit, "fit must be partitioning-independent")
+    // collinear design: x2 = 2·x1 → singular normal equations → null betas
+    val bad = d.withColumn("x2", $"x1" * 2.0)
+    val sing = Curation.olsFit(bad, "y", "x1", "x2").collect().head
+    assert(sing.getLong(0) == 50L && sing.isNullAt(1) && sing.isNullAt(2) &&
+      sing.isNullAt(3), "singular fit must surface as nulls")
+  }
 }

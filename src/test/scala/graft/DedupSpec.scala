@@ -78,6 +78,37 @@ class DedupSpec extends SparkSuite {
     assert(default == uncapped, "default cap must not change this corpus")
   }
 
+  test("edit-verified pairs: subset of LSH candidates, distances exact " +
+    "(scala reference), threshold drops far candidates") {
+    def levRef(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toSet
+    val texts = docs.as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._2).toMap
+    val got = Dedup.editVerifiedPairs(docs, "doc_id", "text", n = 3,
+      maxDist = 40).as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSet.subsetOf(cand),
+      "verified pairs must come from the candidate set")
+    got.foreach { case (i, j, d) =>
+      assert(d == levRef(texts(i), texts(j)), s"($i,$j): $d")
+      assert(d <= 40)
+    }
+    // exact dup pair verifies at distance 0; near-dup (day/night suffix) > 0
+    assert(got.exists(r => r._1 == 1L && r._2 == 2L && r._3 == 0L))
+    assert(got.exists(r => r._1 == 3L && r._2 == 4L && r._3 > 0L))
+    // a tight threshold drops the near-dup but keeps the exact dup
+    val tight = Dedup.editVerifiedPairs(docs, "doc_id", "text", n = 3,
+      maxDist = 1).as[(Long, Long, Long)].collect()
+    assert(tight.map(r => (r._1, r._2)).toSet == Set((1L, 2L)), tight.toSeq)
+  }
+
   test("simhash: identical -> same signature; near-dup closer than unrelated") {
     val sig = Dedup.simhashBitsRows(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap

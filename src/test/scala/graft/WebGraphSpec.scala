@@ -194,6 +194,33 @@ class WebGraphSpec extends SparkSuite {
       s"uniform seed share: $r0")
   }
 
+  test("spam mass: domains unreached by trust have m = 1 exactly; " +
+    "trusted-path domains sit below; composition matches the published " +
+    "pr/tr vectors") {
+    // S -> A -> B, plus spam C -> A (C unreachable from S); n = 4 domains
+    val edges = Seq(("S", "A", 1L), ("A", "B", 1L), ("C", "A", 1L))
+      .toDF("src_domain", "dst_domain", "n_links")
+    val m = WebGraph.spamMass(edges, Seq("S"), iters = 2)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val pr = WebGraph.pagerank(edges, iters = 2)
+      .as[(String, Double)].collect().toMap
+    val tr = WebGraph.trustrank(edges, Seq("S"), iters = 2)
+      .as[(String, Double)].collect().toMap
+    // composition contract: m = round4((pr - 4·tr)/pr) of the PUBLISHED
+    // (4dp) vectors
+    m.foreach { case (d, (p, t, sm)) =>
+      assert(p == pr(d) && t == tr(d))
+      val exp = math.floor((p - 4.0 * t) / p * 10000.0 + 0.5) / 10000.0
+      assert(sm == exp, s"$d: $sm vs $exp")
+    }
+    // C holds rank (teleport floor) but zero trust → spam mass exactly 1
+    assert(m("C")._3 == 1.0, s"untrusted domain must be all-spam-mass: $m")
+    // domains on a trusted path sit strictly below 1; the seed lowest
+    assert(m("A")._3 < 1.0 && m("B")._3 < 1.0)
+    assert(m("S")._3 == m.values.map(_._3).min, "seed carries least spam mass")
+  }
+
   test("hits step: hand-computed auth/hub on a weighted graph; pure hubs " +
     "get zero authority and pure authorities zero hub") {
     // A -2-> C, B -1-> C, B -3-> D : a1(C)=3, a1(D)=3;

@@ -854,6 +854,17 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // similarity: IVFADC (Jégou et al. 2011 §IV) — coarse k-means prunes
+    // to nprobe cells, PQ codebooks trained on RESIDUALS x − c(x) score
+    // the survivors by cos(exact q, c(x) + r̂); all codebooks driver-held,
+    // scoring scan-local over the probed rows + ONE TakeOrdered
+    "q_ann_ivfadc" -> ((s, dir) =>
+      Similarity.ivfadcTopK(
+        t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+        "vec_id", "v", queryId = 0L, dim = 64, topK = 10, kCoarse = 8,
+        nprobe = 2, m = 4, k = 8, iters = 2, sampleN = 256)),
+
     // text: heuristic language ID
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1663,6 +1674,75 @@ object SparkEntry {
         .select(col("est_distinct").as("est_merged"))
         .crossJoin(Curation.kmvEstimate(direct, "corpus", 32)
           .select(col("est_distinct").as("est_direct")))
+        .crossJoin(exact)
+    }),
+
+    // sketches: Count-Min registers per source (Cormode & Muthukrishnan
+    // 2005) — d·w bounded integer state per group, one tokenize scan +
+    // one hash aggregate; only non-zero registers emitted
+    "q_cms_sketch" -> ((s, dir) =>
+      Sketches.cmsSketch(t(s, dir, "documents"), "source", "text",
+        depth = 4, width = 64)
+        .orderBy("source", "depth", "bucket")),
+
+    // sketches: CMS MERGEABILITY — Spark merges the per-source sketches
+    // by register ADDITION; the oracle builds the global sketch from
+    // scratch. Hash equality pins merge == rebuild cross-engine.
+    "q_cms_merge" -> ((s, dir) =>
+      Sketches.cmsMerge(Sketches.cmsSketch(t(s, dir, "documents"),
+        "source", "text", depth = 4, width = 64))
+        .orderBy("depth", "bucket")),
+
+    // sketches: CMS point estimates for the 20 highest-true-count tokens,
+    // true count in-row (êst ≥ true, the one-sided CMS guarantee —
+    // integer-exact on both engines)
+    "q_cms_estimate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val truth = d.select(explode(TextAnalysis.toks(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+      val probes = truth.orderBy(col("true_cnt").desc, col("tok")).limit(20)
+      val merged = Sketches.cmsMerge(
+        Sketches.cmsSketch(d, "source", "text", depth = 4, width = 64))
+      Sketches.cmsEstimate(merged, probes.select(col("tok")), "tok",
+        depth = 4, width = 64)
+        .join(probes, Seq("tok"))
+        .select(col("tok"), col("true_cnt"), col("est_cnt"))
+        .orderBy(col("true_cnt").desc, col("tok"))
+    }),
+
+    // sketches: HLL registers per source (Flajolet et al. 2007) — 2^p
+    // fixed integer state per group, rho from exact binary-string length
+    // (no float log anywhere in the sketch)
+    "q_hll_registers" -> ((s, dir) =>
+      Sketches.hllRegisters(t(s, dir, "documents"), "source", "text", p = 5)
+        .orderBy("source", "bucket")),
+
+    // sketches: HLL estimates + exact distinct per source in one row —
+    // the estimator under the oracle with its error visible in-row
+    "q_hll_estimate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val exact = d.select(col("source"),
+          explode(TextAnalysis.toks(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("exact_distinct"))
+      Sketches.hllEstimate(
+        Sketches.hllRegisters(d, "source", "text", p = 5), "source", p = 5)
+        .join(exact, Seq("source"))
+        .orderBy("source")
+    }),
+
+    // sketches: HLL MERGEABILITY — Spark merges per-source registers by
+    // MAX and estimates the union; the oracle builds the global register
+    // table from scratch. One row: merged estimate vs global exact.
+    "q_hll_merge" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val merged = Sketches.hllMerge(
+        Sketches.hllRegisters(d, "source", "text", p = 5))
+        .withColumn("scope", lit("global"))
+      val exact = d.select(explode(TextAnalysis.toks(col("text"))).as("tok"))
+        .distinct().agg(count(lit(1)).as("exact_distinct"))
+      Sketches.hllEstimate(merged, "scope", p = 5)
+        .select(col("n_buckets_used"), col("est_distinct"))
         .crossJoin(exact)
     }),
 
@@ -2960,6 +3040,9 @@ object SparkEntry {
     "q_ann_pq_codes" -> pqCodesOracleSql(m = 4, sub = 16, k = 8, iters = 2,
       sampleN = 256),
 
+    "q_ann_ivfadc" -> ivfadcOracleSql(dim = 64, kCoarse = 8, iters = 2,
+      sampleN = 256, nprobe = 2, m = 4, sub = 16, k = 8, topK = 10),
+
     "q_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL THEN 'und'
@@ -3787,6 +3870,49 @@ object SparkEntry {
          |       exact_distinct
          |FROM em, ed, ex""".stripMargin,
 
+    "q_cms_sketch" ->
+      s"""WITH ${cmsCtes(depth = 4, width = 64)}
+         |SELECT source, depth, bucket, cnt FROM sk
+         |ORDER BY source, depth, bucket""".stripMargin,
+
+    "q_cms_merge" ->
+      s"""WITH ${cmsCtes(depth = 4, width = 64)}
+         |SELECT depth, bucket, count(*)::BIGINT AS cnt FROM rb
+         |GROUP BY 1, 2 ORDER BY depth, bucket""".stripMargin,
+
+    "q_cms_estimate" ->
+      s"""WITH ${cmsCtes(depth = 4, width = 64)},
+         |g AS (SELECT depth, bucket, count(*)::BIGINT AS cnt FROM rb GROUP BY 1, 2),
+         |truth AS (SELECT tok, count(*)::BIGINT AS true_cnt FROM tok GROUP BY 1),
+         |probes AS (SELECT tok, true_cnt FROM truth ORDER BY true_cnt DESC, tok LIMIT 20),
+         |${cmsProbeCtes(depth = 4, width = 64)}
+         |SELECT pb.tok AS tok, pb.true_cnt AS true_cnt,
+         |       min(coalesce(g.cnt, 0))::BIGINT AS est_cnt
+         |FROM pb LEFT JOIN g ON g.depth = pb.depth AND g.bucket = pb.bucket
+         |GROUP BY 1, 2
+         |ORDER BY true_cnt DESC, tok""".stripMargin,
+
+    "q_hll_registers" ->
+      s"""WITH ${hllCtes(p = 5)}
+         |SELECT source, bucket, register FROM reg
+         |ORDER BY source, bucket""".stripMargin,
+
+    "q_hll_estimate" ->
+      s"""WITH ${hllCtes(p = 5)},
+         |${hllEstimateCtes("reg", Some("source"), p = 5)},
+         |ex AS (SELECT source, count(DISTINCT tok)::BIGINT AS exact_distinct FROM tok GROUP BY 1)
+         |SELECT fin.source AS source, n_buckets_used, est_distinct, exact_distinct
+         |FROM fin JOIN ex ON ex.source = fin.source
+         |ORDER BY source""".stripMargin,
+
+    "q_hll_merge" ->
+      s"""WITH ${hllCtes(p = 5)},
+         |regg AS (SELECT bucket, max(rho) AS register FROM rr GROUP BY 1),
+         |${hllEstimateCtes("regg", None, p = 5)},
+         |ex AS (SELECT count(DISTINCT tok)::BIGINT AS exact_distinct FROM tok)
+         |SELECT n_buckets_used, est_distinct, exact_distinct
+         |FROM fin, ex""".stripMargin,
+
     "q_zorder" -> {
       val terms = (0 until 8).map(i =>
         s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
@@ -4561,6 +4687,91 @@ object SparkEntry {
 
   /** Shared CTE chain for the KMV-sketch oracles: distinct (source,
     * 48-bit token hash) pairs, then the per-source bottom-32 sketch. */
+  /** Shared CMS CTE chain (mirrors `Sketches.cmsSketch`): tokens →
+    * 48-bit base hash reduced into the Minhash prime field → d affine
+    * row hashes (`rb`) → per-source registers `sk`. The globally-built
+    * sketch is `GROUP BY depth, bucket` over `rb` directly. */
+  private def cmsCtes(depth: Int, width: Int): String = {
+    val rows = (0 until depth).map { j =>
+      val a = graft.operators.Dedup.MinhashA(j)
+      val b = graft.operators.Dedup.MinhashB(j)
+      s"SELECT source, $j::BIGINT AS depth, (($a * h + $b) % 2147483647) % $width AS bucket FROM h"
+    }.mkString("\n  UNION ALL ")
+    s"""tok AS (
+       |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |h AS (
+       |  SELECT source, ('0x' || substr(md5(tok), 1, 12))::UBIGINT::BIGINT % 2147483647 AS h
+       |  FROM tok),
+       |rb AS (
+       |  $rows),
+       |sk AS (SELECT source, depth, bucket, count(*)::BIGINT AS cnt FROM rb GROUP BY 1, 2, 3)""".stripMargin
+  }
+
+  /** Probe-side CMS coordinates for a `probes(tok, true_cnt)` CTE. */
+  private def cmsProbeCtes(depth: Int, width: Int): String = {
+    val rows = (0 until depth).map { j =>
+      val a = graft.operators.Dedup.MinhashA(j)
+      val b = graft.operators.Dedup.MinhashB(j)
+      s"SELECT tok, true_cnt, $j::BIGINT AS depth, (($a * ph + $b) % 2147483647) % $width AS bucket FROM ph"
+    }.mkString("\n  UNION ALL ")
+    s"""ph AS (
+       |  SELECT tok, true_cnt,
+       |         ('0x' || substr(md5(tok), 1, 12))::UBIGINT::BIGINT % 2147483647 AS ph
+       |  FROM probes),
+       |pb AS (
+       |  $rows)""".stripMargin
+  }
+
+  /** Shared HLL CTE chain (mirrors `Sketches.hllRegisters`): tokens →
+    * 60-bit hash → (bucket = low p bits, ρ from exact bin() length) →
+    * per-source registers `reg`. */
+  private def hllCtes(p: Int): String = {
+    val m = 1 << p
+    val width = 60 - p
+    s"""tok AS (
+       |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\\W+'), x -> x <> '')) AS tok
+       |  FROM documents),
+       |hh AS (
+       |  SELECT source, ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS hv
+       |  FROM tok),
+       |rr AS (
+       |  SELECT source, hv % $m AS bucket,
+       |         (CASE WHEN (hv >> $p) = 0 THEN ${width + 1}
+       |               ELSE ${width + 1} - length(bin(hv >> $p)) END)::BIGINT AS rho
+       |  FROM hh),
+       |reg AS (SELECT source, bucket, max(rho) AS register FROM rr GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** HLL estimator CTEs over a register table (mirrors
+    * `Sketches.hllEstimate` arithmetic exactly: integer register sum,
+    * one constant multiply/divide, small-range ln correction). Yields
+    * `fin($grpSel n_buckets_used, est_distinct)`. */
+  private def hllEstimateCtes(regTable: String, grpCol: Option[String],
+                              p: Int): String = {
+    val m = 1 << p
+    val shiftBase = 61 - p
+    val alphaM2 = Sketches.hllAlpha(m) * m.toDouble * m.toDouble
+    val pow = math.pow(2.0, shiftBase)
+    val grpSel = grpCol.fold("")(g => s"$g, ")
+    val grpBy = grpCol.fold("")(_ => "GROUP BY 1")
+    s"""hest AS (
+       |  SELECT ${grpSel}count(*)::BIGINT AS n_buckets_used,
+       |         sum(1::BIGINT << ($shiftBase - register)::INT)::BIGINT AS s_used
+       |  FROM $regTable $grpBy),
+       |hfin AS (
+       |  SELECT ${grpSel}n_buckets_used,
+       |         ($m::BIGINT - n_buckets_used)::DOUBLE AS v,
+       |         (s_used + ($m::BIGINT - n_buckets_used) * (1::BIGINT << $shiftBase))::DOUBLE AS s
+       |  FROM hest),
+       |fin AS (
+       |  SELECT ${grpSel}n_buckets_used,
+       |         floor((CASE WHEN ($alphaM2 * $pow / s) <= ${2.5 * m} AND v > 0.0
+       |                     THEN $m.0 * ln($m.0 / v)
+       |                     ELSE $alphaM2 * $pow / s END) * 10000.0 + 0.5) / 10000.0 AS est_distinct
+       |  FROM hfin)""".stripMargin
+  }
+
   private val kmvCtes: String =
     """WITH tok AS (
       |  SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> '')) AS tok
@@ -4761,9 +4972,12 @@ object SparkEntry {
 
   /** One PQ subspace's k-means CTE chain — [[kmeansCellsCtes]] with every
     * name prefixed `p<s>` and vectors SLICED to the subspace ([lo:hi],
-    * 1-based inclusive, mirroring Spark's `slice(v, lo, len)`). */
+    * 1-based inclusive, mirroring Spark's `slice(v, lo, len)`).
+    * `srcTable`/`vecExpr` select what gets sliced — the raw embeddings by
+    * default, the coarse-residual CTE for the IVFADC oracle. */
   private def pqSubCtes(p: String, lo: Int, hi: Int, k: Int, iters: Int,
-                        sampleN: Long): Seq[String] = {
+                        sampleN: Long, srcTable: String = "embeddings",
+                        vecExpr: String = "embedding::DOUBLE[]"): Seq[String] = {
     def assign(name: String, src: String, cents: String) =
       s"""$name AS (
          |  SELECT vec_id, cid AS cell FROM (
@@ -4784,7 +4998,7 @@ object SparkEntry {
         means(s"${p}c$i", s"${p}a$i"))
     }
     Seq(
-      s"${p}e AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS v FROM embeddings)",
+      s"${p}e AS (SELECT vec_id, ($vecExpr)[$lo:$hi] AS v FROM $srcTable)",
       s"${p}smp AS (SELECT vec_id, v FROM ${p}e WHERE vec_id < $sampleN)",
       s"${p}c0 AS (SELECT vec_id::BIGINT AS cid, v AS cv FROM ${p}e WHERE vec_id < $k)") ++
       steps :+ assign(s"${p}cells", s"${p}e", s"${p}c$iters")
@@ -4827,6 +5041,47 @@ object SparkEntry {
        |FROM fe
        |  $joins
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** IVFADC oracle: coarse k-means cells ([[kmeansCellsCtes]]) give the
+    * probe set AND the residuals x − c(x); per-subspace k-means chains
+    * ([[pqSubCtes]] over the residual CTE) quantize the residuals; rank
+    * the probed cells by cos(exact q, c(x) + r̂). */
+  private def ivfadcOracleSql(dim: Int, kCoarse: Int, iters: Int,
+                              sampleN: Long, nprobe: Int, m: Int, sub: Int,
+                              k: Int, topK: Int): String = {
+    val subCtes = (0 until m).flatMap(s =>
+      pqSubCtes(s"p$s", s * sub + 1, (s + 1) * sub, k, iters, sampleN,
+        srcTable = "re", vecExpr = "rv"))
+    val joins = (0 until m).map(s =>
+      s"JOIN p${s}cells ON p${s}cells.vec_id = re.vec_id JOIN p${s}c$iters cc$s ON cc$s.cid = p${s}cells.cell")
+      .mkString("\n  ")
+    val recon = (0 until m).map(s => s"cc$s.cv").mkString(" || ")
+    val ctes = kmeansCellsCtes(kCoarse, iters, sampleN) ++ Seq(
+      "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+      s"""probe AS (SELECT cid FROM c$iters CROSS JOIN q
+         |  ORDER BY list_cosine_similarity(cv, qv) DESC, cid LIMIT $nprobe)""".stripMargin,
+      s"""re AS (
+         |  SELECT e.vec_id, cells.cell,
+         |         list_transform(range(1, $dim + 1), i -> e.v[i] - cc.cv[i]) AS rv
+         |  FROM e JOIN cells ON cells.vec_id = e.vec_id
+         |       JOIN c$iters cc ON cc.cid = cells.cell)""".stripMargin) ++
+      subCtes ++ Seq(
+      s"""rhat AS (
+         |  SELECT re.vec_id, ($recon) AS rr
+         |  FROM re
+         |  $joins)""".stripMargin,
+      s"""xhat AS (
+         |  SELECT re.vec_id, re.cell,
+         |         list_transform(range(1, $dim + 1), i -> cc.cv[i] + rhat.rr[i]) AS xv
+         |  FROM re JOIN rhat ON rhat.vec_id = re.vec_id
+         |       JOIN c$iters cc ON cc.cid = re.cell)""".stripMargin)
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT xhat.vec_id AS vec_id,
+       |       round(list_cosine_similarity(q.qv, xhat.xv), 4) AS adc_sim
+       |FROM xhat JOIN probe ON xhat.cell = probe.cid CROSS JOIN q
+       |WHERE xhat.vec_id <> 0
+       |ORDER BY adc_sim DESC, vec_id LIMIT $topK""".stripMargin
   }
 
   /** SemDeDup oracle: within-cell pairs at rounded-cosine ≥ eps. */

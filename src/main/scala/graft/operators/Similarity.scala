@@ -530,6 +530,57 @@ object Similarity {
   }
 
   /**
+   * IVFADC top-k (Jégou, Douze & Schmid 2011 §IV — the paper's composed
+   * index, and the FAISS `IVFx,PQy` default): a coarse k-means quantizer
+   * prunes the scan to the `nprobe` nearest cells, and PQ codebooks
+   * trained on the RESIDUALS x − c(x) (not the raw vectors — residuals
+   * concentrate near zero, so the same k·m centroids spend their
+   * resolution where the data actually lives once the coarse cell is
+   * known) score the survivors by cos(exact q, c(x) + r̂). Quantizing
+   * residuals is what distinguishes IVFADC from merely running [[pqTopK]]
+   * behind an IVF filter; recall dominance over both parents is measured
+   * in SimilaritySpec.
+   *
+   * Plan contract: the coarse codebook and the m residual codebooks are
+   * driver-held literals (model-sized — the [[materializedCentroids]]
+   * seam); cell assignment, residual, reconstruction and cosine are all
+   * scan-local expressions over ONLY the probed cells' rows (with the
+   * stored [[writeIvfIndex]] layout the probe reads nprobe partition
+   * directories), followed by ONE TakeOrdered. No join, no shuffle beyond
+   * the top-k merge. The residual arithmetic uses `zip_with` (interpreted
+   * HOF) — acceptable because it runs on the probed subset only, never
+   * the corpus.
+   */
+  def ivfadcTopK(emb: DataFrame, idCol: String, vecCol: String,
+                 queryId: Long, dim: Int, topK: Int = 10, kCoarse: Int = 8,
+                 nprobe: Int = 2, m: Int = 4, k: Int = 8, iters: Int = 2,
+                 sampleN: Long = 256): DataFrame = {
+    val sub = dim / m
+    val coarseDf = materializedCentroids(emb, idCol, vecCol, kCoarse,
+      iters, sampleN)
+    val coarse = coarseDf.collect() // kCoarse rows — the coarse model
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val resid = zip_with(col(vecCol),
+      nearestCentroidVec(col(vecCol), coarse), (x, c) => x - c)
+    val cbs = pqCodebooks(emb.select(col(idCol), resid.as("_r")),
+      idCol, "_r", dim, m, k, iters, sampleN)
+    val qv = emb.filter(col(idCol) === queryId) // 1 row — the query
+      .select(col(vecCol)).collect()(0).getSeq[Double](0)
+    val probed = coarseDf // probe ranking via the SAME codegen cosine
+      .orderBy(cosine(col("cv"), typedlit(qv)).desc, col("cid"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0)).toSeq // nprobe ids — model-sized
+    val xhat = zip_with(nearestCentroidVec(col(vecCol), coarse),
+      pqReconstruct(resid, cbs, sub), (c, r) => c + r)
+    emb.filter(col(idCol) =!= queryId)
+      .filter(cellColumn(col(vecCol), coarse).isin(probed: _*))
+      .select(col(idCol),
+        round(cosine(typedlit(qv), xhat), 4).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * Persist the sign-LSH ANN index in its scale layout: vectors
    * PARTITIONED BY their nBits sign bucket — the sign-LSH sibling of
    * [[writeIvfIndex]] (data-independent buckets, so no centroid table to

@@ -607,6 +607,15 @@ object SparkEntry {
         n = 3, maxDist = 40)
         .orderBy("id1", "id2")),
 
+    // dedup: asymmetric n-gram CONTAINMENT on the LSH candidates (Broder
+    // 1997) — |S(A)∩S(B)|/|S(A)| both directions; catches quotes /
+    // subset docs that symmetric Jaccard under-scores. Shingle sets ship
+    // as md5 keys only, one materialization feeds sizes + both joins.
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, minContain = 0.5)
+        .orderBy("id1", "id2")),
+
     // dedup: near-dup CLUSTERING — connected components over the minhash
     // candidate graph via min-label propagation (cluster = min reachable
     // id); oracle = DuckDB recursive CTE over the same pair set
@@ -1250,6 +1259,15 @@ object SparkEntry {
       Curation.tokenBudgetFilter(t(s, dir, "documents"), "doc_id", "text",
         "source", budget = 800L)
         .orderBy("doc_id")),
+
+    // curation: UniMax epoch-capped budget allocation (Chung et al. 2023)
+    // — smallest sources first at min(2·size, equal remaining share);
+    // the sequential waterfill computed closed-form via the monotone
+    // capped-prefix flag, exact integer arithmetic up to the final share
+    "q_unimax" -> ((s, dir) =>
+      Curation.unimaxAllocation(t(s, dir, "documents"), "source", "text",
+        budget = 20000L, epochCap = 2L)
+        .orderBy("source")),
 
     // curation: top-3 best-quality docs per domain (representative
     // selection) — driven through the SALTED two-phase path at a forced
@@ -2746,6 +2764,42 @@ object SparkEntry {
          |FROM cand JOIN documents d1 ON d1.doc_id = cand.id1
          |          JOIN documents d2 ON d2.doc_id = cand.id2
          |WHERE levenshtein(d1.text, d2.text) <= 40
+         |ORDER BY id1, id2""".stripMargin
+    },
+
+    "q_containment" -> {
+      val perms = graft.operators.Dedup.MinhashA
+        .zip(graft.operators.Dedup.MinhashB).zipWithIndex
+        .map { case ((a, b), i) =>
+          s"min(($a * h + $b) % 2147483647) AS m$i" }.mkString(", ")
+      s"""$shinglesCte,
+         |hh AS (
+         |  SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::UBIGINT % 2147483647 AS h FROM sh),
+         |sig AS (SELECT doc_id, $perms FROM hh GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id, 0 AS band, md5(m0 || '|' || m1) AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(m2 || '|' || m3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(m4 || '|' || m5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(m6 || '|' || m7) FROM sig),
+         |bs AS (SELECT band, band_key FROM bk GROUP BY 1, 2 HAVING count(*) <= 1000),
+         |bc AS (SELECT bk.* FROM bk JOIN bs USING (band, band_key)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bc a JOIN bc b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |shd AS (SELECT DISTINCT doc_id, md5(g) AS hd FROM sh),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shd GROUP BY 1),
+         |co AS (
+         |  SELECT cand.id1, cand.id2, count(*)::BIGINT AS common
+         |  FROM cand JOIN shd a ON a.doc_id = cand.id1
+         |            JOIN shd b ON b.doc_id = cand.id2 AND b.hd = a.hd
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, common,
+         |       floor(common::DOUBLE / s1.n_sh::DOUBLE * 10000.0 + 0.5) / 10000.0 AS c1_in_2,
+         |       floor(common::DOUBLE / s2.n_sh::DOUBLE * 10000.0 + 0.5) / 10000.0 AS c2_in_1
+         |FROM co JOIN sz s1 ON s1.doc_id = co.id1
+         |        JOIN sz s2 ON s2.doc_id = co.id2
+         |WHERE greatest(floor(common::DOUBLE / s1.n_sh::DOUBLE * 10000.0 + 0.5) / 10000.0,
+         |               floor(common::DOUBLE / s2.n_sh::DOUBLE * 10000.0 + 0.5) / 10000.0) >= 0.5
          |ORDER BY id1, id2""".stripMargin
     },
 
@@ -4310,6 +4364,39 @@ object SparkEntry {
         |  FROM n)
         |SELECT source, doc_id, n_tokens FROM c
         |WHERE prefix < 800 ORDER BY doc_id""".stripMargin,
+
+    "q_unimax" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         len(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> x <> ''))::BIGINT AS nt
+        |  FROM documents),
+        |sz AS (
+        |  SELECT source, sum(nt)::BIGINT AS n_tokens,
+        |         (sum(nt) * 2)::BIGINT AS cap
+        |  FROM tk GROUP BY 1),
+        |rk AS (
+        |  SELECT source, n_tokens, cap,
+        |         row_number() OVER (ORDER BY n_tokens, source)::BIGINT AS rn,
+        |         sum(cap) OVER (ORDER BY n_tokens, source
+        |                        ROWS UNBOUNDED PRECEDING)::BIGINT AS pref,
+        |         count(*) OVER ()::BIGINT AS n
+        |  FROM sz),
+        |fl AS (
+        |  SELECT *, (cap * (n - rn + 1) <= 20000 - (pref - cap)) AS capped
+        |  FROM rk),
+        |sc AS (
+        |  SELECT sum(CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS k,
+        |         sum(CASE WHEN capped THEN cap ELSE 0 END)::BIGINT AS pref_k,
+        |         count(*)::BIGINT AS n2
+        |  FROM fl),
+        |sc2 AS (
+        |  SELECT k, CASE WHEN n2 > k THEN (20000 - pref_k)::DOUBLE / (n2 - k)::DOUBLE
+        |                 ELSE 0.0::DOUBLE END AS share
+        |  FROM sc)
+        |SELECT source, n_tokens,
+        |       floor((CASE WHEN rn <= k THEN cap::DOUBLE ELSE share END) * 10000.0 + 0.5) / 10000.0 AS budget_tokens,
+        |       floor((CASE WHEN rn <= k THEN cap::DOUBLE ELSE share END) / n_tokens::DOUBLE * 10000.0 + 0.5) / 10000.0 AS epochs
+        |FROM fl, sc2 ORDER BY source""".stripMargin,
 
     "q_topk_per_domain" ->
       s"""WITH $qualityCtes,

@@ -1013,6 +1013,67 @@ object Curation {
   }
 
   /**
+   * UniMax per-source token budgets (Chung et al. 2023, "UniMax: Fairer
+   * and More Effective Language Sampling for Large-Scale Multilingual
+   * Pretraining", ICLR): distribute a total training budget B over
+   * sources by visiting them SMALLEST-FIRST and granting each
+   * min(epochCap·sizeᵢ, equal share of what remains) — small sources are
+   * fully used up to the repeat cap, large ones split the rest evenly,
+   * with no temperature hyperparameter to tune.
+   *
+   * The sequential waterfill has a closed form on the size-sorted table:
+   * once one source is uncapped every later (≥-sized) source is too and
+   * they all receive the SAME share, so the allocation is determined by
+   * k* = #capped = the count of the all-true prefix of
+   * capᵢ·(n−rankᵢ+1) ≤ B − Σ_{j<i} capⱼ (the flag sequence is monotone
+   * true→false: a failure at i forces failure at i+1). Everything up to
+   * the two scalars (k*, Σ_{i≤k*} capᵢ) is window arithmetic in exact
+   * integers; only the final share divides.
+   *
+   * Plan: per-source sizes are one partial-agg shuffle over the corpus;
+   * everything after runs on the SOURCE table (one row per source —
+   * aggregate-scale by construction, so the two unpartitioned windows
+   * here are documented bounded cases, same class as the ntile in
+   * [[ccnetBuckets]]); the (k, prefix_k, n) scalars crossJoin back
+   * broadcast-sized. Emits (group, n_tokens, budget_tokens, epochs 4dp).
+   */
+  def unimaxAllocation(docs: DataFrame, grpCol: String, textCol: String,
+                       budget: Long, epochCap: Long = 2L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && epochCap > 0, "budget and epochCap must be > 0")
+    val sizes = docs
+      .select(col(grpCol),
+        size(TextAnalysis.toks(col(textCol))).cast("long").as("_nt"))
+      .groupBy(col(grpCol)).agg(sum(col("_nt")).as("n_tokens"))
+      .select(col(grpCol), col("n_tokens"),
+        (col("n_tokens") * epochCap).as("cap"))
+    // source-table windows: one row per source — bounded by construction
+    val wAsc = Window.orderBy(col("n_tokens").asc, col(grpCol).asc)
+    val ranked = sizes
+      .withColumn("rn", row_number().over(wAsc).cast("long"))
+      .withColumn("pref", sum(col("cap")).over(wAsc)) // inclusive Σ cap
+    val n1 = ranked.agg(count(lit(1)).as("n"))
+    val flagged = ranked.crossJoin(broadcast(n1))
+      .withColumn("capped",
+        col("cap") * (col("n") - col("rn") + 1L) <=
+          lit(budget) - (col("pref") - col("cap")))
+    val scal = flagged.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("k"),
+      sum(when(col("capped"), col("cap")).otherwise(0L)).as("pref_k"),
+      count(lit(1)).as("n2"))
+    val share = when(col("n2") > col("k"),
+      (lit(budget) - col("pref_k")).cast("double") /
+        (col("n2") - col("k")).cast("double")).otherwise(lit(0.0))
+    flagged.crossJoin(broadcast(scal))
+      .select(col(grpCol), col("n_tokens"),
+        TextAnalysis.pround4(when(col("rn") <= col("k"),
+          col("cap").cast("double")).otherwise(share)).as("budget_tokens"),
+        TextAnalysis.pround4(when(col("rn") <= col("k"),
+          col("cap").cast("double")).otherwise(share) /
+          col("n_tokens").cast("double")).as("epochs"))
+  }
+
+  /**
    * Top-k rows per group (e.g. the k best-quality documents per domain —
    * the per-domain representative-selection step in corpus mixing). One
    * per-group window rank, parallel across groups — right whenever groups

@@ -178,6 +178,54 @@ object Dedup {
   }
 
   /**
+   * Asymmetric n-gram CONTAINMENT over the LSH candidate pairs (Broder
+   * 1997, "On the resemblance and containment of documents" — the
+   * companion measure to Jaccard): C(A→B) = |S(A)∩S(B)| / |S(A)| over
+   * distinct shingle sets. Containment is what catches a QUOTE — a short
+   * document wholly embedded in a long one scores C(short→long) = 1.0
+   * while its symmetric Jaccard (what [[minhashJaccardEstimate]]
+   * estimates) stays near |short|/|long| and slips under any near-dup
+   * threshold. Emits both directions (c1_in_2, c2_in_1) plus the exact
+   * intersection size, kept when either direction ≥ `minContain`.
+   *
+   * Plan: candidates are band-bucket-bounded ([[minhashCandidates]] —
+   * never all-pairs); the distinct (id, md5(shingle)) table materializes
+   * ONCE (localCheckpoint; a staging parquet at cluster scale) and feeds
+   * the size aggregate plus both intersection joins; text never ships —
+   * every join key is a 32-char digest or an id. Caveat documented: the
+   * SYMMETRIC LSH blocker under-recalls extreme containments (low
+   * Jaccard pairs rarely share a band); a production containment pass
+   * additionally blocks on the smaller side's rarest shingles. The
+   * measure itself is exact for every candidate surfaced.
+   */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, minContain: Double = 0.5,
+                       maxBucketSize: Int = 1000): DataFrame = {
+    val pround4 = graft.operators.TextAnalysis.pround4 _
+    val cand = minhashCandidates(docs, idCol, textCol, n, maxBucketSize)
+    val shd = shingles(docs, idCol, textCol, n)
+      .select(col(idCol), md5(col("shingle")).as("h")).distinct()
+      .localCheckpoint() // one materialization feeds sizes + both joins
+    val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(shd.select(col(idCol).as("id1"), col("h")), Seq("id1"))
+      .join(shd.select(col(idCol).as("id2"), col("h")), Seq("id2", "h"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col(idCol).as("id1"), col("n_sh").as("_n1")),
+        Seq("id1"))
+      .join(sizes.select(col(idCol).as("id2"), col("n_sh").as("_n2")),
+        Seq("id2"))
+      .select(col("id1"), col("id2"), col("common"),
+        pround4(col("common").cast("double") / col("_n1").cast("double"))
+          .as("c1_in_2"),
+        pround4(col("common").cast("double") / col("_n2").cast("double"))
+          .as("c2_in_1"))
+      .filter(greatest(col("c1_in_2"), col("c2_in_1")) >= minContain)
+  }
+
+  /**
    * Near-dup CLUSTERING: connected components over an undirected candidate-
    * pair graph (id1, id2) via min-label propagation — the step a real
    * dedup pipeline runs after pair generation (pairs alone don't say which

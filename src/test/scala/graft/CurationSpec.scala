@@ -985,6 +985,53 @@ class CurationSpec extends SparkSuite {
     assert(eval == 1.0, s"disjoint vocabularies must separate: acc=$eval")
   }
 
+  test("UniMax: closed-form allocation equals the sequential waterfill " +
+    "reference; caps bind smallest-first; budget is conserved") {
+    // sequential reference: ascending sizes, min(cap, remaining/(left))
+    def refAlloc(sizes: Seq[(String, Long)], budget: Long,
+                 cap: Long): Map[String, Double] = {
+      var rem = budget.toDouble
+      val sorted = sizes.sortBy(s => (s._2, s._1))
+      sorted.zipWithIndex.map { case ((src, n), i) =>
+        val share = rem / (sorted.size - i)
+        val b = math.min((cap * n).toDouble, share)
+        rem -= b
+        src -> b
+      }.toMap
+    }
+    def mkDocs(sizes: Seq[(String, Long)]) =
+      sizes.map { case (s, n) =>
+        (s, (1L to n).map(j => s"t$j").mkString(" "))
+      }.toDF("source", "text")
+    val sizes = Seq(("a", 10L), ("b", 20L), ("c", 40L), ("d", 400L),
+      ("e", 800L))
+    val got = Curation.unimaxAllocation(mkDocs(sizes), "source", "text",
+      budget = 500L, epochCap = 2L)
+      .as[(String, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val ref = refAlloc(sizes, 500L, 2L)
+    sizes.foreach { case (s, n) =>
+      assert(got(s)._1 == n)
+      assert(math.abs(got(s)._2 - ref(s)) < 1e-4, s"$s: ${got(s)._2} vs ${ref(s)}")
+      assert(math.abs(got(s)._3 - ref(s) / n) < 1e-4, s"$s epochs")
+    }
+    // small sources capped at exactly 2 epochs; big ones share equally
+    assert(got("a")._3 == 2.0 && got("b")._3 == 2.0 && got("c")._3 == 2.0)
+    assert(got("d")._2 == got("e")._2, "uncapped sources get equal shares")
+    // budget conserved
+    assert(math.abs(got.values.map(_._2).sum - 500.0) < 1e-3)
+    // all-capped: budget exceeds 2x total -> every source gets its cap
+    val allCap = Curation.unimaxAllocation(mkDocs(sizes), "source", "text",
+      budget = 10000L, epochCap = 2L)
+      .as[(String, Long, Double, Double)].collect()
+    assert(allCap.forall(r => r._3 == 2.0 * r._2 && r._4 == 2.0))
+    // none capped: tiny budget -> pure equal split
+    val none = Curation.unimaxAllocation(mkDocs(sizes), "source", "text",
+      budget = 50L, epochCap = 2L)
+      .as[(String, Long, Double, Double)].collect()
+    assert(none.forall(r => r._3 == 10.0), none.mkString(","))
+  }
+
   test("OLS closed-form fit: exact recovery of a noiseless linear target; " +
     "scores have zero residual; collinear design yields null betas, not " +
     "a silent fit") {

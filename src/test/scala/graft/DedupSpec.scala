@@ -109,6 +109,44 @@ class DedupSpec extends SparkSuite {
     assert(tight.map(r => (r._1, r._2)).toSet == Set((1L, 2L)), tight.toSeq)
   }
 
+  test("containment: a quote embedded in a longer doc scores 1.0 in the " +
+    "contained direction; exact dups score 1.0 both ways; values match a " +
+    "Scala set reference") {
+    // doc 7 = doc 1's text verbatim + a continuation (a quote). Kept
+    // short enough that the pair still shares an LSH band — the scaladoc's
+    // documented blocker bias: an extreme containment (tiny Jaccard) can
+    // miss candidacy; the MEASURE is exact for every surfaced pair.
+    val quoted = docs.union(Seq((7L,
+      "the quick brown fox jumps over the lazy dog near the river bank " +
+        "and then the story simply continued onward",
+      "s1")).toDF("doc_id", "text", "source"))
+    val got = Dedup.containmentPairs(quoted, "doc_id", "text", n = 3,
+      minContain = 0.5)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    // Scala reference over distinct shingle sets
+    def shSet(t: String): Set[String] = {
+      val w = t.toLowerCase.split("\\W+").filter(_.nonEmpty)
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val texts = quoted.as[(Long, String, String)].collect()
+      .map(r => r._1 -> r._2).toMap
+    got.foreach { case ((i, j), (common, c1, c2)) =>
+      val (a, b) = (shSet(texts(i)), shSet(texts(j)))
+      val inter = (a & b).size
+      assert(common == inter.toLong, s"($i,$j) common")
+      def r4(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+      assert(c1 == r4(inter.toDouble / a.size), s"($i,$j) c1")
+      assert(c2 == r4(inter.toDouble / b.size), s"($i,$j) c2")
+    }
+    // the quote: all of doc 1's shingles appear in doc 7
+    assert(got.contains((1L, 7L)), s"quote pair missing: ${got.keys}")
+    assert(got((1L, 7L))._2 == 1.0, "contained direction must be 1.0")
+    assert(got((1L, 7L))._3 < 0.7, "containing direction stays lower")
+    // exact dup pair: both directions 1.0
+    assert(got((1L, 2L))._2 == 1.0 && got((1L, 2L))._3 == 1.0)
+  }
+
   test("simhash: identical -> same signature; near-dup closer than unrelated") {
     val sig = Dedup.simhashBitsRows(docs, "doc_id", "text")
       .as[(Long, String)].collect().toMap

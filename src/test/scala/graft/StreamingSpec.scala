@@ -377,6 +377,55 @@ class StreamingSpec extends SparkSuite {
     assert(got.contains((1L, 8L, false)) && got.contains((2L, 11L, true)))
   }
 
+  test("streaming sketch maintenance: HLL and CMS registers maintained " +
+    "incrementally in complete mode equal the batch sketches; registers " +
+    "only grow across micro-batches (bounded state by construction)") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Sketches
+    val chunk1 = (1 to 20).map(i => StreamingSpec.SrcDoc(i.toLong,
+      s"s${i % 2}", (0 until 15).map(j => s"w${(i * 11 + j * 3) % 37}").mkString(" ")))
+    val chunk2 = (21 to 40).map(i => StreamingSpec.SrcDoc(i.toLong,
+      s"s${i % 2}", (0 until 15).map(j => s"w${(i * 11 + j * 3) % 37}").mkString(" ")))
+    // HLL: the SAME operator runs on the stream — max-aggregation is
+    // commutative/monotone, so complete-mode state is the 2 groups × 2^p
+    // register table, bounded by construction
+    val mem = MemoryStream[StreamingSpec.SrcDoc]
+    val q = Sketches.hllRegisters(mem.toDF(), "source", "text", p = 5)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").start()
+    mem.addData(chunk1: _*)
+    q.processAllAvailable()
+    val mid = spark.table("hll_stream").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    mem.addData(chunk2: _*)
+    q.processAllAvailable()
+    val fin = spark.table("hll_stream").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    q.stop()
+    val batch = Sketches.hllRegisters((chunk1 ++ chunk2).toDF(),
+      "source", "text", p = 5)
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(fin == batch, "final streaming registers must equal batch")
+    mid.foreach { case (k, v) =>
+      assert(fin.getOrElse(k, 0L) >= v, s"register shrank at $k")
+    }
+    // CMS: addition is likewise streaming-safe — final counts equal batch
+    val mem2 = MemoryStream[StreamingSpec.SrcDoc]
+    val q2 = Sketches.cmsSketch(mem2.toDF(), "source", "text", depth = 2,
+      width = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    mem2.addData(chunk1: _*); mem2.addData(chunk2: _*)
+    q2.processAllAvailable()
+    val cmsGot = spark.table("cms_stream").as[(String, Long, Long, Long)]
+      .collect().toSet
+    q2.stop()
+    val cmsBatch = Sketches.cmsSketch((chunk1 ++ chunk2).toDF(),
+      "source", "text", depth = 2, width = 16)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(cmsGot == cmsBatch, "streaming CMS must equal batch")
+  }
+
   test("streaming incremental dedup: stateless anti-join probes of the " +
     "stored index match the batch operator row-for-row") {
     implicit val sq = spark.sqlContext

@@ -82,3 +82,47 @@ object CpuProbe {
     spark.stop()
   }
 }
+
+/**
+ * Memory-BANDWIDTH probe — the ceiling [[CpuProbe]] cannot see: each task
+ * streams sequentially over its own heap buffer sized far past L3, so the
+ * aggregate GB/s measures the memory subsystem, not the ALUs. The flagship
+ * pipeline is bandwidth-bound through parse/route (wide string columns),
+ * so when the host hands an 8-thread run ~4× the per-core bandwidth of a
+ * 32-thread run, the LOW scaling leg is favored and the raw N→4N ratio
+ * compresses with no plan-level scaling loss — this probe quantifies that
+ * allocation directly (BENCH.md §1 round 5). A diagnostic main, not a
+ * product operator: the imperative per-partition loop is the measurement
+ * instrument.
+ */
+object MemProbe {
+  def main(args: Array[String]): Unit = {
+    val mbPerTask = if (args.length > 0) args(0).toInt else 512
+    val sweeps = if (args.length > 1) args(1).toInt else 6
+    val spark = SparkSession.builder().appName("graft-mem-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+    val cores = sc.defaultParallelism
+    val n = mbPerTask * 1024 * 1024 / 8 // longs per task buffer
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      sc.parallelize(0 until cores, cores).map { _ =>
+        val a = new Array[Long](n) // 1 write pass (zeroing) + `sweeps` reads
+        var s = 0L
+        var k = 0
+        while (k < sweeps) {
+          var i = 0
+          while (i < a.length) { s += a(i); i += 1 }
+          k += 1
+        }
+        s
+      }.reduce(_ + _)
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup (JIT + heap growth)
+    val best = (1 to 2).map(_ => once()).min
+    val gb = cores.toDouble * mbPerTask * (sweeps + 1) / 1024.0
+    println(f"""{"cores":$cores,"mb_per_task":$mbPerTask,"sweeps":$sweeps,"secs":$best%.2f,"gb_per_sec":${gb / best}%.1f,"gb_per_sec_per_core":${gb / best / cores}%.2f}""")
+    spark.stop()
+  }
+}

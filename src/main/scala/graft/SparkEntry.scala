@@ -874,6 +874,23 @@ object SparkEntry {
         "vec_id", "v", queryId = 0L, dim = 64, topK = 10, kCoarse = 8,
         nprobe = 2, m = 4, k = 8, iters = 2, sampleN = 256)),
 
+    // similarity: IVFADC against the STORED codes-only index — cell
+    // partition key + m int codes per vector (raw vectors never stored,
+    // ~60× smaller than the vector layout); probe prunes to nprobe
+    // partition dirs and scores from codes. Oracle identical to
+    // q_ann_ivfadc: the store/score roundtrip must not change a row.
+    "q_ann_ivfadc_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val path = s"/tmp/graft_ivfadc_index_${s.sparkContext.applicationId}"
+      Similarity.writeIvfadcIndex(e, "vec_id", "v", path, dim = 64,
+        kCoarse = 8, m = 4, k = 8, iters = 2, sampleN = 256)
+      val qv = e.filter(col("vec_id") === 0)
+        .collect()(0).getSeq[Double](1) // 1 row — the query, model-sized
+      Similarity.ivfadcIndexTopK(s, path, "vec_id", qv, topK = 10,
+        nprobe = 2, excludeId = Some(0L))
+    }),
+
     // text: heuristic language ID
     "q_lang_id" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -1762,6 +1779,36 @@ object SparkEntry {
       Sketches.hllEstimate(merged, "scope", p = 5)
         .select(col("n_buckets_used"), col("est_distinct"))
         .crossJoin(exact)
+    }),
+
+    // sketches/crawl: Bloom URL-seen filter (Bloom 1970) — 2/3 of the
+    // URLs are "already crawled"; probe ALL against the sparse set-bit
+    // table. truly_seen in-row pins the zero-false-negative guarantee
+    // cross-engine (no row may have truly_seen AND NOT maybe_seen).
+    "q_bloom_filter" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+          lit(".com/page/"), col("doc_id").cast("string")).as("url"))
+      val bits = Sketches.bloomBits(
+        urls.filter(col("doc_id") % 3 =!= 0).select(col("url")), "url",
+        mBits = 8192, kHashes = 4)
+      Sketches.bloomProbe(bits, urls.select(col("url")), "url",
+        mBits = 8192, kHashes = 4)
+        .join(urls.select(col("url"),
+          (col("doc_id") % 3 =!= 0).as("truly_seen")), Seq("url"))
+        .orderBy("url")
+    }),
+
+    // sketches/crawl: Bloom MERGEABILITY — Spark ORs the per-source bit
+    // tables (union + distinct); the oracle builds the union's filter
+    // from scratch. Hash equality pins merge == rebuild cross-engine.
+    "q_bloom_merge" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("source"),
+        concat(lit("https://site"), (col("doc_id") % 20).cast("string"),
+          lit(".com/page/"), col("doc_id").cast("string")).as("url"))
+      Sketches.bloomMerge(Sketches.bloomBitsGrouped(urls, "source", "url",
+        mBits = 8192, kHashes = 4))
+        .orderBy("bit")
     }),
 
     // crawl ops: snapshot diff against the STORED snapshot artifact —
@@ -3097,6 +3144,10 @@ object SparkEntry {
     "q_ann_ivfadc" -> ivfadcOracleSql(dim = 64, kCoarse = 8, iters = 2,
       sampleN = 256, nprobe = 2, m = 4, sub = 16, k = 8, topK = 10),
 
+    "q_ann_ivfadc_index" -> ivfadcOracleSql(dim = 64, kCoarse = 8,
+      iters = 2, sampleN = 256, nprobe = 2, m = 4, sub = 16, k = 8,
+      topK = 10),
+
     "q_lang_id" ->
       """SELECT doc_id,
         |  CASE WHEN text IS NULL THEN 'und'
@@ -3923,6 +3974,58 @@ object SparkEntry {
          |              ELSE 31.0 / ((ed.hk::DOUBLE + 0.5) / 281474976710656.0) END) * 10000.0 + 0.5) / 10000.0 AS est_direct,
          |       exact_distinct
          |FROM em, ed, ex""".stripMargin,
+
+    "q_bloom_filter" -> {
+      val bitRows = (0 until 4).map { j =>
+        val a = graft.operators.Dedup.MinhashA(j)
+        val b = graft.operators.Dedup.MinhashB(j)
+        s"SELECT (($a * h + $b) % 2147483647) % 8192 AS bit FROM sh"
+      }.mkString("\n  UNION ALL ")
+      val probeRows = (0 until 4).map { j =>
+        val a = graft.operators.Dedup.MinhashA(j)
+        val b = graft.operators.Dedup.MinhashB(j)
+        s"SELECT url, (($a * h + $b) % 2147483647) % 8192 AS bit FROM ph"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'https://site' || (doc_id % 20)::VARCHAR || '.com/page/' || doc_id::VARCHAR AS url
+         |  FROM documents),
+         |sh AS (
+         |  SELECT ('0x' || substr(md5(url), 1, 12))::UBIGINT::BIGINT % 2147483647 AS h
+         |  FROM u WHERE doc_id % 3 <> 0),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |  $bitRows)),
+         |ph AS (
+         |  SELECT url, ('0x' || substr(md5(url), 1, 12))::UBIGINT::BIGINT % 2147483647 AS h
+         |  FROM u),
+         |pb AS (
+         |  $probeRows),
+         |hits AS (
+         |  SELECT url, sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nh
+         |  FROM pb LEFT JOIN bits ON bits.bit = pb.bit GROUP BY 1)
+         |SELECT u.url AS url, (nh = 4) AS maybe_seen,
+         |       (doc_id % 3 <> 0) AS truly_seen
+         |FROM hits JOIN u ON u.url = hits.url
+         |ORDER BY url""".stripMargin
+    },
+
+    "q_bloom_merge" -> {
+      val bitRows = (0 until 4).map { j =>
+        val a = graft.operators.Dedup.MinhashA(j)
+        val b = graft.operators.Dedup.MinhashB(j)
+        s"SELECT (($a * h + $b) % 2147483647) % 8192 AS bit FROM sh"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'https://site' || (doc_id % 20)::VARCHAR || '.com/page/' || doc_id::VARCHAR AS url
+         |  FROM documents),
+         |sh AS (
+         |  SELECT ('0x' || substr(md5(url), 1, 12))::UBIGINT::BIGINT % 2147483647 AS h
+         |  FROM u),
+         |bits AS (SELECT DISTINCT bit FROM (
+         |  $bitRows))
+         |SELECT bit FROM bits ORDER BY bit""".stripMargin
+    },
 
     "q_cms_sketch" ->
       s"""WITH ${cmsCtes(depth = 4, width = 64)}

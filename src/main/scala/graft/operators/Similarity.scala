@@ -580,6 +580,101 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Scan-local centroid lookup by stored code: a chained `when` over the
+    * k (model-sized) codebook entries — no join, stays in the scan. */
+  private def centroidLookup(code: Column,
+                             cb: Seq[(Long, Seq[Double])]): Column =
+    cb.tail.foldLeft(when(code === cb.head._1, typedlit(cb.head._2))) {
+      case (acc, (cid, cv)) => acc.when(code === cid, typedlit(cv))
+    }
+
+  /**
+   * Persist the IVFADC index in its scale layout (Jégou et al. 2011 §IV /
+   * the FAISS on-disk shape): per vector, the coarse CELL as the
+   * partition key and the m PQ CODES as small ints — the full-precision
+   * vector is NOT stored. At dim=64 doubles → 4 ints the index is ~60×
+   * smaller than the [[writeIvfIndex]] layout, which is the property
+   * that keeps a 100 TB embedding corpus's index in RAM; the price is
+   * quantized (ADC) scores instead of exact ones. Alongside: the coarse
+   * centroid table, the per-subspace residual codebooks, and a meta row
+   * (dim, k_coarse, m, k) guarding artifact identity the way
+   * [[writeLshIndex]] stores `n_bits`.
+   */
+  def writeIvfadcIndex(emb: DataFrame, idCol: String, vecCol: String,
+                       path: String, dim: Int, kCoarse: Int = 8,
+                       m: Int = 4, k: Int = 8, iters: Int = 2,
+                       sampleN: Long = 256): Unit = {
+    val sub = dim / m
+    val coarseDf = materializedCentroids(emb, idCol, vecCol, kCoarse,
+      iters, sampleN)
+    val coarse = coarseDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val resid = zip_with(col(vecCol),
+      nearestCentroidVec(col(vecCol), coarse), (x, c) => x - c)
+    val cbs = pqCodebooks(emb.select(col(idCol), resid.as("_r")),
+      idCol, "_r", dim, m, k, iters, sampleN)
+    val codeCols = pqCodeColumns(resid, cbs, sub).zipWithIndex
+      .map { case (c, s) => c.cast("int").as(s"code$s") }
+    emb.select(col(idCol) +: cellColumn(col(vecCol), coarse).as("cell") +:
+        codeCols: _*)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    coarseDf.write.mode("overwrite").parquet(s"$path/coarse")
+    val cbRows = cbs.zipWithIndex.flatMap { case (cb, s) =>
+      cb.map { case (cid, cv) => (s, cid, cv) }
+    }
+    emb.sparkSession.createDataFrame(cbRows)
+      .toDF("subspace", "cid", "cv")
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    emb.sparkSession.range(1)
+      .select(lit(dim).as("dim"), lit(kCoarse).as("k_coarse"),
+        lit(m).as("m"), lit(k).as("k"))
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * ANN top-k against a stored [[writeIvfadcIndex]] artifact: the coarse
+   * table ranks the probe cells (model-sized read), the scan touches
+   * ONLY the nprobe `cell=` partition directories (PartitionFilters
+   * asserted in SimilaritySpec), and each survivor is scored from its m
+   * stored CODES — reconstruction is a chained-`when` centroid lookup
+   * plus one `zip_with` add, entirely scan-local, the raw vector never
+   * read because it was never stored. Scores are identical to the
+   * in-memory [[ivfadcTopK]] (same argmax semantics for cell and codes),
+   * so both sit under the same oracle. Refuses a dim that differs from
+   * the artifact's.
+   */
+  def ivfadcIndexTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                      idCol: String, query: Seq[Double], topK: Int = 10,
+                      nprobe: Int = 2,
+                      excludeId: Option[Long] = None): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (dim, m) = (meta.getAs[Int]("dim"), meta.getAs[Int]("m"))
+    require(dim == query.length,
+      s"index at $path holds dim=$dim vectors, probed with dim=${query.length}")
+    val sub = dim / m
+    val coarse = spark.read.parquet(s"$path/coarse").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
+    val cbs = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getAs[Int]("subspace"), r.getLong(1), r.getSeq[Double](2).toSeq))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+    val q = typedlit(query)
+    val probed = spark.read.parquet(s"$path/coarse")
+      .orderBy(cosine(col("cv"), q).desc, col("cid"))
+      .limit(nprobe)
+      .collect().map(_.getLong(0)).toSeq // nprobe ids — model-sized
+    val scan = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed: _*))
+    val base = excludeId.fold(scan)(id => scan.filter(col(idCol) =!= id))
+    val rhat = concat((0 until m).map(s =>
+      centroidLookup(col(s"code$s").cast("long"), cbs(s))): _*)
+    val xhat = zip_with(centroidLookup(col("cell"), coarse), rhat,
+      (c, r) => c + r)
+    base.select(col(idCol), round(cosine(q, xhat), 4).as("adc_sim"))
+      .orderBy(col("adc_sim").desc, col(idCol))
+      .limit(topK)
+  }
+
   /**
    * Persist the sign-LSH ANN index in its scale layout: vectors
    * PARTITIONED BY their nBits sign bucket — the sign-LSH sibling of

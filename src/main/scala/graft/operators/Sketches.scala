@@ -102,6 +102,74 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
   }
 
+  /** The kHashes affine bit positions for one key hash — shared by
+    * [[bloomBits]] and [[bloomProbe]] (they MUST agree). */
+  private def bloomPositions(mBits: Int, kHashes: Int): Seq[Column] =
+    (0 until kHashes).map { j =>
+      val (a, b) = (Dedup.MinhashA(j), Dedup.MinhashB(j))
+      ((lit(a) * col("_h") + lit(b)) % Dedup.MinhashP) % mBits
+    }
+
+  /**
+   * Bloom filter, build half (Bloom 1970, "Space/time trade-offs in hash
+   * coding with allowable errors", CACM) — the crawl frontier's
+   * "URL already fetched?" sketch: each key sets kHashes affine bit
+   * positions in an mBits space; the filter is stored SPARSELY as the
+   * distinct set-bit table (relationally exact, and mergeable by plain
+   * UNION + distinct — bitwise OR in relational form, the same
+   * merge-without-rescan contract as [[cmsMerge]]/[[hllMerge]]).
+   * Guarantee: NO false negatives ever (a seen key's bits are all set by
+   * construction); false positives at the standard (1−e^(−kn/m))^k rate,
+   * measured in-row by the driver query and in SketchesSpec.
+   *
+   * Plan: one scan → k positions per key → ONE distinct over ≤ mBits
+   * short rows. The register space bounds the state regardless of how
+   * many keys were ever inserted — what lets a 10¹²-URL frontier answer
+   * membership from RAM.
+   */
+  def bloomBits(keys: DataFrame, keyCol: String, mBits: Int = 8192,
+                kHashes: Int = 4): DataFrame = {
+    require(kHashes >= 1 && kHashes <= Dedup.MinhashA.size,
+      s"kHashes must be in [1, ${Dedup.MinhashA.size}]")
+    require(mBits >= 2, "mBits must be >= 2")
+    keys.select(baseHash48(col(keyCol)).as("_h"))
+      .select(explode(array(bloomPositions(mBits, kHashes): _*)).as("bit"))
+      .distinct()
+  }
+
+  /** Per-group Bloom bit tables (grp, bit) — one filter per shard/source;
+    * [[bloomMerge]] folds them into the union's filter. */
+  def bloomBitsGrouped(keys: DataFrame, grpCol: String, keyCol: String,
+                       mBits: Int = 8192, kHashes: Int = 4): DataFrame =
+    keys.select(col(grpCol), baseHash48(col(keyCol)).as("_h"))
+      .select(col(grpCol),
+        explode(array(bloomPositions(mBits, kHashes): _*)).as("bit"))
+      .distinct()
+
+  /** Bloom merge: bitwise OR in relational form — the distinct union of
+    * per-group set bits IS the union's filter (over ≤ groups·mBits short
+    * rows; the key corpus is never re-read). */
+  def bloomMerge(grouped: DataFrame): DataFrame =
+    grouped.select(col("bit")).distinct()
+
+  /**
+   * Bloom membership probe: a key is `maybe_seen` iff ALL kHashes of its
+   * bit positions are in the set-bit table. One position-explode, one
+   * left join on the short bit key (the bits side is ≤ mBits rows —
+   * broadcast by any planner), one count-equals-k aggregate per key.
+   */
+  def bloomProbe(bits: DataFrame, probes: DataFrame, keyCol: String,
+                 mBits: Int = 8192, kHashes: Int = 4): DataFrame = {
+    val set = bits.select(col("bit"), lit(1L).as("_set"))
+    probes.select(col(keyCol), baseHash48(col(keyCol)).as("_h"))
+      .select(col(keyCol),
+        explode(array(bloomPositions(mBits, kHashes): _*)).as("bit"))
+      .join(set, Seq("bit"), "left")
+      .groupBy(col(keyCol))
+      .agg(sum(when(col("_set").isNotNull, 1L).otherwise(0L)).as("_hits"))
+      .select(col(keyCol), (col("_hits") === kHashes.toLong).as("maybe_seen"))
+  }
+
   /** HLL geometry: p index bits → m = 2^p buckets over a 60-bit hash;
     * the remaining 60−p bits feed the leading-zero rank. */
   private def hllM(p: Int): Int = 1 << p

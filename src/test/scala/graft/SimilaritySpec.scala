@@ -208,6 +208,35 @@ class SimilaritySpec extends SparkSuite {
     assert(idxIds == memIds, s"stored-index probe diverged: $idxIds vs $memIds")
   }
 
+  test("IVFADC stored index: codes-only layout (no vectors on disk), cell " +
+    "partitions prune, scores from codes equal the in-memory ivfadcTopK, " +
+    "dim guard refuses a mismatched probe") {
+    val e = emb.select($"vec_id", $"v")
+    val path = tmpDir("ivfadc-idx")
+    Similarity.writeIvfadcIndex(e, "vec_id", "v", path, dim = dim,
+      kCoarse = 4, m = 4, k = 8, iters = 2, sampleN = 64)
+    // the stored codes table holds NO vector column — only id + m codes
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.columns.toSet == Set("vec_id", "cell", "code0", "code1",
+      "code2", "code3"), codes.columns.mkString(","))
+    val qv = base.find(_._1 == 7L).get._2.toSeq
+    val fromIndex = Similarity.ivfadcIndexTopK(spark, path, "vec_id", qv,
+      topK = 11, nprobe = 2)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"cell predicate must prune partitions:\n$plan")
+    val idx = fromIndex.as[(Long, Double)].collect()
+      .filter(_._1 != 7L).take(10).toSeq
+    val mem = Similarity.ivfadcTopK(e, "vec_id", "v", queryId = 7L,
+      dim = dim, topK = 10, kCoarse = 4, nprobe = 2, m = 4, k = 8,
+      iters = 2, sampleN = 64).as[(Long, Double)].collect().toSeq
+    assert(idx == mem, s"stored-index ADC diverged: $idx vs $mem")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfadcIndexTopK(spark, path, "vec_id", qv ++ Seq(0.0),
+        topK = 10, nprobe = 2).collect()
+    }
+  }
+
   test("multimodal: decode plumbing is partition-preserving with typed output") {
     val media = Multimodal.fromBinary(spark,
       Seq((1L, "img-bytes-aaaa"), (2L, "vid-bytes-bbbb"), (3L, "vid-bytes-cccc"))

@@ -57,6 +57,34 @@ class SketchesSpec extends SparkSuite {
     assert(perRow.values.forall(_ == allToks.size.toLong), perRow.toString)
   }
 
+  test("Bloom: zero false negatives ever; false-positive rate small at " +
+    "sane load; merge by union equals rebuild; absent-key probe is false") {
+    val seen = (1 to 300).map(i => (s"g${i % 3}", s"https://h$i.com/p/$i"))
+      .toDF("g", "url")
+    val unseen = (1001 to 1300).map(i => s"https://h$i.com/p/$i").toDF("url")
+    val bits = Sketches.bloomBits(seen.select($"url"), "url",
+      mBits = 8192, kHashes = 4)
+    val nBits = bits.count()
+    assert(nBits <= 300L * 4 && nBits > 1000, s"sparse bit table: $nBits")
+    // every inserted key probes true — the hard guarantee
+    val seenProbe = Sketches.bloomProbe(bits, seen.select($"url"), "url",
+      mBits = 8192, kHashes = 4).as[(String, Boolean)].collect()
+    assert(seenProbe.length == 300 && seenProbe.forall(_._2),
+      "false negative detected")
+    // unseen keys mostly probe false; rate within 10x of theory
+    val fp = Sketches.bloomProbe(bits, unseen, "url", mBits = 8192,
+      kHashes = 4).as[(String, Boolean)].collect().count(_._2)
+    val pTheory = math.pow(1.0 - math.exp(-4.0 * 300 / 8192.0), 4)
+    assert(fp <= math.max(3.0, 10 * pTheory * 300),
+      s"FP rate suspicious: $fp/300 vs theory ${pTheory * 300}")
+    // merge == rebuild
+    val merged = Sketches.bloomMerge(
+      Sketches.bloomBitsGrouped(seen, "g", "url", mBits = 8192, kHashes = 4))
+      .as[Long].collect().toSet
+    val direct = bits.as[Long].collect().toSet
+    assert(merged == direct, "bloom merge must equal rebuild")
+  }
+
   test("HLL: registers match a Scala reference (md5 60-bit hash, low-p " +
     "bucket, bin-length rho); merge by max equals rebuild") {
     val p = 5; val m = 1 << p; val width = 60 - p

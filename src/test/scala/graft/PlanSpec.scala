@@ -329,6 +329,38 @@ class PlanSpec extends SparkSuite {
       s"raw text must not be a shuffle key or ride the exchange:\n$p")
   }
 
+  test("CMS / HLL sketch builds: one partial-agg hash aggregate (map-side " +
+    "combine under a single Exchange), no join, no window") {
+    import graft.operators.Sketches
+    for (p <- Seq(
+      planOf(Sketches.cmsSketch(docs, "source", "text", depth = 4, width = 16)),
+      planOf(Sketches.hllRegisters(docs, "source", "text", p = 4)))) {
+      assert(p.contains("partial_"),
+        s"register build must combine map-side:\n$p")
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+        s"exactly ONE shuffle (the register aggregate):\n$p")
+      assert(!p.contains("Join") && !p.contains("Window"), p)
+    }
+  }
+
+  test("bloom / CMS probes: the register side joins BROADCAST (bits table " +
+    "is bounded by mBits / d*w by construction), never sort-merge") {
+    import graft.operators.Sketches
+    val bits = Sketches.bloomBits(docs.select($"text".as("url")), "url",
+      mBits = 1024, kHashes = 4).localCheckpoint()
+    val pb = planOf(Sketches.bloomProbe(bits,
+      docs.select($"text".as("url")), "url", mBits = 1024, kHashes = 4))
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("SortMergeJoin"), pb)
+    val merged = Sketches.cmsMerge(Sketches.cmsSketch(docs, "source",
+      "text", depth = 4, width = 16)).localCheckpoint()
+    val pc = planOf(Sketches.cmsEstimate(merged,
+      docs.select(explode(graft.operators.TextAnalysis.toks($"text")).as("tok")).distinct(),
+      "tok", depth = 4, width = 16))
+    assert(pc.contains("BroadcastHashJoin"), pc)
+    assert(!pc.contains("SortMergeJoin"), pc)
+  }
+
   test("KMV sketch: salted two-window bottom-k (skew-proof), estimate is " +
     "one aggregate with map-side combine") {
     val sk = Curation.kmvSketch(docs, "source", "text", k = 8)

@@ -1494,6 +1494,22 @@ object SparkEntry {
         .orderBy("domain")
     }),
 
+    // web graph/crawl: frontier prioritization — the scheduler
+    // composition: extracted hrefs, bloom-unseen filter (zero false
+    // negatives: fetched URLs never re-queued), ranked by destination-
+    // domain PageRank; every piece oracle-pinned alone, composed here
+    "q_frontier" -> ((s, dir) => {
+      val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        plantedHtml.cast("binary").as("html"))
+      val cand = WebGraph.extractLinks(pages, "doc_id", "html")
+        .select(col("href").as("url")).distinct()
+      val seen = cand.filter(col("url").endsWith("/q") ||
+        substring(col("url"), -1, 1).isin("0", "2", "4", "6", "8"))
+      WebGraph.frontierRank(pages, "source", "doc_id", "html",
+        seen.select(col("url")), iters = 3, mBits = 8192, kHashes = 4,
+        topK = 20)
+    }),
+
     // web graph: relative spam mass (Gyöngyi et al. 2006) — the fraction
     // of each domain's PageRank earned through UNtrusted paths,
     // m = (pr − n·tr)/pr with tr rescaled to pr's total teleport mass;
@@ -3719,6 +3735,9 @@ object SparkEntry {
     "q_spam_mass" ->
       spamMassOracleSql(iters = 3, seeds = Seq("src0", "src1", "site0.com")),
 
+    "q_frontier" -> frontierOracleSql(iters = 3, mBits = 8192,
+      kHashes = 4, topK = 20),
+
     "q_pagerank_conserving" -> pagerankConservingOracleSql(iters = 3),
 
     "q_hits" ->
@@ -4760,6 +4779,80 @@ object SparkEntry {
        |SELECT prf.domain AS domain, prf.pr AS pr, trf.tr AS tr,
        |       floor((prf.pr - (SELECT count(*) FROM doms)::DOUBLE * trf.tr) / prf.pr * 10000.0 + 0.5) / 10000.0 AS spam_mass
        |FROM prf JOIN trf USING (domain) ORDER BY domain""".stripMargin
+  }
+
+  /** Frontier oracle: [[pagerankOracleSql]]'s rounds over the planted
+    * edges + the bloom bits/probe CTEs over the seen rule (url ends /q
+    * or in an even digit) + unseen-join-rank — mirroring
+    * `WebGraph.frontierRank`'s composition. */
+  private def frontierOracleSql(iters: Int, mBits: Int, kHashes: Int,
+                                topK: Int): String = {
+    val prRounds = (1 to iters).map { i =>
+      s"""pinf$i AS (
+         |  SELECT dst_domain AS domain, sum(pr * n::DOUBLE / outw) AS inflow
+         |  FROM eg JOIN outd USING (src_domain)
+         |       JOIN pr${i - 1} ON pr${i - 1}.domain = eg.src_domain
+         |  GROUP BY 1),
+         |pr$i AS (
+         |  SELECT doms.domain,
+         |         ((1.0::DOUBLE - 0.85::DOUBLE) + 0.85::DOUBLE * coalesce(inflow, 0.0::DOUBLE)) AS pr
+         |  FROM doms LEFT JOIN pinf$i USING (domain))""".stripMargin
+    }.mkString(",\n")
+    val bitRows = (0 until kHashes).map { j =>
+      val a = graft.operators.Dedup.MinhashA(j)
+      val b = graft.operators.Dedup.MinhashB(j)
+      s"SELECT (($a * h + $b) % 2147483647) % $mBits AS bit FROM shh"
+    }.mkString("\n  UNION ALL ")
+    val probeRows = (0 until kHashes).map { j =>
+      val a = graft.operators.Dedup.MinhashA(j)
+      val b = graft.operators.Dedup.MinhashB(j)
+      s"SELECT url, (($a * h + $b) % 2147483647) % $mBits AS bit FROM phh"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH h AS (
+       |  SELECT doc_id, source, $plantedHtmlSql AS html
+       |  FROM documents),
+       |l AS (
+       |  SELECT source, unnest(regexp_extract_all(html, '(?i)<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>', 1)) AS href
+       |  FROM h),
+       |eg AS (
+       |  SELECT src_domain, dst_domain, count(*) AS n FROM (
+       |    SELECT source AS src_domain,
+       |           lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS dst_domain
+       |    FROM l)
+       |  WHERE dst_domain <> '' AND dst_domain <> src_domain
+       |  GROUP BY 1, 2),
+       |outd AS (SELECT src_domain, sum(n) AS outw FROM eg GROUP BY 1),
+       |doms AS (
+       |  SELECT DISTINCT src_domain AS domain FROM eg
+       |  UNION SELECT DISTINCT dst_domain FROM eg),
+       |pr0 AS (SELECT domain, 1.0::DOUBLE AS pr FROM doms),
+       |$prRounds,
+       |prf AS (SELECT domain, floor(pr * 10000.0 + 0.5) / 10000.0 AS pr FROM pr$iters),
+       |cand AS (
+       |  SELECT DISTINCT href AS url,
+       |         lower(regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1)) AS domain
+       |  FROM l
+       |  WHERE regexp_extract(href, '^(?:https?://)?([^/:?#]+)', 1) <> ''),
+       |seen AS (
+       |  SELECT url FROM cand
+       |  WHERE url LIKE '%/q' OR substr(url, -1) IN ('0', '2', '4', '6', '8')),
+       |shh AS (
+       |  SELECT ('0x' || substr(md5(url), 1, 12))::UBIGINT::BIGINT % 2147483647 AS h
+       |  FROM seen),
+       |bits AS (SELECT DISTINCT bit FROM (
+       |  $bitRows)),
+       |phh AS (
+       |  SELECT url, ('0x' || substr(md5(url), 1, 12))::UBIGINT::BIGINT % 2147483647 AS h
+       |  FROM cand),
+       |pb AS (
+       |  $probeRows),
+       |hits AS (
+       |  SELECT url, sum(CASE WHEN bits.bit IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS nh
+       |  FROM pb LEFT JOIN bits ON bits.bit = pb.bit GROUP BY 1)
+       |SELECT cand.url AS url, cand.domain AS domain, prf.pr AS priority
+       |FROM cand JOIN hits ON hits.url = cand.url AND hits.nh < $kHashes
+       |JOIN prf ON prf.domain = cand.domain
+       |ORDER BY priority DESC, url LIMIT $topK""".stripMargin
   }
 
   private def pagerankOracleSql(iters: Int): String = {

@@ -209,6 +209,43 @@ object WebGraph {
   }
 
   /**
+   * Crawl-frontier prioritization — the composition a crawler's scheduler
+   * actually runs, from pieces that are each oracle-pinned alone:
+   * candidate URLs are the hrefs extracted from fetched pages
+   * ([[extractLinks]]), already-fetched URLs are filtered through the
+   * Bloom URL-seen sketch ([[Sketches.bloomBits]] — zero false negatives
+   * means nothing fetched is ever re-queued; a false positive drops a
+   * candidate, the crawl-safe direction), and the survivors are ranked
+   * by the PageRank of their DESTINATION domain ([[pagerank]] — the
+   * authority-first frontier ordering, the batch recast of OPIC/
+   * priority-BFS scheduling).
+   *
+   * Plan: candidates and edges come from ONE pages scan each; the bloom
+   * bit table is ≤ mBits rows (broadcast), the rank table is
+   * domain-keyed (aggregate-scale, AQE-sized join); the final top-k is
+   * TakeOrderedAndProject. Nothing corpus-scale shuffles more than once.
+   */
+  def frontierRank(pages: DataFrame, srcCol: String, idCol: String,
+                   htmlCol: String, seenUrls: DataFrame, iters: Int = 3,
+                   mBits: Int = 8192, kHashes: Int = 4,
+                   topK: Int = 20): DataFrame = {
+    val pr = pagerank(domainEdges(pages, srcCol, idCol, htmlCol), iters)
+    val cand = extractLinks(pages, idCol, htmlCol)
+      .select(col("href").as("url"), hostOf(col("href")).as("domain"))
+      .filter(col("domain").isNotNull)
+      .distinct()
+    val bits = Sketches.bloomBits(seenUrls, "url", mBits, kHashes)
+    val unseen = Sketches.bloomProbe(bits, cand.select(col("url")), "url",
+      mBits, kHashes)
+      .filter(!col("maybe_seen")).select(col("url"))
+    cand.join(unseen, Seq("url"))
+      .join(pr, Seq("domain"))
+      .select(col("url"), col("domain"), col("pr").as("priority"))
+      .orderBy(col("priority").desc, col("url"))
+      .limit(topK)
+  }
+
+  /**
    * Relative spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen 2006,
    * "Link Spam Detection Based on Mass Estimation", VLDB): the fraction
    * of a domain's PageRank that arrives through UNtrusted paths,

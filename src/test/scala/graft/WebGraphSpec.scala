@@ -221,6 +221,44 @@ class WebGraphSpec extends SparkSuite {
     assert(m("S")._3 == m.values.map(_._3).min, "seed carries least spam mass")
   }
 
+  test("frontier rank: no fetched URL is ever re-queued (bloom FN-free " +
+    "propagates); survivors ranked by destination-domain pagerank desc; " +
+    "every output is an extracted candidate") {
+    import graft.operators.Sketches
+    // pages on 3 source domains linking to a.com (authority) and b.com
+    val html = (to: String, p: Int) =>
+      s"""<html><a href="http://$to/page$p">x</a></html>""".getBytes("UTF-8")
+    val pages = Seq(
+      (1L, "s0", html("a.com", 1)), (2L, "s1", html("a.com", 2)),
+      (3L, "s2", html("a.com", 3)), (4L, "s0", html("b.com", 4)),
+      (5L, "s1", html("b.com", 5)))
+      .toDF("doc_id", "source", "html")
+    val seen = Seq("http://a.com/page1", "http://b.com/page4").toDF("url")
+    val got = WebGraph.frontierRank(pages, "source", "doc_id", "html",
+      seen, iters = 2, mBits = 1024, kHashes = 4, topK = 10)
+      .as[(String, String, Double)].collect()
+    val urls = got.map(_._1).toSet
+    assert(!urls.contains("http://a.com/page1") &&
+      !urls.contains("http://b.com/page4"),
+      s"fetched URLs must never re-queue: $urls")
+    assert(urls.subsetOf(Set("http://a.com/page2", "http://a.com/page3",
+      "http://b.com/page5")), urls.toString)
+    // a.com has 3 in-links vs b.com's 2 -> higher rank -> queued first
+    val pr = WebGraph.pagerank(
+      WebGraph.domainEdges(pages, "source", "doc_id", "html"), iters = 2)
+      .as[(String, Double)].collect().toMap
+    got.foreach { case (_, d, p) => assert(p == pr(d)) }
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+    assert(got.head._2 == "a.com", s"authority domain first: ${got.toSeq}")
+    // bloom FP can only DROP candidates, never admit a seen one — verify
+    // the probe agrees with exact membership on this fixture
+    val bits = Sketches.bloomBits(seen, "url", 1024, 4)
+    val probe = Sketches.bloomProbe(bits,
+      Seq("http://a.com/page2", "http://a.com/page1").toDF("url"), "url",
+      1024, 4).as[(String, Boolean)].collect().toMap
+    assert(probe("http://a.com/page1"), "seen must probe true")
+  }
+
   test("hits step: hand-computed auth/hub on a weighted graph; pure hubs " +
     "get zero authority and pure authorities zero hub") {
     // A -2-> C, B -1-> C, B -3-> D : a1(C)=3, a1(D)=3;

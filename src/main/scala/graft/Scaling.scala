@@ -103,7 +103,11 @@ object MemProbe {
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
     val cores = sc.defaultParallelism
-    val n = mbPerTask * 1024 * 1024 / 8 // longs per task buffer
+    // Long arithmetic: Int overflows at mbPerTask >= 2048 (negative array
+    // size); bound the sweep instead of crashing it
+    require(mbPerTask >= 1 && mbPerTask < 16384,
+      s"mbPerTask must be in [1, 16384), got $mbPerTask")
+    val n = (mbPerTask.toLong * 1024 * 1024 / 8).toInt // longs per task buffer
     def once(): Double = {
       val t0 = System.nanoTime()
       sc.parallelize(0 until cores, cores).map { _ =>

@@ -1501,8 +1501,11 @@ object SparkEntry {
     "q_frontier" -> ((s, dir) => {
       val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
         plantedHtml.cast("binary").as("html"))
+      // host-filtered like the oracle's cand CTE (regexp_extract <> '') —
+      // a host-less/relative href must not set extra Bloom bits Spark-side
       val cand = WebGraph.extractLinks(pages, "doc_id", "html")
         .select(col("href").as("url")).distinct()
+        .filter(WebGraph.hostOf(col("url")).isNotNull)
       val seen = cand.filter(col("url").endsWith("/q") ||
         substring(col("url"), -1, 1).isin("0", "2", "4", "6", "8"))
       WebGraph.frontierRank(pages, "source", "doc_id", "html",

@@ -23,7 +23,7 @@ object Curation {
     * the token array MUST be bound once (interpreted HOFs do no CSE). */
   def gramRows(docs: DataFrame, idCol: String, textCol: String,
                n: Int): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(col(textCol)), "\\W+"), "")
     def gramsOf(ts: Column): Column =
       when(size(ts) >= n,
         transform(sequence(lit(1), size(ts) - (n - 1)),
@@ -222,7 +222,7 @@ object Curation {
                   chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
     val step = chunkSize - overlap
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(col(textCol), "\\s+"), "")
     def chunksOf(ts: Column): Column =
       transform(sequence(lit(1), greatest(size(ts) - overlap, lit(1)), lit(step)),
         s => struct(
@@ -268,7 +268,7 @@ object Curation {
    * the projected column — each signal tree then evaluates once per row.
    */
   def gopherStruct(text: Column): Column = {
-    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(text), "\\W+"), "")
     val ntok = size(toks)
     // bind the token array once — interpreted HOFs do no CSE (see gramRows)
     def over1(f: Column => Column): Column =
@@ -373,7 +373,7 @@ object Curation {
   def domainStats(docs: DataFrame, srcCol: String,
                   textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(col(textCol)), "\\W+"), "")
     val agg = docs
       .select(col(srcCol), size(toks).cast("long").as("ntok"),
         length(col(textCol)).cast("long").as("nchar"))
@@ -404,7 +404,7 @@ object Curation {
                    grpCol: String, capacity: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0, "capacity must be positive")
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(col(textCol)), "\\W+"), "")
     val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
     docs.select(col(grpCol), col(idCol),
       size(toks).cast("long").as("n_tokens"))
@@ -440,7 +440,7 @@ object Curation {
                grpCol: String, capacity: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(capacity > 0, "capacity must be positive")
-    val toksC = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toksC = array_remove(split(lower(col(textCol)), "\\W+"), "")
     val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
     val based = docs.select(col(grpCol), col(idCol), toksC.as("toks"))
       .withColumn("n", size(col("toks")).cast("long"))
@@ -477,7 +477,7 @@ object Curation {
    * shuffle; output rows = O(log max-length).
    */
   def lengthHistogram(docs: DataFrame, textCol: String): DataFrame = {
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(col(textCol)), "\\W+"), "")
     docs.select(length(bin(size(toks).cast("long"))).cast("long")
         .as("log2_bucket"),
       size(toks).cast("long").as("ntok"))
@@ -742,17 +742,23 @@ object Curation {
         // array_contains guard skips the (interpreted, O(n)-copy) fold
         // for every doc that can't contain the pair at all — most of the
         // corpus for most merges.
-        val fused = lit(p1 + " " + p2)
-        val folded = aggregate(col("ts"), array().cast("array<string>"),
-          (acc, x) =>
-            when(size(acc) > 0 &&
-                 element_at(acc, -1) === lit(p1) && x === lit(p2),
-              concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
-              .otherwise(concat(acc, array(x))))
-        toksDf = toksDf.select(col(idCol),
-          when(array_contains(col("ts"), p1) && array_contains(col("ts"), p2),
-            folded).otherwise(col("ts")).as("ts"))
-          .localCheckpoint()
+        // the merged token table only feeds the NEXT round's pair count —
+        // after the last round it is dead, so the fold + checkpoint
+        // (a full corpus materialization incl. the interpreted fold) is
+        // skipped entirely there (measured ~0.4 s/composite at sf0.1)
+        if (r < iters) {
+          val fused = lit(p1 + " " + p2)
+          val folded = aggregate(col("ts"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                   element_at(acc, -1) === lit(p1) && x === lit(p2),
+                concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
+                .otherwise(concat(acc, array(x))))
+          toksDf = toksDf.select(col(idCol),
+            when(array_contains(col("ts"), p1) && array_contains(col("ts"), p2),
+              folded).otherwise(col("ts")).as("ts"))
+            .localCheckpoint()
+        }
       }
     }
     spark.createDataFrame(merges.toSeq)
@@ -1003,7 +1009,7 @@ object Curation {
   def tokenBudgetFilter(docs: DataFrame, idCol: String, textCol: String,
                         grpCol: String, budget: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = filter(split(lower(col(textCol)), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(col(textCol)), "\\W+"), "")
     val w = Window.partitionBy(col(grpCol)).orderBy(col(idCol))
     docs.select(col(grpCol), col(idCol),
       size(toks).cast("long").as("n_tokens"))

@@ -20,7 +20,7 @@ object Dedup {
 
   /** Distinct word tokens of a text column (case-folded, \W+ split). */
   def tokensOf(text: Column): Column =
-    array_distinct(filter(split(lower(text), "\\W+"), t => t =!= ""))
+    array_distinct(array_remove(split(lower(text), "\\W+"), ""))
 
   /**
    * Exact dedup: group by content hash, keep the smallest id as canonical.
@@ -513,7 +513,7 @@ object Dedup {
     * [[shingles]]; exposed for stateless per-row consumers like the
     * streaming contamination gate). */
   def shingleArray(text: Column, n: Int): Column = {
-    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(text), "\\W+"), "")
     def gramsOf(ts: Column): Column =
       when(size(ts) >= n,
         array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),
@@ -669,7 +669,7 @@ object Dedup {
   def winnowedDupSpans(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(col(textCol), "\\s+"), "")
     // both the token array AND the hash array are lambda-bound via the
     // array()/element_at trick — interpreted HOFs do no CSE, and an
     // unbound `hs` inside the selection lambdas would rebuild the whole
@@ -730,7 +730,7 @@ object Dedup {
   def winnowedDupSpansFast(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(col(textCol), "\\s+"), "")
     val fps = graft.functions.WinnowExprs.winnowFingerprints(toks, k, w)
     val full = docs.select(col(idCol), explode(fps).as("h"))
     val df = full.groupBy(col("h"))
@@ -767,7 +767,7 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      window: Int = 32, stride: Int = 8): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(col(textCol), "\\s+"), "")
     def anchorsOf(ts: Column): Column =
       when(size(ts) >= window,
         filter(sequence(lit(1), size(ts) - (window - 1)), p =>
@@ -832,7 +832,7 @@ object Dedup {
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         window: Int = 32, stride: Int = 8): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
-    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = array_remove(split(col(textCol), "\\s+"), "")
     def windowsOf(ts: Column): Column =
       when(size(ts) >= window,
         transform(

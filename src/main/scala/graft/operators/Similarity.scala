@@ -233,30 +233,124 @@ object Similarity {
    * count — reproducible clustering, oracle-checkable in any engine.
    * A centroid that loses all its sample points drops out (k shrinks);
    * deterministic, documented.
+   *
+   * EXECUTION (optimization round): the sample is model-sized by
+   * construction (≤ sampleN rows), so it is collected ONCE and the Lloyd
+   * iterations run driver-side in [[kmeansLocal]] — one Spark job per
+   * training instead of `iters` × (assign-shuffle + mean-shuffle +
+   * collect) jobs, which dominated every ANN query's wall clock (the
+   * first formulation spent ~6 multi-stage jobs per codebook on ≤256
+   * rows of data). The driver arithmetic mirrors the former relational
+   * plan EXACTLY — same CosineSim accumulation order, Spark's double
+   * total order (NaN greatest) for the argmax, per-value
+   * DECIMAL(28,12) HALF_UP rounding and exact decimal sums for the
+   * means — so centroids are bit-identical to the former plan's
+   * (SimilaritySpec pins determinism; the full ANN oracle family pins
+   * end-to-end equality).
    */
   def kmeansCentroids(emb: DataFrame, idCol: String, vecCol: String,
                       k: Int = 8, iters: Int = 2, sampleN: Long = 256): DataFrame = {
     val spark = emb.sparkSession
     // the sample is bounded (≤ sampleN rows) — one task beats 32 empty ones
-    val sample = emb.filter(col(idCol) < sampleN)
-      .select(col(idCol), col(vecCol)).coalesce(1)
-    var cents = emb.filter(col(idCol) < k)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+    val sample = collectSample(emb, idCol, vecCol, sampleN)
+    val seeds =
+      if (k <= sampleN) sample.filter(_._1 < k)
+      else collectSample(emb, idCol, vecCol, k)
+    val cents = kmeansLocal(sample, seeds, iters)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cv",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(cents.map { case (cid, cv) =>
+        org.apache.spark.sql.Row(cid, cv.toSeq): org.apache.spark.sql.Row
+      }: _*)
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Collect the bounded k-means sample (id < bound) as driver-side rows,
+    * widening float vectors to double exactly as the cosine cast does. */
+  private def collectSample(emb: DataFrame, idCol: String, vecCol: String,
+                            bound: Long): Array[(Long, Array[Double])] =
+    emb.filter(col(idCol) < bound)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .coalesce(1)
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null
+        else r.getSeq[Double](1).toArray))
+
+  /** Spark SQL's total order for doubles (SQLOrderingUtil.compareDoubles):
+    * -0.0 == 0.0, NaN equal to itself and greater than everything else —
+    * the ordering the former relational argmax (`max(struct(...))`) used. */
+  private def cmpDouble(a: Double, b: Double): Int =
+    if (a < b) -1 else if (a > b) 1 else if (a == b) 0
+    else { val an = java.lang.Double.isNaN(a)
+      if (an && java.lang.Double.isNaN(b)) 0 else if (an) 1 else -1 }
+
+  /** Driver-side mirror of [[CosineSim]]'s kernel: identical accumulation
+    * order and min-length truncation, so results are bit-identical. */
+  private def cosineLocal(x: Array[Double], y: Array[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x(i); val yi = y(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** One value's exact-decimal contribution: the double rounded HALF_UP to
+    * 12 decimal places — Spark's `cast(x as decimal(28,12))` semantics
+    * (Decimal(BigDecimal(double)) is Double.toString-based, then
+    * changePrecision rounds HALF_UP). */
+  private def dec12(x: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(x).setScale(12, java.math.RoundingMode.HALF_UP)
+
+  /**
+   * Driver-side Lloyd iterations over a collected (model-sized) sample —
+   * the arithmetic twin of the former relational formulation (see
+   * [[kmeansCentroids]]): assignment is argmax cosine with smaller-cid
+   * tie-break under Spark's double total order; the per-(cell, pos) mean
+   * is exact-decimal-sum / count with per-value DECIMAL(28,12) HALF_UP
+   * rounding; a centroid that loses all sample points drops out.
+   * Output sorted by cid (the former collect order was partition-hash
+   * order; every consumer is order-independent or sorts — documented).
+   */
+  def kmeansLocal(sample: Array[(Long, Array[Double])],
+                  seeds: Array[(Long, Array[Double])],
+                  iters: Int): Seq[(Long, Array[Double])] = {
+    var cents: Seq[(Long, Array[Double])] =
+      seeds.sortBy(_._1).map { case (id, v) => (id, v) }.toSeq
     for (_ <- 1 to iters) {
-      val assigned = assignCells(sample, idCol, vecCol, cents)
-      val step = sample.join(assigned, Seq(idCol))
-        .select(col("cell").as("cid"), posexplode(col(vecCol)))
-        .groupBy(col("cid"), col("pos"))
-        .agg((sum(col("col").cast("decimal(28,12)")).cast("double")
-          / count(lit(1))).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("cv"))
-      // materialize each iteration (k rows — the model, not the data):
-      // keeps the lineage depth constant instead of nesting every Lloyd
-      // step's shuffles into one ever-deeper plan
-      cents = spark.createDataFrame(
-        java.util.Arrays.asList(step.collect(): _*), step.schema)
+      // argmax_{(cid,cv)} (cosine, -cid) — lexicographic, Spark double order
+      val assigned: Array[(Long, Array[Double])] = sample.map { case (_, v) =>
+        var bestCos = 0.0; var bestNc = 0L; var first = true; var cell = 0L
+        cents.foreach { case (cid, cv) =>
+          val c = cosineLocal(v, cv); val nc = -cid
+          val better = first || {
+            val cc = cmpDouble(c, bestCos)
+            cc > 0 || (cc == 0 && nc > bestNc)
+          }
+          if (better) { bestCos = c; bestNc = nc; cell = cid; first = false }
+        }
+        (cell, v)
+      }
+      cents = assigned.groupBy(_._1).toSeq.map { case (cid, rows) =>
+        val vecs = rows.map(_._2)
+        val dim = vecs.map(_.length).max
+        val cv = Array.tabulate(dim) { p =>
+          var sum = java.math.BigDecimal.ZERO; var cnt = 0L
+          vecs.foreach { v =>
+            if (v.length > p) { sum = sum.add(dec12(v(p))); cnt += 1 }
+          }
+          sum.doubleValue() / cnt
+        }
+        (cid, cv)
+      }.sortBy(_._1)
     }
     cents
   }
@@ -306,12 +400,10 @@ object Similarity {
    */
   def materializedCentroids(emb: DataFrame, idCol: String, vecCol: String,
                             k: Int = 8, iters: Int = 2,
-                            sampleN: Long = 256): DataFrame = {
-    val cents = kmeansCentroids(emb, idCol, vecCol, k, iters, sampleN)
-    val rows = cents.collect() // k rows — a model, not data
-    emb.sparkSession.createDataFrame(
-      java.util.Arrays.asList(rows: _*), cents.schema)
-  }
+                            sampleN: Long = 256): DataFrame =
+    // kmeansCentroids now trains driver-side on the collected sample and
+    // already returns a k-row LOCAL DataFrame — nothing left to re-collect
+    kmeansCentroids(emb, idCol, vecCol, k, iters, sampleN)
 
   /** IVF cell table for the whole corpus (k-means centroids). */
   def ivfCells(emb: DataFrame, idCol: String, vecCol: String,
@@ -322,16 +414,21 @@ object Similarity {
   /**
    * Cell assignment as a SCAN-LOCAL column: with the k centroids collected
    * driver-side (model-sized), each vector's argmax-cosine cell is a pure
-   * expression — `array_max` over k `struct(cosine, −cid)` literals, the
-   * same lexicographic argmax as [[assignCells]] — so no crossjoin rows,
-   * no groupBy, no join to attach cells to a corpus that also needs its
-   * payload columns. This is how a cell column should be carried at
-   * 100 TB: computed in the scan, not joined on afterwards.
+   * expression — the native [[graft.functions.NearestCentroidId]] kernel,
+   * the same lexicographic (cosine, −cid) argmax as [[assignCells]] — so
+   * no crossjoin rows, no groupBy, no join to attach cells to a corpus
+   * that also needs its payload columns. This is how a cell column should
+   * be carried at 100 TB: computed in the scan, not joined on afterwards.
+   *
+   * The former formulation (`array_max` over k struct literals) grew its
+   * expression tree linearly in k — fine at k=8, Catalyst-hazardous at
+   * production k (BENCH.md §7's StringReplace sibling); the native kernel
+   * holds the codebook as ONE model-sized reference object, depth O(1) in
+   * k (CentroidDepthProbe measures the sweep), results bit-identical
+   * (SimilaritySpec pins equality against the literal form).
    */
   def cellColumn(vecCol: Column, cents: Seq[(Long, Seq[Double])]): Column =
-    -array_max(array(cents.map { case (cid, cv) =>
-      struct(cosine(vecCol, typedlit(cv)).as("c"), lit(-cid).as("nc"))
-    }: _*)).getField("nc").cast("long")
+    graft.functions.CentroidExprs.nearestCentroidId(vecCol, cents)
 
   /**
    * SemDeDup (Abbas et al. 2023, public — "SemDeDup: Data-efficient
@@ -392,14 +489,17 @@ object Similarity {
               queryId: Long, topK: Int, k: Int = 8, nprobe: Int = 2,
               iters: Int = 2, sampleN: Long = 256): DataFrame = {
     val cents = materializedCentroids(emb, idCol, vecCol, k, iters, sampleN)
-    val cells = assignCells(emb, idCol, vecCol, cents)
+    val centsSeq = cents.collect() // k rows — the model
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     val q = emb.filter(col(idCol) === queryId).select(col(vecCol).as("qv"))
     val probed = cents.crossJoin(broadcast(q))
       .orderBy(cosine(col("cv"), col("qv")).desc, col("cid"))
       .limit(nprobe)
-      .select(col("cid").as("qcell"))
-    emb.join(cells, Seq(idCol))
-      .join(broadcast(probed), col("cell") === col("qcell"))
+      .collect().map(_.getLong(0)).toSeq // nprobe ids — model-sized
+    // cell is a scan-local cellColumn predicate (the stored-index probe's
+    // shape) — the former corpus-wide assignCells crossjoin+groupBy+join
+    // shuffled the corpus twice to attach a column the scan can compute
+    emb.filter(cellColumn(col(vecCol), centsSeq).isin(probed: _*))
       .crossJoin(broadcast(q))
       .filter(col(idCol) =!= queryId)
       .select(col(idCol), round(cosine(col(vecCol), col("qv")), 4).as("cos_sim"))
@@ -418,8 +518,12 @@ object Similarity {
                     path: String, k: Int = 8, iters: Int = 2,
                     sampleN: Long = 256): Unit = {
     val cents = materializedCentroids(emb, idCol, vecCol, k, iters, sampleN)
-    val cells = assignCells(emb, idCol, vecCol, cents)
-    emb.join(cells, Seq(idCol))
+    val centsSeq = cents.collect() // k rows — the model
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    // cell computed IN the scan (cellColumn — same argmax as assignCells);
+    // the former assignCells+join shuffled the corpus twice for a column
+    // that is a pure function of the vector
+    emb.withColumn("cell", cellColumn(col(vecCol), centsSeq))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     cents.write.mode("overwrite").parquet(s"$path/centroids")
   }
@@ -465,26 +569,31 @@ object Similarity {
                   sampleN: Long = 256): Seq[Seq[(Long, Seq[Double])]] = {
     require(m >= 1 && dim % m == 0, s"dim $dim must be divisible by m $m")
     val sub = dim / m
+    // ONE sample collect feeds all m subspace trainings (the slice is a
+    // local subarray — Spark's slice(start, len) on the same rows); the
+    // former per-subspace plan re-scanned the corpus m times
+    val sample = collectSample(emb, idCol, vecCol, sampleN)
+    val seeds =
+      if (k <= sampleN) sample.filter(_._1 < k)
+      else collectSample(emb, idCol, vecCol, k)
+    def sl(v: Array[Double], s: Int): Array[Double] =
+      if (v == null) null
+      else v.slice(s * sub, math.min(v.length, s * sub + sub))
     (0 until m).map { s =>
-      materializedCentroids(
-        emb.select(col(idCol), slice(col(vecCol), s * sub + 1, sub).as("_v")),
-        idCol, "_v", k, iters, sampleN)
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
-        .sortBy(_._1).toSeq
+      kmeansLocal(sample.map(t => (t._1, sl(t._2, s))),
+        seeds.map(t => (t._1, sl(t._2, s))), iters)
+        .map { case (cid, cv) => (cid, cv.toSeq) }.toSeq
     }
   }
 
   /** Scan-local nearest-codebook-centroid VECTOR for one subspace slice:
-    * `array_max` over k struct(cosine, −cid, centroid) literals — the
-    * [[cellColumn]] argmax carrying the centroid itself as payload (ties
-    * impossible past −cid, so the array field never drives the compare). */
+    * the [[cellColumn]] argmax carrying the centroid itself as payload —
+    * native [[graft.functions.NearestCentroidVec]] kernel (codebook as a
+    * reference object, depth O(1) in k; the former k-struct-literal
+    * `array_max` grew linearly in k). */
   private def nearestCentroidVec(sl: Column,
                                  cb: Seq[(Long, Seq[Double])]): Column =
-    array_max(array(cb.map { case (cid, cv) =>
-      struct(cosine(sl, typedlit(cv)).as("c"), lit(-cid).as("nc"),
-        typedlit(cv).as("cv"))
-    }: _*)).getField("cv")
+    graft.functions.CentroidExprs.nearestCentroidVec(sl, cb)
 
   /** PQ code per subspace (the stored representation): [[cellColumn]]'s
     * argmax on each slice — scan-local, no join, no shuffle. */
@@ -560,8 +669,10 @@ object Similarity {
       iters, sampleN)
     val coarse = coarseDf.collect() // kCoarse rows — the coarse model
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
-    val resid = zip_with(col(vecCol),
-      nearestCentroidVec(col(vecCol), coarse), (x, c) => x - c)
+    // residual/reconstruction arithmetic via the native vec_sub/vec_add
+    // kernels (zip_with is CodegenFallback — interpreted per row)
+    val resid = graft.functions.CentroidExprs.vecSub(col(vecCol),
+      nearestCentroidVec(col(vecCol), coarse))
     val cbs = pqCodebooks(emb.select(col(idCol), resid.as("_r")),
       idCol, "_r", dim, m, k, iters, sampleN)
     val qv = emb.filter(col(idCol) === queryId) // 1 row — the query
@@ -570,8 +681,9 @@ object Similarity {
       .orderBy(cosine(col("cv"), typedlit(qv)).desc, col("cid"))
       .limit(nprobe)
       .collect().map(_.getLong(0)).toSeq // nprobe ids — model-sized
-    val xhat = zip_with(nearestCentroidVec(col(vecCol), coarse),
-      pqReconstruct(resid, cbs, sub), (c, r) => c + r)
+    val xhat = graft.functions.CentroidExprs.vecAdd(
+      nearestCentroidVec(col(vecCol), coarse),
+      pqReconstruct(resid, cbs, sub))
     emb.filter(col(idCol) =!= queryId)
       .filter(cellColumn(col(vecCol), coarse).isin(probed: _*))
       .select(col(idCol),
@@ -580,13 +692,12 @@ object Similarity {
       .limit(topK)
   }
 
-  /** Scan-local centroid lookup by stored code: a chained `when` over the
-    * k (model-sized) codebook entries — no join, stays in the scan. */
+  /** Scan-local centroid lookup by stored code — no join, stays in the
+    * scan. Native [[graft.functions.CentroidLookupVec]] kernel (the former
+    * chained `when` was one expression node per codeword — O(k) depth). */
   private def centroidLookup(code: Column,
                              cb: Seq[(Long, Seq[Double])]): Column =
-    cb.tail.foldLeft(when(code === cb.head._1, typedlit(cb.head._2))) {
-      case (acc, (cid, cv)) => acc.when(code === cid, typedlit(cv))
-    }
+    graft.functions.CentroidExprs.centroidLookupVec(code, cb)
 
   /**
    * Persist the IVFADC index in its scale layout (Jégou et al. 2011 §IV /
@@ -609,8 +720,8 @@ object Similarity {
       iters, sampleN)
     val coarse = coarseDf.collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).sortBy(_._1).toSeq
-    val resid = zip_with(col(vecCol),
-      nearestCentroidVec(col(vecCol), coarse), (x, c) => x - c)
+    val resid = graft.functions.CentroidExprs.vecSub(col(vecCol),
+      nearestCentroidVec(col(vecCol), coarse))
     val cbs = pqCodebooks(emb.select(col(idCol), resid.as("_r")),
       idCol, "_r", dim, m, k, iters, sampleN)
     val codeCols = pqCodeColumns(resid, cbs, sub).zipWithIndex
@@ -668,8 +779,8 @@ object Similarity {
     val base = excludeId.fold(scan)(id => scan.filter(col(idCol) =!= id))
     val rhat = concat((0 until m).map(s =>
       centroidLookup(col(s"code$s").cast("long"), cbs(s))): _*)
-    val xhat = zip_with(centroidLookup(col("cell"), coarse), rhat,
-      (c, r) => c + r)
+    val xhat = graft.functions.CentroidExprs.vecAdd(
+      centroidLookup(col("cell"), coarse), rhat)
     base.select(col(idCol), round(cosine(q, xhat), 4).as("adc_sim"))
       .orderBy(col("adc_sim").desc, col(idCol))
       .limit(topK)

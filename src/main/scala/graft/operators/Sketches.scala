@@ -166,8 +166,12 @@ object Sketches {
         explode(array(bloomPositions(mBits, kHashes): _*)).as("bit"))
       .join(set, Seq("bit"), "left")
       .groupBy(col(keyCol))
-      .agg(sum(when(col("_set").isNotNull, 1L).otherwise(0L)).as("_hits"))
-      .select(col(keyCol), (col("_hits") === kHashes.toLong).as("maybe_seen"))
+      // ALL positions set — min-based, so a DUPLICATED probe key (whose
+      // group holds dupCount·kHashes position rows) still reports
+      // maybe_seen correctly; the former `sum === kHashes` silently broke
+      // the zero-false-negative contract on duplicated input
+      .agg(min(when(col("_set").isNotNull, 1L).otherwise(0L)).as("_all"))
+      .select(col(keyCol), (col("_all") === 1L).as("maybe_seen"))
   }
 
   /** HLL geometry: p index bits → m = 2^p buckets over a 60-bit hash;
@@ -208,8 +212,11 @@ object Sketches {
   }
 
   /** HLL merge: registers MAX across sketches — the union's sketch from
-    * per-group sketches, one aggregate over ≤ groups·2^p register rows. */
-  def hllMerge(registers: DataFrame, p: Int = 5): DataFrame =
+    * per-group sketches, one aggregate over ≤ groups·2^p register rows.
+    * (No geometry parameter: the merge is register-space only and cannot
+    * validate p — a former unused `p` argument invited the false
+    * impression that it did.) */
+  def hllMerge(registers: DataFrame): DataFrame =
     registers.groupBy(col("bucket")).agg(max(col("register")).as("register"))
 
   /** The published alpha_m bias constant (Flajolet et al. 2007, Fig. 3). */

@@ -26,9 +26,16 @@ object TextAnalysis {
    * Operators that deliberately tokenize differently (e.g. the
    * whitespace-preserving [[Curation.tokenChunks]] family) do NOT use
    * this helper, which is what makes the variant visible.
+   *
+   * Implemented as `array_remove(..., "")` rather than the equivalent
+   * `filter(..., t => t =!= "")`: split emits no null elements, so the two
+   * are value-identical, but ArrayFilter is a CodegenFallback higher-order
+   * function (interpreted per row, evicting the tokenize projection from
+   * whole-stage codegen in EVERY tokenize scan) while ArrayRemove compiles
+   * into the stage (guide §4.1: prefer built-ins with codegen).
    */
   def toks(c: Column): Column =
-    filter(split(lower(c), "\\W+"), t => t =!= "")
+    array_remove(split(lower(c), "\\W+"), "")
 
   /**
    * Heuristic language ID: presence of high-frequency function words per
@@ -49,7 +56,7 @@ object TextAnalysis {
 
   /** Whitespace token count (0 for empty/blank). */
   def tokenCount(text: Column): Column =
-    size(filter(split(text, "\\s+"), t => t =!= ""))
+    size(array_remove(split(text, "\\s+"), ""))
 
   /**
    * BPE-ish subword-precursor token count: word chunks and single
@@ -57,7 +64,7 @@ object TextAnalysis {
    * non-word), the usual pre-tokenization regex shape.
    */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?<=\\W)|(?=\\W)"), t => t =!= "" && t =!= " "))
+    size(array_remove(array_remove(split(text, "(?<=\\W)|(?=\\W)"), ""), " "))
 
   /** Ratio of non-alphanumeric-non-space chars to length (0 for empty). */
   def punctRatio(text: Column): Column =
@@ -69,7 +76,7 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column = {
     val stops: Seq[Any] = Seq("the", "a", "an", "and", "or", "of", "to",
       "in", "is", "it", "that", "for", "on", "with", "as")
-    val toks = filter(split(lower(text), "\\W+"), t => t =!= "")
+    val toks = array_remove(split(lower(text), "\\W+"), "")
     when(size(toks) === 0, 0.0).otherwise(
       pround4(size(filter(toks, t => t.isin(stops: _*))).cast("double")
         / size(toks)))

@@ -106,7 +106,7 @@ object WebGraph {
                       htmlCol: String): DataFrame =
     extractLinks(pages, idCol, htmlCol, srcCol)
       .select(col(srcCol).as("src_domain"), hostOf(col("href")).as("dst_domain"),
-        explode(filter(split(lower(col("anchor")), "\\W+"), t => t =!= ""))
+        explode(array_remove(split(lower(col("anchor")), "\\W+"), ""))
           .as("term"))
       .filter(col("dst_domain").isNotNull &&
         col("dst_domain") =!= col("src_domain"))
@@ -141,12 +141,17 @@ object WebGraph {
   def pagerank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val withOut = edges
-      .join(edges.groupBy(col("src_domain"))
+    // materialize the edge table ONCE: its lineage is typically the HTML
+    // link-extraction scan, which the two derivative checkpoints below
+    // would otherwise each re-run (guide §2.4 — don't recompute what you
+    // can stage; the edge table is sublinear in the corpus)
+    val e = edges.localCheckpoint()
+    val withOut = e
+      .join(e.groupBy(col("src_domain"))
         .agg(sum(col("n_links")).as("outw")), Seq("src_domain"))
       .localCheckpoint()
-    val doms = edges.select(col("src_domain").as("domain"))
-      .union(edges.select(col("dst_domain").as("domain"))).distinct()
+    val doms = e.select(col("src_domain").as("domain"))
+      .union(e.select(col("dst_domain").as("domain"))).distinct()
       .localCheckpoint()
     var pr = doms.withColumn("pr", lit(1.0))
     for (_ <- 1 to iters) {
@@ -182,12 +187,13 @@ object WebGraph {
                 damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(seeds.nonEmpty, "TrustRank needs a non-empty seed set")
-    val withOut = edges
-      .join(edges.groupBy(col("src_domain"))
+    val e = edges.localCheckpoint() // one extraction scan (see pagerank)
+    val withOut = e
+      .join(e.groupBy(col("src_domain"))
         .agg(sum(col("n_links")).as("outw")), Seq("src_domain"))
       .localCheckpoint()
-    val doms = edges.select(col("src_domain").as("domain"))
-      .union(edges.select(col("dst_domain").as("domain"))).distinct()
+    val doms = e.select(col("src_domain").as("domain"))
+      .union(e.select(col("dst_domain").as("domain"))).distinct()
       .localCheckpoint()
     val tele = when(col("domain").isin(seeds.map(x => x: Any): _*),
       lit(1.0 / seeds.size)).otherwise(lit(0.0))
@@ -229,8 +235,17 @@ object WebGraph {
                    htmlCol: String, seenUrls: DataFrame, iters: Int = 3,
                    mBits: Int = 8192, kHashes: Int = 4,
                    topK: Int = 20): DataFrame = {
-    val pr = pagerank(domainEdges(pages, srcCol, idCol, htmlCol), iters)
-    val cand = extractLinks(pages, idCol, htmlCol)
+    // ONE link-extraction scan feeds BOTH the rank edges and the candidate
+    // URLs (the former shape ran the regexp extraction twice)
+    val links = extractLinks(pages, idCol, htmlCol, srcCol).localCheckpoint()
+    val edges = links
+      .select(col(srcCol).as("src_domain"), hostOf(col("href")).as("dst_domain"))
+      .filter(col("dst_domain").isNotNull &&
+        col("dst_domain") =!= col("src_domain"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
+    val pr = pagerank(edges, iters)
+    val cand = links
       .select(col("href").as("url"), hostOf(col("href")).as("domain"))
       .filter(col("domain").isNotNull)
       .distinct()
@@ -268,8 +283,11 @@ object WebGraph {
    */
   def spamMass(edges: DataFrame, seeds: Seq[String], iters: Int,
                damping: Double = 0.85): DataFrame = {
-    val pr = pagerank(edges, iters, damping)
-    val tr = trustrank(edges, seeds, iters, damping)
+    // ONE extraction scan feeds both rank chains (each would otherwise
+    // checkpoint its own copy of the edge lineage)
+    val e = edges.localCheckpoint()
+    val pr = pagerank(e, iters, damping)
+    val tr = trustrank(e, seeds, iters, damping)
     val nDoms = pr.count().toDouble // domain count — model-sized driver scalar
     pr.join(tr, Seq("domain"))
       .select(col("domain"), col("pr"), col("tr"),
@@ -291,12 +309,13 @@ object WebGraph {
   def pagerankConserving(edges: DataFrame, iters: Int,
                          damping: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val srcs = edges.select(col("src_domain")).distinct()
-    val doms = edges.select(col("src_domain").as("domain"))
-      .union(edges.select(col("dst_domain").as("domain"))).distinct()
+    val e = edges.localCheckpoint() // one extraction scan (see pagerank)
+    val srcs = e.select(col("src_domain")).distinct()
+    val doms = e.select(col("src_domain").as("domain"))
+      .union(e.select(col("dst_domain").as("domain"))).distinct()
       .localCheckpoint()
-    val withOut = edges
-      .join(edges.groupBy(col("src_domain"))
+    val withOut = e
+      .join(e.groupBy(col("src_domain"))
         .agg(sum(col("n_links")).as("outw")), Seq("src_domain"))
       .localCheckpoint()
     val dangling = doms

@@ -59,13 +59,34 @@ object Dedup {
   /** MinHash signature table: (id, m0..m7), one row per doc — ONE shuffle
     * (groupBy id with 8 codegen min-aggregates, map-side partial min). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3): DataFrame = {
-    val h = shingles(docs, idCol, textCol, n)
-      .select(col(idCol), baseHash(col("shingle")).as("h"))
+                        n: Int = 3): DataFrame =
+    signaturesFromShingleRows(shingles(docs, idCol, textCol, n), idCol)
+
+  /** Signature table from an ALREADY-BUILT (id, shingle) row table — lets
+    * a caller that also needs the shingle rows (e.g. [[containmentPairs]])
+    * stage the shingle scan once instead of re-running it per consumer. */
+  def signaturesFromShingleRows(sh: DataFrame, idCol: String): DataFrame = {
+    val h = sh.select(col(idCol), baseHash(col("shingle")).as("h"))
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"m$i")
     }
     h.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+  }
+
+  /** [[minhashCandidates]]' bucket-capped pair generation from a band
+    * table — shared by the from-docs and from-staged-shingles paths. */
+  private def candidatesFromBuckets(b: DataFrame, idCol: String,
+                                    maxBucketSize: Int): DataFrame = {
+    val small = b.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("bs"))
+      .filter(col("bs") <= maxBucketSize)
+      .select("band", "band_key")
+    val bb = b.join(small, Seq("band", "band_key"))
+    val l = bb.withColumnRenamed(idCol, "id1")
+    val r = bb.withColumnRenamed(idCol, "id2")
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
   }
 
   /** LSH band-bucket rows from a signature table (4 bands × 2 rows). */
@@ -93,19 +114,9 @@ object Dedup {
    * (result unchanged; the bound is for the 100 TB case).
    */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
-    val b = minhashBuckets(docs, idCol, textCol, n)
-    val small = b.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= maxBucketSize)
-      .select("band", "band_key")
-    val bb = b.join(small, Seq("band", "band_key"))
-    val l = bb.withColumnRenamed(idCol, "id1")
-    val r = bb.withColumnRenamed(idCol, "id2")
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-  }
+                        n: Int = 3, maxBucketSize: Int = 1000): DataFrame =
+    candidatesFromBuckets(minhashBuckets(docs, idCol, textCol, n), idCol,
+      maxBucketSize)
 
   /**
    * MinHash Jaccard ESTIMATION over the LSH candidate pairs: for each
@@ -202,8 +213,14 @@ object Dedup {
                        n: Int = 3, minContain: Double = 0.5,
                        maxBucketSize: Int = 1000): DataFrame = {
     val pround4 = graft.operators.TextAnalysis.pround4 _
-    val cand = minhashCandidates(docs, idCol, textCol, n, maxBucketSize)
-    val shd = shingles(docs, idCol, textCol, n)
+    // ONE shingle scan feeds BOTH the LSH candidate generation and the
+    // digest table (the former shape ran the interpreted shingle builder
+    // over the corpus twice)
+    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
+    val cand = candidatesFromBuckets(
+      bucketsFromSignatures(signaturesFromShingleRows(sh, idCol), idCol),
+      idCol, maxBucketSize)
+    val shd = sh
       .select(col(idCol), md5(col("shingle")).as("h")).distinct()
       .localCheckpoint() // one materialization feeds sizes + both joins
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))

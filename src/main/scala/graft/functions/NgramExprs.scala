@@ -1,0 +1,189 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Word n-gram construction as native Catalyst expressions — the codegen
+ * rewrite of the interpreted HOF chains behind [[graft.operators.Dedup.shingleArray]]
+ * (distinct shingles) and [[graft.operators.Curation.gramRows]] /
+ * `repetitionSuite` (counting grams).
+ *
+ * Why a custom expression (the documented rejection of built-ins): the
+ * relational formulation is `transform(sequence(...), i => concat_ws(" ",
+ * element_at(ts, i), ...))` wrapped in the array()/element_at
+ * lambda-binding trick — Spark's higher-order functions are
+ * CodegenFallback, evaluated interpreted per row with a fresh lambda
+ * frame per element, and do no common-subexpression elimination (the
+ * repo measured 62 s vs <1 s when the token array was inlined instead of
+ * bound, BENCH.md). These kernels run the same construction as one fused
+ * JVM loop inside whole-stage codegen — the [[WinnowFingerprints]]
+ * precedent (3.5× measured there).
+ *
+ * Semantics (pinned against the HOF forms in DedupSpec/CurationSpec
+ * fixtures via the unchanged oracle rows): empty tokens are dropped
+ * first (the `\W+`-split boundary artifacts — callers feed the raw
+ * codegen split); fewer than n surviving tokens → empty array; grams
+ * join tokens with a single space; `distinct = true` keeps first
+ * occurrences in order (array_distinct semantics).
+ */
+case class WordNgrams(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def nullSafeEval(v: Any): Any =
+    WordNgrams.build(v.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgrams.build($c, $n, $distinct);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Non-null, non-empty tokens of the input array, in order. */
+  private[functions] def cleanTokens(ts: ArrayData): Array[UTF8String] = {
+    val n = ts.numElements()
+    val buf = new Array[UTF8String](n)
+    var i = 0; var len = 0
+    while (i < n) {
+      val t = ts.getUTF8String(i)
+      if (t != null && t.numBytes() > 0) { buf(len) = t; len += 1 }
+      i += 1
+    }
+    if (len == n) buf else java.util.Arrays.copyOf(buf, len)
+  }
+
+  private[functions] def gram(toks: Array[UTF8String], start: Int,
+                              n: Int): UTF8String =
+    if (n == 1) toks(start)
+    else {
+      val parts = new Array[UTF8String](2 * n - 1)
+      var o = 0
+      while (o < n) {
+        parts(2 * o) = toks(start + o)
+        if (o < n - 1) parts(2 * o + 1) = Space
+        o += 1
+      }
+      UTF8String.concat(parts: _*)
+    }
+
+  def build(ts: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val toks = cleanTokens(ts)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val m = toks.length - n + 1
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+      var i = 0
+      while (i < m) { seen.add(gram(toks, i, n)); i += 1 }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator(); var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) { out(i) = gram(toks, i, n); i += 1 }
+      new GenericArrayData(out)
+    }
+  }
+}
+
+/**
+ * All n-gram occurrences for EVERY n in `ns`, tagged (n, gram) — the
+ * one-pass gram builder behind `repetitionSuite` (the former shape was a
+ * flatten over per-n interpreted transforms). Output order matches:
+ * all ns.head-grams in positional order, then the next n's, etc.
+ */
+case class WordNgramsTagged(child: Expression, ns: Seq[Int])
+    extends UnaryExpression {
+  require(ns.nonEmpty && ns.forall(_ >= 1), "ns must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("n", IntegerType, nullable = false),
+    StructField("gram", StringType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_ngrams_tagged"
+
+  @transient private lazy val nsArr: Array[Int] = ns.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    WordNgramsTagged.build(v.asInstanceOf[ArrayData], nsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ngramNs", nsArr, "int[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.WordNgramsTagged.build($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordNgramsTagged {
+  def build(ts: ArrayData, ns: Array[Int]): ArrayData = {
+    val toks = WordNgrams.cleanTokens(ts)
+    var total = 0
+    var k = 0
+    while (k < ns.length) {
+      val m = toks.length - ns(k) + 1
+      if (m > 0) total += m
+      k += 1
+    }
+    val out = new Array[Any](total)
+    var j = 0
+    k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      val m = toks.length - n + 1
+      var i = 0
+      while (i < m) {
+        out(j) = new GenericInternalRow(
+          Array[Any](n, WordNgrams.gram(toks, i, n))): InternalRow
+        i += 1; j += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object NgramExprs {
+  /** Distinct word n-grams (first-occurrence order) over a token array. */
+  def shingleTokens(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n,
+      distinct = true))
+  /** All word n-gram occurrences, in positional order. */
+  def gramTokens(tokens: Column, n: Int): Column =
+    GraftBridge.column(WordNgrams(GraftBridge.expression(tokens), n,
+      distinct = false))
+  /** All (n, gram) occurrences for every n in `ns`, one pass. */
+  def gramsTagged(tokens: Column, ns: Seq[Int]): Column =
+    GraftBridge.column(WordNgramsTagged(GraftBridge.expression(tokens), ns))
+}

@@ -22,16 +22,11 @@ object Curation {
     * [[Dedup.shingles]] (which de-dups per doc). Same lambda-binding rule:
     * the token array MUST be bound once (interpreted HOFs do no CSE). */
   def gramRows(docs: DataFrame, idCol: String, textCol: String,
-               n: Int): DataFrame = {
-    val toks = array_remove(split(lower(col(textCol)), "\\W+"), "")
-    def gramsOf(ts: Column): Column =
-      when(size(ts) >= n,
-        transform(sequence(lit(1), size(ts) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)))
-        .otherwise(array().cast("array<string>"))
-    val grams = element_at(transform(array(toks), ts => gramsOf(ts)), 1)
-    docs.select(col(idCol), explode(grams).as("gram"))
-  }
+               n: Int): DataFrame =
+    // native fused kernel (graft.functions.WordNgrams, distinct = false):
+    // the former interpreted HOF chain ran CodegenFallback per row
+    docs.select(col(idCol), explode(graft.functions.NgramExprs.gramTokens(
+      split(lower(col(textCol)), "\\W+"), n)).as("gram"))
 
   /**
    * Gopher-style duplicate-line fraction: 1 − distinct(lines)/lines over
@@ -76,16 +71,11 @@ object Curation {
   def repetitionSuite(docs: DataFrame, idCol: String, textCol: String,
                       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 2), "ns must be >= 2")
-    val toks = TextAnalysis.toks(col(textCol))
-    def gramsOf(ts: Column, n: Int): Column =
-      when(size(ts) >= n,
-        transform(sequence(lit(1), size(ts) - (n - 1)),
-          i => struct(lit(n).as("n"),
-            concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*)
-              .as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-    val all = element_at(transform(array(toks),
-      ts => flatten(array(ns.map(n => gramsOf(ts, n)): _*))), 1)
+    // native one-pass tagged gram kernel (graft.functions.WordNgramsTagged)
+    // — the former per-n interpreted transforms under a flatten were
+    // CodegenFallback per row
+    val all = graft.functions.NgramExprs.gramsTagged(
+      split(lower(col(textCol)), "\\W+"), ns)
     val counts = docs
       .select(col(idCol), explode(all).as("g"))
       .groupBy(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
@@ -720,11 +710,13 @@ object Curation {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var done = false
     for (r <- 1 to iters if !done) {
-      val pairRows = toksDf.select(explode(transform(
-          sequence(lit(1), size(col("ts")) - 1),
-          i => struct(element_at(col("ts"), i).as("t1"),
-            element_at(col("ts"), i + 1).as("t2")))).as("p"))
-        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      // adjacent pairs as zip(ts[0..n-2], ts[1..n-1]) — ArraysZip/Slice are
+      // codegen'd; the former transform/sequence/element_at HOF chain was
+      // CodegenFallback, interpreted per row on every training round
+      val pairRows = toksDf.select(explode(arrays_zip(
+          slice(col("ts"), lit(1), size(col("ts")) - 1).as("a"),
+          slice(col("ts"), lit(2), size(col("ts")) - 1).as("b"))).as("p"))
+        .select(col("p.a").as("t1"), col("p.b").as("t2"))
       val top = pairRows.groupBy(col("t1"), col("t2"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("t1").asc, col("t2").asc)
@@ -743,20 +735,18 @@ object Curation {
         // for every doc that can't contain the pair at all — most of the
         // corpus for most merges.
         // the merged token table only feeds the NEXT round's pair count —
-        // after the last round it is dead, so the fold + checkpoint
-        // (a full corpus materialization incl. the interpreted fold) is
-        // skipped entirely there (measured ~0.4 s/composite at sf0.1)
+        // after the last round it is dead, so the merge-apply + checkpoint
+        // (a full corpus materialization) is skipped entirely there
+        // (measured ~0.4 s/composite at sf0.1)
         if (r < iters) {
-          val fused = lit(p1 + " " + p2)
-          val folded = aggregate(col("ts"), array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 &&
-                   element_at(acc, -1) === lit(p1) && x === lit(p2),
-                concat(slice(acc, lit(1), size(acc) - 1), array(fused)))
-                .otherwise(concat(acc, array(x))))
+          // apply the round's single merge via the native BpeEncodeTokens
+          // kernel — EXACTLY the greedy fold's semantics (CurationSpec pins
+          // expression == chain == fold), with the presence guard internal
+          // to the kernel; the former aggregate() HOF fold ran
+          // CodegenFallback per row
           toksDf = toksDf.select(col(idCol),
-            when(array_contains(col("ts"), p1) && array_contains(col("ts"), p2),
-              folded).otherwise(col("ts")).as("ts"))
+            graft.functions.BpeExprs.bpeEncodeTokens(col("ts"),
+              Seq((p1, p2))).as("ts"))
             .localCheckpoint()
         }
       }

@@ -529,19 +529,15 @@ object Dedup {
   /** Per-row distinct word n-gram ARRAY (the scan-local builder behind
     * [[shingles]]; exposed for stateless per-row consumers like the
     * streaming contamination gate). */
-  def shingleArray(text: Column, n: Int): Column = {
-    val toks = array_remove(split(lower(text), "\\W+"), "")
-    def gramsOf(ts: Column): Column =
-      when(size(ts) >= n,
-        array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + o)): _*))))
-        .otherwise(array().cast("array<string>"))
-    // CRITICAL: bind the token array to a LAMBDA VARIABLE so it is computed
-    // once per row. Inlining `toks` into the lambda body would re-split the
-    // whole document for every element_at — interpreted HOFs do no
-    // common-subexpression elimination (measured 62 s vs <1 s at sf0.1).
-    element_at(transform(array(toks), ts => gramsOf(ts)), 1)
-  }
+  def shingleArray(text: Column, n: Int): Column =
+    // native fused kernel (graft.functions.WordNgrams): tokenize stays the
+    // codegen'd raw split (the kernel drops ""-boundary artifacts itself),
+    // n-gram build + first-occurrence distinct run as one JVM loop inside
+    // whole-stage codegen. The former HOF chain (transform/sequence/
+    // element_at under the array()/element_at lambda-binding trick) was
+    // CodegenFallback — interpreted per row in EVERY shingle scan.
+    graft.functions.NgramExprs.shingleTokens(
+      split(lower(text), "\\W+"), n)
 
   /**
    * Row-local MinHash LSH band keys — [[minhashSignatures]] +

@@ -260,34 +260,28 @@ object Curation {
   def gopherStruct(text: Column): Column = {
     val toks = array_remove(split(lower(text), "\\W+"), "")
     val ntok = size(toks)
-    // bind the token array once — interpreted HOFs do no CSE (see gramRows)
-    def over1(f: Column => Column): Column =
-      element_at(transform(array(toks), ts => f(ts)), 1)
+    // Σ|token| == |concat of tokens| (numChars is additive) — ArrayJoin is
+    // codegen'd; the former aggregate() fold was CodegenFallback per row
     val meanLen = when(ntok === 0, 0.0).otherwise(pround4(
-      over1(ts => aggregate(ts, lit(0L), (acc, t) => acc + length(t)))
+      length(array_join(toks, "")).cast("long")
         .cast("double") / ntok))
     val nSym = (length(text) - length(regexp_replace(text, "#", ""))) +
       (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
     val symRatio = when(ntok === 0, 0.0)
       .otherwise(pround4(nSym.cast("double") / ntok))
+    // tokens are maximal [a-z0-9_]+ runs of lower(text), so "token contains
+    // a letter" == one greedy match of this pattern per such token —
+    // regexp_count is codegen'd; the former filter(rlike) HOF was not
     val alphaFrac = when(ntok === 0, 0.0).otherwise(pround4(
-      over1(ts => size(filter(ts, t => t.rlike("[a-z]"))))
+      regexp_count(lower(text), lit("[0-9_]*[a-z][a-z0-9_]*"))
         .cast("double") / ntok))
-    // the keep gate derives from the three signals WITHOUT re-embedding
-    // their expression trees: bind the signal struct to a lambda variable
-    // (the same no-CSE discipline as the token array above) and read the
-    // fields — otherwise selecting all four outputs re-splits and
-    // re-aggregates the document once per signal per output
-    val base = struct(meanLen.as("mean_word_len"),
-      symRatio.as("symbol_ratio"), alphaFrac.as("alpha_word_frac"))
-    element_at(transform(array(base), b =>
-      struct(b.getField("mean_word_len").as("mean_word_len"),
-        b.getField("symbol_ratio").as("symbol_ratio"),
-        b.getField("alpha_word_frac").as("alpha_word_frac"),
-        (b.getField("mean_word_len") >= 3.0 &&
-          b.getField("mean_word_len") <= 10.0 &&
-          b.getField("symbol_ratio") < 0.1 &&
-          b.getField("alpha_word_frac") > 0.8).as("gopher_keep"))), 1)
+    // with every signal codegen'd, whole-stage codegen's subexpression
+    // elimination handles the shared trees — no lambda-binding needed
+    struct(meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_word_frac"),
+      (meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio < 0.1 && alphaFrac > 0.8).as("gopher_keep"))
   }
 
   /**

@@ -72,13 +72,17 @@ object TextAnalysis {
       pround4(length(regexp_replace(text, "[\\w\\s]", "")).cast("double")
         / length(text)))
 
-  /** Ratio of tokens that are English stopwords. */
+  /** Ratio of tokens that are English stopwords. Counted with one
+    * codegen'd `regexp_count`: `\b` is exactly the `\w`/`\W` transition
+    * the tokenizer splits on, so `\b(stop|...)\b` matches precisely the
+    * whole-token occurrences the former (interpreted, CodegenFallback)
+    * `filter(toks, isin)` counted. */
   def stopwordRatio(text: Column): Column = {
-    val stops: Seq[Any] = Seq("the", "a", "an", "and", "or", "of", "to",
-      "in", "is", "it", "that", "for", "on", "with", "as")
+    val stopRe =
+      "\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as)\\b"
     val toks = array_remove(split(lower(text), "\\W+"), "")
     when(size(toks) === 0, 0.0).otherwise(
-      pround4(size(filter(toks, t => t.isin(stops: _*))).cast("double")
+      pround4(regexp_count(lower(text), lit(stopRe)).cast("double")
         / size(toks)))
   }
 

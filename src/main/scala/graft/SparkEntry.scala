@@ -75,6 +75,27 @@ object SparkEntry {
   private def exactSum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Run-scoped stored-artifact root for index/export roundtrip queries:
+    * app-id-suffixed (no collision between concurrent sessions), with
+    * PRIOR generations of the same artifact tag deleted on creation — so
+    * repeated Bench/Verify runs keep at most one generation per tag on
+    * disk instead of accumulating orphans (index lifecycle hygiene, r5
+    * verdict #6). */
+  private def scratchPath(s: SparkSession, tag: String): String = {
+    val appId = s.sparkContext.applicationId
+    val dir = new java.io.File("/tmp")
+    val prefix = s"graft_${tag}_"
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      if (f.getName.startsWith(prefix) && !f.getName.endsWith(appId)) {
+        val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+        try p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+        catch { case _: Throwable => } // best-effort hygiene
+      }
+    }
+    s"/tmp/graft_${tag}_$appId"
+  }
+
   // ---- flagship -----------------------------------------------------------
 
   /** Flagship: full parse→enrich→score pipeline on synthetic pages. */
@@ -167,7 +188,7 @@ object SparkEntry {
     // reproduce the in-memory BM25 ranking exactly (same oracle); the
     // postings scan prunes to the query terms' tbucket partitions
     "q_text_index" -> ((s, dir) => {
-      val path = s"/tmp/graft_text_index_${s.sparkContext.applicationId}"
+      val path = scratchPath(s, "text_index")
       Analytics.writeTextIndex(t(s, dir, "documents"), "doc_id", "text",
         path, nBuckets = 16)
       Analytics.textIndexTopK(s, path, "doc_id", "spark window",
@@ -556,7 +577,7 @@ object SparkEntry {
     }),
 
     "q_export_roundtrip" -> ((s, dir) => {
-      val out = s"/tmp/graft_export_roundtrip_${s.sparkContext.applicationId}"
+      val out = scratchPath(s, "export_roundtrip")
       val src = t(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("a,b\"c\nd "), col("text")).as("payload"))
@@ -575,7 +596,7 @@ object SparkEntry {
     // serializer (bad escaping, lost rows, mangled unicode) mis-parses on
     // read-back and fails the value hash.
     "q_export_roundtrip_json" -> ((s, dir) => {
-      val out = s"/tmp/graft_export_json_${s.sparkContext.applicationId}"
+      val out = scratchPath(s, "export_json")
       val src = t(s, dir, "documents")
         .select(col("doc_id"),
           concat(lit("q\"b\\s\nnl\ttabé "), col("text")).as("payload"))
@@ -804,7 +825,7 @@ object SparkEntry {
     "q_ann_lsh_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val path = s"/tmp/graft_lsh_index_${s.sparkContext.applicationId}"
+      val path = scratchPath(s, "lsh_index")
       Similarity.writeLshIndex(e, "vec_id", "v", path, nBits = 4)
       val qv = e.filter(col("vec_id") === 0)
         .collect()(0).getSeq[Double](1) // 1 row — the query, model-sized
@@ -829,7 +850,7 @@ object SparkEntry {
     "q_ann_ivf_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val path = s"/tmp/graft_ivf_index_${s.sparkContext.applicationId}"
+      val path = scratchPath(s, "ivf_index")
       Similarity.writeIvfIndex(e, "vec_id", "v", path, k = 8, iters = 2,
         sampleN = 256)
       val qv = e.filter(col("vec_id") === 0)
@@ -882,7 +903,7 @@ object SparkEntry {
     "q_ann_ivfadc_index" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val path = s"/tmp/graft_ivfadc_index_${s.sparkContext.applicationId}"
+      val path = scratchPath(s, "ivfadc_index")
       Similarity.writeIvfadcIndex(e, "vec_id", "v", path, dim = 64,
         kCoarse = 8, m = 4, k = 8, iters = 2, sampleN = 256)
       val qv = e.filter(col("vec_id") === 0)
@@ -1051,7 +1072,7 @@ object SparkEntry {
     // not change a single surviving row
     "q_dedup_incremental_index" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = s"/tmp/graft_sig_index_${s.sparkContext.applicationId}"
+      val idx = scratchPath(s, "sig_index")
       Dedup.writeSignatureIndex(d.filter(col("doc_id") % 5 =!= 0),
         "doc_id", "text", idx, n = 3)
       Dedup.incrementalDedupAgainstIndex(s, idx,
@@ -1412,7 +1433,7 @@ object SparkEntry {
     // the oracle is the relational FULL-JOIN merge (batch wins)
     "q_upsert" -> ((s, dir) => {
       val p = new org.apache.hadoop.fs.Path(
-        s"/tmp/graft_upsert_${s.sparkContext.applicationId}")
+        scratchPath(s, "upsert"))
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       val docs = t(s, dir, "documents")
@@ -1836,7 +1857,7 @@ object SparkEntry {
     // (the roundtrip must not change a single row)
     "q_snapshot_diff_stored" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val path = s"/tmp/graft_snapshot_${s.sparkContext.applicationId}"
+      val path = scratchPath(s, "snapshot")
       Dedup.writeSnapshot(d.filter(col("doc_id") % 5 =!= 0)
         .select(col("doc_id").as("url_id"), col("text")),
         "url_id", "text", path)
@@ -2125,7 +2146,7 @@ object SparkEntry {
     // probe-after-append must equal rebuild-from-scratch row for row
     "q_index_append" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val idx = s"/tmp/graft_sig_append_${s.sparkContext.applicationId}"
+      val idx = scratchPath(s, "sig_append")
       val p = new org.apache.hadoop.fs.Path(idx)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true) // bench reruns: fresh roundtrip
@@ -2151,7 +2172,7 @@ object SparkEntry {
     // (TOTAL_COMMITTED) — so Σ sinks + rejected == input is pinned against
     // the oracle's severity distribution computed from the INPUT rules
     "q_lineage_conservation" -> ((s, dir) => {
-      val root = s"/tmp/graft_lineage_${s.sparkContext.applicationId}"
+      val root = scratchPath(s, "lineage")
       val p = new org.apache.hadoop.fs.Path(root)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)

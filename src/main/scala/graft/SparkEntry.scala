@@ -2093,7 +2093,8 @@ object SparkEntry {
       val n = Analytics.Anomalies.countInRange(anoms,
         Timestamp.valueOf("2024-01-05 00:00:00"),
         Timestamp.valueOf("2024-01-20 00:00:00"))
-      s.range(1).select(lit(n).as("n_anomalies")) // 1 scalar — model-sized
+      // 1 scalar — model-sized; numPartitions=1 (no empty-task fan)
+      s.range(0, 1, 1, 1).select(lit(n).as("n_anomalies"))
     }),
 
     // B4/J2 — dead-letter rows with reject reasons
@@ -2189,7 +2190,7 @@ object SparkEntry {
       val committed = s.read.parquet(s"$root/_checkpoint/route/commit")
         .select(lit("TOTAL_COMMITTED").as("severity"),
           col("inputRows").as("doc_count"))
-      val resumed = s.range(1).select(
+      val resumed = s.range(0, 1, 1, 1).select(
         lit("RESUME_SKIPPED_OK").as("severity"),
         lit(if (!second.ran && !second.ranAggregate) 1L else 0L)
           .as("doc_count"))

@@ -1176,11 +1176,12 @@ object Curation {
     // the shuffle — a .distinct() here would only add a second full
     // exchange of the shingle table
     val sh = Dedup.shingles(docs, srcCol, textCol, n)
-    val pairsOf = (ss: Column) =>
-      flatten(transform(sequence(lit(1), size(ss) - 1), i =>
-        transform(sequence(i + 1, size(ss)), j =>
-          struct(element_at(ss, i).as("src1"),
-            element_at(ss, j).as("src2")))))
+    // native fused kernel (graft.functions.OrderedPairs): the former HOF
+    // enumeration (nested transform/sequence + element_at) was
+    // CodegenFallback — interpreted per shingle bucket; the kernel emits
+    // the same positional i<j pairs (the list is sorted, so src1 < src2)
+    // in one codegen loop
+    val pairsOf = (ss: Column) => graft.functions.PairExprs.orderedPairs(ss)
     sh.groupBy(col("shingle"))
       .agg(sort_array(collect_set(col(srcCol))).as("ss"))
       .filter(size(col("ss")).between(2, maxSources))

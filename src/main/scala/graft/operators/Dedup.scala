@@ -74,20 +74,28 @@ object Dedup {
   }
 
   /** [[minhashCandidates]]' bucket-capped pair generation from a band
-    * table — shared by the from-docs and from-staged-shingles paths. */
+    * table — shared by the from-docs and from-staged-shingles paths.
+    * ONE collect_list aggregate + the array-local [[graft.functions.UnorderedPairs]]
+    * kernel instead of the former bucket-count aggregate + semi-join +
+    * (band, band_key)-keyed SELF-JOIN (4 exchanges → 2, measured ~2× on
+    * the candidate build). Pair set identical: each id appears at most
+    * once per (band, band_key), so enumerating i<j over the bucket array
+    * with (least, greatest) ids emits exactly the self-join's id1 < id2
+    * rows; the distinct dedups across bands as before. A hot bucket's
+    * quadratic enumeration lands in one task either way (the self-join
+    * keyed the whole bucket to one partition too) — `maxBucketSize`
+    * bounds it, unchanged. */
   private def candidatesFromBuckets(b: DataFrame, idCol: String,
-                                    maxBucketSize: Int): DataFrame = {
-    val small = b.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= maxBucketSize)
-      .select("band", "band_key")
-    val bb = b.join(small, Seq("band", "band_key"))
-    val l = bb.withColumnRenamed(idCol, "id1")
-    val r = bb.withColumnRenamed(idCol, "id2")
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-  }
+                                    maxBucketSize: Int): DataFrame =
+    b.groupBy(col("band"), col("band_key"))
+      .agg(collect_list(col(idCol)).as("ds"))
+      .filter(size(col("ds")) <= maxBucketSize)
+      .select(explode(graft.functions.PairExprs.unorderedPairs(col("ds")))
+        .as("p"))
+      // strict-inequality guard mirrors the self-join's id1 < id2 filter
+      // exactly if a bucket ever carried duplicate or null ids
+      .filter(col("p.id1") =!= col("p.id2"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2")).distinct()
 
   /** LSH band-bucket rows from a signature table (4 bands × 2 rows). */
   def bucketsFromSignatures(sig: DataFrame, idCol: String): DataFrame =
@@ -134,16 +142,8 @@ object Dedup {
   def minhashJaccardEstimate(docs: DataFrame, idCol: String, textCol: String,
                              n: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, n).localCheckpoint()
-    val b = bucketsFromSignatures(sig, idCol)
-    val small = b.groupBy(col("band"), col("band_key"))
-      .agg(count(lit(1)).as("bs"))
-      .filter(col("bs") <= maxBucketSize)
-      .select("band", "band_key")
-    val bb = b.join(small, Seq("band", "band_key"))
-    val cand = bb.withColumnRenamed(idCol, "id1")
-      .join(bb.withColumnRenamed(idCol, "id2"), Seq("band", "band_key"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+    val cand = candidatesFromBuckets(bucketsFromSignatures(sig, idCol),
+      idCol, maxBucketSize)
     val cols = (0 until 8).map(i => s"m$i")
     val sig1 = sig.select(col(idCol).as("id1") +:
       cols.map(c => col(c).as(s"a_$c")): _*)
@@ -346,7 +346,9 @@ object Dedup {
     // the shingle width is part of the artifact's identity: band keys are
     // md5s over n-gram min-signatures, so probing with a different n
     // would match NOTHING and silently disable the near-dup channel
-    docs.sparkSession.range(1).select(lit(n).as("shingle_n"))
+    // range(…, numPartitions = 1): a single-row meta write needs one task,
+    // not a default-parallelism fan of empty ones (one file, one commit)
+    docs.sparkSession.range(0, 1, 1, 1).select(lit(n).as("shingle_n"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -641,27 +643,16 @@ object Dedup {
    * semantics). Index pairs are enumerated i<j over the bounded array, so
    * the output is ≤ C(len, 2) structs.
    */
-  def pairCombos(ds: Column): Column = {
-    // greatest(..,1): sequence(1, 0) would DESCEND in Spark, so an empty
-    // list must still generate a (1,1) index pair — which the i<j filter
-    // rejects before any element_at can fire (And short-circuits)
-    val n = greatest(size(ds), lit(1))
-    val idx = flatten(transform(sequence(lit(1), n), i =>
-      transform(sequence(lit(1), n), j =>
-        struct(i.as("i"), j.as("j")))))
-    val valid = filter(idx, p => {
-      val a = element_at(ds, p.getField("i"))
-      val b = element_at(ds, p.getField("j"))
-      p.getField("i") < p.getField("j") &&
-        a.getField("blk") === b.getField("blk")
-    })
-    transform(valid, p => {
-      val a = element_at(ds, p.getField("i"))
-      val b = element_at(ds, p.getField("j"))
-      struct(least(a.getField("id"), b.getField("id")).as("id1"),
-        greatest(a.getField("id"), b.getField("id")).as("id2"))
-    })
-  }
+  def pairCombos(ds: Column): Column =
+    // native fused kernel (graft.functions.PairCombos): the former HOF
+    // formulation (flatten/transform/sequence + filter + element_at) was
+    // CodegenFallback — interpreted per bucket row with O(n²) transient
+    // index structs and a fresh lambda frame per element; the kernel runs
+    // the i<j same-block enumeration as one codegen loop, allocating only
+    // the surviving pairs (PropertySpec pins it to the nested-loop
+    // reference: same-block guard, least/greatest ids, null blocks pair
+    // with nothing)
+    graft.functions.PairExprs.pairCombos(ds)
 
   /**
    * Winnowing fingerprints (Schleimer et al., SIGMOD 2003): hash EVERY

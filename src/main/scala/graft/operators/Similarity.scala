@@ -736,7 +736,8 @@ object Similarity {
     emb.sparkSession.createDataFrame(cbRows)
       .toDF("subspace", "cid", "cv")
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    emb.sparkSession.range(1)
+    // single-task single-row meta write (one file, one commit)
+    emb.sparkSession.range(0, 1, 1, 1)
       .select(lit(dim).as("dim"), lit(kCoarse).as("k_coarse"),
         lit(m).as("m"), lit(k).as("k"))
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -801,7 +802,7 @@ object Similarity {
                     path: String, nBits: Int = 4): Unit = {
     emb.withColumn("bucket", signBucket(col(vecCol), nBits))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/vectors")
-    emb.sparkSession.range(1).select(lit(nBits).as("n_bits"))
+    emb.sparkSession.range(0, 1, 1, 1).select(lit(nBits).as("n_bits"))
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -954,24 +955,14 @@ object Similarity {
    * pairs from a SAME-BLOCK postings array of (id, w) structs, each
    * carrying the weight product — the per-token dot-product
    * contribution. Callers group postings by (token, block), so block
-   * equality holds by construction and the inner sequence starts at i
-   * (half the transient index structs of the former 1..n × 1..n
-   * enumeration; `sequence(i+1, n)` would DESCEND when i = n, hence
-   * start-at-i plus the strict filter). Output is ≤ C(len, 2) structs,
-   * array-local.
+   * equality holds by construction and every i < j pair is emitted.
+   * Output is ≤ C(len, 2) structs, array-local.
    */
-  def weightedPairCombos(ds: Column): Column = {
-    val n = greatest(size(ds), lit(1))
-    val idx = flatten(transform(sequence(lit(1), n), i =>
-      transform(sequence(i, n), j =>
-        struct(i.as("i"), j.as("j")))))
-    val valid = filter(idx, p => p.getField("i") < p.getField("j"))
-    transform(valid, p => {
-      val a = element_at(ds, p.getField("i"))
-      val b = element_at(ds, p.getField("j"))
-      struct(least(a.getField("id"), b.getField("id")).as("id1"),
-        greatest(a.getField("id"), b.getField("id")).as("id2"),
-        (a.getField("w") * b.getField("w")).as("prod"))
-    })
-  }
+  def weightedPairCombos(ds: Column): Column =
+    // native fused kernel (graft.functions.WeightedPairCombos): the HOF
+    // enumeration was CodegenFallback — interpreted per bucket row with
+    // transient index structs and per-element lambda frames; the kernel
+    // emits the same i<j pairs (least/greatest ids, w_i·w_j product) in
+    // one codegen loop (PropertySpec nested-loop reference)
+    graft.functions.PairExprs.weightedPairCombos(ds)
 }

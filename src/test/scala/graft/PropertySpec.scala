@@ -112,6 +112,49 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: weightedPairCombos equals the nested-loop reference on " +
+    "random weighted postings (id1<id2, w_i*w_j, once per i<j)") {
+    val rnd = new scala.util.Random(29)
+    val lists: Seq[Seq[(Long, Double)]] = (1 to 120).map { _ =>
+      val n = rnd.nextInt(7)
+      (1 to n).map(_ => (rnd.nextInt(10).toLong,
+        math.rint(rnd.nextDouble() * 100) / 16.0))
+    }
+    val df = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("row_id", "ds_raw")
+      .select($"row_id", expr(
+        "transform(ds_raw, x -> named_struct('id', x._1, 'w', x._2))")
+        .as("ds"))
+    val got = df.select($"row_id",
+      graft.operators.Similarity.weightedPairCombos($"ds").as("pairs"))
+      .as[(Long, Seq[(Long, Long, Double)])].collect().toMap
+    lists.zipWithIndex.foreach { case (l, i) =>
+      val exp = (for { a <- l.indices; b <- l.indices if a < b } yield
+        (math.min(l(a)._1, l(b)._1), math.max(l(a)._1, l(b)._1),
+          l(a)._2 * l(b)._2))
+      assert(got(i.toLong).sorted == exp.sorted, s"list $i: ${l.mkString(",")}")
+    }
+  }
+
+  test("property: orderedPairs equals the nested-loop reference on random " +
+    "sorted arrays (positional i<j, src1 then src2)") {
+    val rnd = new scala.util.Random(31)
+    val lists: Seq[Seq[String]] = (1 to 120).map { _ =>
+      val n = rnd.nextInt(7)
+      (1 to n).map(_ => s"s${rnd.nextInt(9)}").distinct.sorted
+    }
+    val got = lists.zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("row_id", "ss")
+      .select($"row_id",
+        graft.functions.PairExprs.orderedPairs($"ss").as("pairs"))
+      .as[(Long, Seq[(String, String)])].collect().toMap
+    lists.zipWithIndex.foreach { case (l, i) =>
+      val exp = for { a <- l.indices; b <- l.indices if a < b }
+        yield (l(a), l(b))
+      assert(got(i.toLong) == exp, s"list $i: ${l.mkString(",")}")
+    }
+  }
+
   test("property: JpegDim finds SOF dims under random benign segment " +
     "prefixes; truncated/corrupt inputs yield null, never crash") {
     import graft.functions.ImageExprs

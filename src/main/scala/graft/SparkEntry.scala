@@ -399,6 +399,10 @@ object SparkEntry {
     "q_join_topk" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
+      // shape kept deliberately (round 6 measured the pre-aggregate-
+      // before-join variant SLOWER here): AQE broadcasts the filtered
+      // orders side, so lineitem is never shuffled raw — the groupBy's
+      // map-side partial aggregation already runs before its exchange
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .filter(col("o_orderstatus") =!= "F")
         .groupBy(col("o_orderkey"))
@@ -2062,12 +2066,14 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val keep = Curation.gopherStruct(col("text")).getField("gopher_keep")
       // the gated survivor set feeds TWO consumers (the paragraph-dedup
-      // pass and the budget join) — stage it ONCE instead of re-running
-      // the gopher+quality gate scan per consumer (localCheckpoint here;
-      // at production scale a staged intermediate table, same seam)
-      val gated = d.filter(keep &&
+      // pass and the budget join) — stage the DECISION once as an id set
+      // (guide §8: the checkpoint carries ids, not corpus text bytes; each
+      // consumer re-attaches text via a column-pruned parquet scan + hash
+      // join instead of reading a text-sized checkpoint copy)
+      val gatedIds = d.filter(keep &&
         TextAnalysis.qualityScore(col("text")) >= 0.45)
-        .localCheckpoint()
+        .select(col("doc_id")).localCheckpoint()
+      val gated = d.join(gatedIds, Seq("doc_id"))
       val para = Curation.paragraphDedup(gated, "doc_id", "text", 8)
         .filter(col("kept_frac") >= 0.5).select("doc_id")
       val clean = gated.join(para, Seq("doc_id"))

@@ -263,9 +263,13 @@ object Analytics {
           lit(nBuckets.toLong)))
       .write.mode("overwrite").partitionBy("tbucket")
       .parquet(s"$path/postings")
-    withDl.select(col(idCol), col("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-    withDl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // ONE tokenize scan feeds the doclen write AND the meta aggregate
+    // (each formerly re-scanned + re-tokenized the corpus); doclen keeps
+    // every doc — zero-token rows included — so n_docs/avgdl are exactly
+    // the corpus stats the in-memory scorer uses
+    val dl = withDl.select(col(idCol), col("dl")).localCheckpoint()
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
       .withColumn("n_buckets", lit(nBuckets))
       .write.mode("overwrite").parquet(s"$path/meta")
   }

@@ -45,8 +45,12 @@ object Dedup {
 
   /** Base hash of a shingle: first 15 hex chars of md5 → bigint mod P
     * (engine-portable: DuckDB `('0x'||substr(md5(g),1,15))::UBIGINT`). */
-  def baseHash(g: Column): Column =
-    pmod(conv(substring(md5(g), 1, 15), 16, 10).cast("long"), lit(MinhashP))
+  def baseHash(g: Column): Column = baseHashOfDigest(md5(g))
+
+  /** [[baseHash]] from an ALREADY-COMPUTED md5 hex digest — lets a caller
+    * that stages (id, digest) rows derive signatures without re-hashing. */
+  def baseHashOfDigest(dig: Column): Column =
+    pmod(conv(substring(dig, 1, 15), 16, 10).cast("long"), lit(MinhashP))
 
   /**
    * MinHash + LSH banding over word n-gram shingles, fully relational:
@@ -65,8 +69,19 @@ object Dedup {
   /** Signature table from an ALREADY-BUILT (id, shingle) row table — lets
     * a caller that also needs the shingle rows (e.g. [[containmentPairs]])
     * stage the shingle scan once instead of re-running it per consumer. */
-  def signaturesFromShingleRows(sh: DataFrame, idCol: String): DataFrame = {
-    val h = sh.select(col(idCol), baseHash(col("shingle")).as("h"))
+  def signaturesFromShingleRows(sh: DataFrame, idCol: String): DataFrame =
+    signaturesFromHash(
+      sh.select(col(idCol), baseHash(col("shingle")).as("h")), idCol)
+
+  /** Signature table from an ALREADY-BUILT distinct (id, md5-digest `h`)
+    * table — the [[containmentPairs]] staging: min-aggregates are
+    * duplicate-insensitive and md5 is collision-free in practice, so
+    * signatures from the digest rows equal signatures from the shingles. */
+  def signaturesFromDigestRows(hd: DataFrame, idCol: String): DataFrame =
+    signaturesFromHash(
+      hd.select(col(idCol), baseHashOfDigest(col("h")).as("h")), idCol)
+
+  private def signaturesFromHash(h: DataFrame, idCol: String): DataFrame = {
     val mins = MinhashA.zip(MinhashB).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("h") + lit(b), lit(MinhashP))).as(s"m$i")
     }
@@ -213,16 +228,18 @@ object Dedup {
                        n: Int = 3, minContain: Double = 0.5,
                        maxBucketSize: Int = 1000): DataFrame = {
     val pround4 = graft.operators.TextAnalysis.pround4 _
-    // ONE shingle scan feeds BOTH the LSH candidate generation and the
-    // digest table (the former shape ran the interpreted shingle builder
-    // over the corpus twice)
-    val sh = shingles(docs, idCol, textCol, n).localCheckpoint()
-    val cand = candidatesFromBuckets(
-      bucketsFromSignatures(signaturesFromShingleRows(sh, idCol), idCol),
-      idCol, maxBucketSize)
-    val shd = sh
+    // ONE (id, md5(shingle)) digest staging feeds the LSH candidate
+    // generation (signatures derive from the digests — min-aggregates are
+    // duplicate-insensitive), the size aggregate AND both intersection
+    // joins: the former shape materialized the RAW shingle rows once and
+    // the digest rows a second time (two text-sized checkpoints; this one
+    // carries 32-char digests only)
+    val shd = shingles(docs, idCol, textCol, n)
       .select(col(idCol), md5(col("shingle")).as("h")).distinct()
-      .localCheckpoint() // one materialization feeds sizes + both joins
+      .localCheckpoint()
+    val cand = candidatesFromBuckets(
+      bucketsFromSignatures(signaturesFromDigestRows(shd, idCol), idCol),
+      idCol, maxBucketSize)
     val sizes = shd.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(shd.select(col(idCol).as("id1"), col("h")), Seq("id1"))
@@ -449,15 +466,27 @@ object Dedup {
    */
   def simhashIntRows(docs: DataFrame, idCol: String, textCol: String,
                      bits: Int = 16): DataFrame = {
-    val odd: Seq[Any] = Seq("1", "3", "5", "7", "9", "b", "d", "f")
+    // the md5 hex prefix packed into 8-digit longs, then each position's
+    // odd/even bit read with shift/AND integer ops: a hex digit is odd
+    // iff its low nibble bit is set, so ±1 = 2·bit − 1 — value-identical
+    // to the former per-position `substring(h, j, 1).isin('1','3',…)`
+    // test, without 32 substring allocations + 8-way IN compares per
+    // token row (the whole aggregate input is now integer arithmetic)
     val tok = docs.select(col(idCol),
       explode(tokensOf(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
+    val nQuads = (bits + 7) / 8
+    val quads = (0 until nQuads).map { q =>
+      conv(substring(col("h"), q * 8 + 1, 8), 16, 10).cast("long").as(s"q$q")
+    }
+    val packed = tok.select(col(idCol) +: quads: _*)
     val weights = (1 to bits).map { j =>
-      sum(when(substring(col("h"), j, 1).isin(odd: _*), 1).otherwise(-1))
+      val q = (j - 1) / 8
+      val shift = 4 * (7 - (j - 1) % 8)
+      sum(shiftright(col(s"q$q"), shift).bitwiseAND(lit(1L)) * 2 - 1)
         .as(s"s$j")
     }
-    tok.groupBy(col(idCol)).agg(weights.head, weights.tail: _*)
+    packed.groupBy(col(idCol)).agg(weights.head, weights.tail: _*)
       .select(col(idCol),
         (1 to bits).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(0L))
           .reduce(_ + _).as("simhash_int"))

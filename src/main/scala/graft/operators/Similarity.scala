@@ -525,7 +525,10 @@ object Similarity {
     // that is a pure function of the vector
     emb.withColumn("cell", cellColumn(col(vecCol), centsSeq))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    // model-sized table (k rows by construction): one task, one file —
+    // a LocalTableScan write otherwise fans rows across default
+    // parallelism into a pile of near-empty files the probe must list
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
   /**
@@ -729,12 +732,14 @@ object Similarity {
     emb.select(col(idCol) +: cellColumn(col(vecCol), coarse).as("cell") +:
         codeCols: _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
-    coarseDf.write.mode("overwrite").parquet(s"$path/coarse")
+    // model-sized tables (k_coarse / m·k rows): one task, one file each
+    coarseDf.coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     val cbRows = cbs.zipWithIndex.flatMap { case (cb, s) =>
       cb.map { case (cid, cv) => (s, cid, cv) }
     }
     emb.sparkSession.createDataFrame(cbRows)
       .toDF("subspace", "cid", "cv")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
     // single-task single-row meta write (one file, one commit)
     emb.sparkSession.range(0, 1, 1, 1)

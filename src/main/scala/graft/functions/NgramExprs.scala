@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -174,6 +174,143 @@ object WordNgramsTagged {
   }
 }
 
+/**
+ * Skip-gram co-occurrence pairs — all (t_p, t_{p+d}) for d ∈ [1, window]
+ * in p-major, d-minor order: the fused rewrite of
+ * [[graft.operators.Curation.pmiCollocations]]'s interpreted
+ * flatten/transform/element_at chain (CodegenFallback, one lambda frame
+ * per (p, d)). Fewer than 2 tokens → empty array. Positions are taken
+ * over the input array as-is (callers feed the cleaned tokenizer
+ * output), matching the HOF's element_at indexing exactly.
+ */
+case class SkipgramPairs(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1, "window must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("x", StringType), StructField("y", StringType))),
+    containsNull = false)
+  override def prettyName: String = "skipgram_pairs"
+
+  override def nullSafeEval(v: Any): Any =
+    SkipgramPairs.build(v.asInstanceOf[ArrayData], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SkipgramPairs.build($c, $window);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SkipgramPairs {
+  def build(ts: ArrayData, window: Int): ArrayData = {
+    val n = ts.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    var total = 0L
+    var p = 0
+    while (p < n - 1) { total += math.min(window, n - 1 - p); p += 1 }
+    val out = new Array[Any](total.toInt)
+    var o = 0
+    p = 0
+    while (p < n - 1) {
+      val dMax = math.min(window, n - 1 - p)
+      var d = 1
+      while (d <= dMax) {
+        out(o) = new GenericInternalRow(Array[Any](
+          ts.getUTF8String(p), ts.getUTF8String(p + d))): InternalRow
+        o += 1
+        d += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/**
+ * Overlapping token chunks — the fused rewrite of
+ * [[graft.operators.Curation.tokenChunks]]'s interpreted
+ * transform(sequence(…), slice + concat_ws) chain (CodegenFallback, one
+ * slice allocation + lambda frame per chunk). Emits
+ * (start_tok 1-based, chunk = space-joined window, n_tokens) structs for
+ * starts 1, 1+step, … ≤ max(n − overlap, 1), step = chunkSize − overlap —
+ * the HOF's sequence bounds exactly (an empty array still yields one
+ * empty-chunk struct; callers filter empty docs first).
+ */
+case class TokenChunks(child: Expression, chunkSize: Int, overlap: Int)
+    extends UnaryExpression {
+  require(overlap >= 0 && overlap < chunkSize, "overlap must be < chunkSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("start_tok", LongType, nullable = false),
+    StructField("chunk", StringType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "token_chunks"
+
+  override def nullSafeEval(v: Any): Any =
+    TokenChunks.build(v.asInstanceOf[ArrayData], chunkSize, overlap)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenChunks.build($c, $chunkSize, $overlap);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenChunks {
+  private val Space = UTF8String.fromString(" ")
+  private val Empty = UTF8String.fromString("")
+
+  def build(ts: ArrayData, chunkSize: Int, overlap: Int): ArrayData = {
+    val n = ts.numElements()
+    val step = chunkSize - overlap
+    val bound = math.max(n - overlap, 1) // sequence upper bound, 1-based
+    val count = (bound - 1) / step + 1
+    val out = new Array[Any](count)
+    var c = 0
+    var s = 1
+    while (s <= bound) {
+      val from = s - 1
+      val until = math.min(from + chunkSize, n)
+      val len = math.max(until - from, 0)
+      val chunk =
+        if (len == 0) Empty
+        else if (len == 1) ts.getUTF8String(from)
+        else {
+          val parts = new Array[UTF8String](2 * len - 1)
+          var o = 0
+          while (o < len) {
+            parts(2 * o) = ts.getUTF8String(from + o)
+            if (o < len - 1) parts(2 * o + 1) = Space
+            o += 1
+          }
+          UTF8String.concat(parts: _*)
+        }
+      // n_tokens mirrors least(size − s + 1, chunkSize) from the HOF
+      out(c) = new GenericInternalRow(Array[Any](
+        s.toLong, chunk, math.min(n - s + 1, chunkSize).toLong)): InternalRow
+      c += 1
+      s += step
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object NgramExprs {
   /** Distinct word n-grams (first-occurrence order) over a token array. */
   def shingleTokens(tokens: Column, n: Int): Column =
@@ -186,4 +323,11 @@ object NgramExprs {
   /** All (n, gram) occurrences for every n in `ns`, one pass. */
   def gramsTagged(tokens: Column, ns: Seq[Int]): Column =
     GraftBridge.column(WordNgramsTagged(GraftBridge.expression(tokens), ns))
+  /** All skip-gram (x, y) pairs up to `window` apart, one pass. */
+  def skipgramPairs(tokens: Column, window: Int): Column =
+    GraftBridge.column(SkipgramPairs(GraftBridge.expression(tokens), window))
+  /** Overlapping (start_tok, chunk, n_tokens) token chunks, one pass. */
+  def tokenChunks(tokens: Column, chunkSize: Int, overlap: Int): Column =
+    GraftBridge.column(TokenChunks(GraftBridge.expression(tokens),
+      chunkSize, overlap))
 }

@@ -211,15 +211,12 @@ object Curation {
   def tokenChunks(docs: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int = 64, overlap: Int = 16): DataFrame = {
     require(overlap < chunkSize, "overlap must be < chunkSize")
-    val step = chunkSize - overlap
     val toks = array_remove(split(col(textCol), "\\s+"), "")
-    def chunksOf(ts: Column): Column =
-      transform(sequence(lit(1), greatest(size(ts) - overlap, lit(1)), lit(step)),
-        s => struct(
-          s.cast("long").as("start_tok"),
-          concat_ws(" ", slice(ts, s, lit(chunkSize))).as("chunk"),
-          least(size(ts) - s + 1, lit(chunkSize)).cast("long").as("n_tokens")))
-    val cs = element_at(transform(array(toks), ts => chunksOf(ts)), 1)
+    // native fused kernel (graft.functions.TokenChunks): the former
+    // transform(sequence(…), slice + concat_ws) chain under the array()
+    // binding trick was CodegenFallback — one interpreted slice + lambda
+    // frame per chunk; the kernel joins each window in one codegen pass
+    val cs = graft.functions.NgramExprs.tokenChunks(toks, chunkSize, overlap)
     docs.filter(size(toks) > 0)
       .select(col(idCol), posexplode(cs))
       .select(col(idCol), (col("pos") + 1).cast("long").as("chunk_idx"),
@@ -1508,15 +1505,11 @@ object Curation {
                       minCount: Long = 5L, topK: Int = 100): DataFrame = {
     require(window >= 1 && topK >= 1, "window and topK must be >= 1")
     val ts = TextAnalysis.toks(col(textCol))
-    // (x, y) rows: for each position p and distance d in [1, window]
-    val pairsOf = element_at(transform(array(ts), t =>
-      when(size(t) >= 2,
-        flatten(transform(sequence(lit(1), size(t) - 1), p =>
-          transform(sequence(lit(1),
-            least(lit(window), size(t) - p)), d =>
-            struct(element_at(t, p).as("x"),
-              element_at(t, p + d).as("y"))))))
-        .otherwise(array().cast("array<struct<x:string,y:string>>"))), 1)
+    // (x, y) rows: for each position p and distance d in [1, window] —
+    // native fused kernel (graft.functions.SkipgramPairs); the former
+    // flatten/transform/element_at chain under the array() binding trick
+    // was CodegenFallback, one interpreted lambda frame per (p, d)
+    val pairsOf = graft.functions.NgramExprs.skipgramPairs(ts, window)
     val pairAgg = docs.select(explode(pairsOf).as("pr"))
       .select(col("pr.x").as("x"), col("pr.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("c_xy"))

@@ -865,16 +865,14 @@ object Dedup {
   def substringDupSpans(docs: DataFrame, idCol: String, textCol: String,
                         window: Int = 32, stride: Int = 8): DataFrame = {
     require(stride >= 1, "stride must be >= 1")
-    val toks = array_remove(split(col(textCol), "\\s+"), "")
-    def windowsOf(ts: Column): Column =
-      when(size(ts) >= window,
-        transform(
-          filter(sequence(lit(1), size(ts) - (window - 1)), p =>
-            conv(substring(md5(element_at(ts, p)), 1, 15), 16, 10)
-              .cast("long") % stride === 0),
-          p => md5(concat_ws(" ", slice(ts, p, lit(window))))))
-        .otherwise(array().cast("array<string>"))
-    val windows = element_at(transform(array(toks), ts => windowsOf(ts)), 1)
+    // native fused kernel (graft.functions.SampledWindowHashes): the
+    // former HOF chain (filter(sequence)+transform under the array()/
+    // element_at binding trick) was CodegenFallback — an interpreted md5
+    // per candidate position plus a concat_ws(slice)+md5 per surviving
+    // window, each in its own lambda frame; the kernel runs the identical
+    // sample-then-digest construction in one codegen pass
+    val windows = graft.functions.WindowHashExprs.sampledWindowHashes(
+      split(col(textCol), "\\s+"), window, stride)
     val full = docs.select(col(idCol), explode(windows).as("h"))
     val df = full.groupBy(col("h"))
       .agg(count_distinct(col(idCol)).as("df"))

@@ -288,6 +288,32 @@ class PropertySpec extends SparkSuite {
       again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("property: SampledWindowHashes equals the relational HOF recipe " +
+    "(md5-prefix mod-stride sampling, space-joined window md5) on random docs") {
+    val rnd = new scala.util.Random(41)
+    val docs = (1 to 60).map { i =>
+      val n = rnd.nextInt(30)
+      (i.toLong, (1 to n).map(_ => s"w${rnd.nextInt(40)}").mkString("  ", " ", ""))
+    }
+    val window = 4; val stride = 2
+    val df = docs.toDF("doc_id", "text")
+    val kern = df.select($"doc_id",
+      graft.functions.WindowHashExprs.sampledWindowHashes(
+        split($"text", "\\s+"), window, stride).as("hs"))
+      .as[(Long, Seq[String])].collect().toMap
+    val hof = df.selectExpr("doc_id", s"""
+      CASE WHEN size(array_remove(split(text, '\\\\s+'), '')) >= $window THEN
+        transform(
+          filter(sequence(1, size(array_remove(split(text, '\\\\s+'), '')) - ${window - 1}),
+            p -> cast(conv(substring(md5(element_at(array_remove(split(text, '\\\\s+'), ''), p)), 1, 15), 16, 10) as bigint) % $stride = 0),
+          p -> md5(concat_ws(' ', slice(array_remove(split(text, '\\\\s+'), ''), p, $window))))
+      ELSE array() END as hs""")
+      .as[(Long, Seq[String])].collect().toMap
+    docs.foreach { case (id, _) =>
+      assert(kern(id) == hof(id), s"doc $id: ${kern(id)} vs ${hof(id)}")
+    }
+  }
+
   test("property: substring dedup — duplicating a random doc verbatim " +
     "flags ALL of both copies' windows; stride=1 window count is exact") {
     import graft.operators.Dedup

@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Scan-local MinHash signature — the 8 permutation minima of a document's
+ * word n-gram shingles computed WITHIN the row, as one codegen kernel.
+ *
+ * This replaces [[graft.operators.Dedup.minhashSignatures]]' relational
+ * explode + groupBy(id) formulation: the min over a doc's own shingles
+ * needs no shuffle at all (guide §2.4 — remove shuffles outright), and
+ * the former plan shuffled every (id, shingle-hash) row of the corpus to
+ * aggregate what is a pure per-row function. At 100 TB that exchange is
+ * corpus-sized; here it simply does not exist.
+ *
+ * Hash construction is bit-identical to the relational form the oracle
+ * replays: shingle = n cleaned tokens joined with single spaces, base
+ * hash = first 15 md5 hex chars as a long mod P (2³¹−1), permutation i =
+ * (a_i·h + b_i) mod P with [[graft.operators.Dedup.MinhashA]]/B. Min is
+ * duplicate-insensitive, so the kernel skips the distinct the exploded
+ * shingle table carried. Fewer than n cleaned tokens → NULL (the doc has
+ * no shingle rows and is absent from the relational signature table;
+ * callers filter).
+ */
+case class MinhashSig(child: Expression, n: Int,
+                      as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(n >= 1 && as.nonEmpty && as.length == bs.length)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true // < n tokens → null
+  override def prettyName: String = "minhash_sig"
+
+  @transient private lazy val table = new MinhashSig.Perms(
+    as.toArray, bs.toArray, p)
+
+  override def nullSafeEval(v: Any): Any =
+    MinhashSig.build(v.asInstanceOf[ArrayData], n, table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashPerms", table,
+      classOf[MinhashSig.Perms].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MinhashSig.build($c, $n, $ref);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinhashSig {
+  final class Perms(val as: Array[Long], val bs: Array[Long], val p: Long)
+      extends Serializable
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** First 15 md5 hex chars as a long (60 bits) mod p — bit-identical to
+    * `pmod(conv(substring(md5(g), 1, 15), 16, 10)::long, p)`. */
+  private def baseHash(md: java.security.MessageDigest,
+                       g: UTF8String, p: Long): Long = {
+    md.reset()
+    val d = md.digest(g.getBytes)
+    var v = 0L
+    var j = 0
+    while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+    v % p
+  }
+
+  def build(ts: ArrayData, n: Int, t: Perms): ArrayData = {
+    val toks = WordNgrams.cleanTokens(ts)
+    if (toks.length < n) return null
+    val k = t.as.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val m = toks.length - n + 1
+    var i = 0
+    while (i < m) {
+      val g =
+        if (n == 1) toks(i)
+        else {
+          val parts = new Array[UTF8String](2 * n - 1)
+          var o = 0
+          while (o < n) {
+            parts(2 * o) = toks(i + o)
+            if (o < n - 1) parts(2 * o + 1) = Space
+            o += 1
+          }
+          UTF8String.concat(parts: _*)
+        }
+      val h = baseHash(md, g, t.p)
+      var j = 0
+      while (j < k) {
+        // a·h < 2^54 — fits signed 64; operands non-negative, so % == pmod
+        val v = (t.as(j) * h + t.bs(j)) % t.p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+object MinhashExprs {
+  /** The 8 permutation minima of a doc's word n-gram shingles, scan-local
+    * (null when the doc has fewer than n tokens). */
+  def minhashSig(tokens: Column, n: Int,
+                 as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    GraftBridge.column(MinhashSig(GraftBridge.expression(tokens), n,
+      as, bs, p))
+}

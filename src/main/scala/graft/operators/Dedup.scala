@@ -60,11 +60,25 @@ object Dedup {
    * candidates; bucket sizes stay bounded (the LSH guarantee), never an
    * all-pairs product.
    */
-  /** MinHash signature table: (id, m0..m7), one row per doc — ONE shuffle
-    * (groupBy id with 8 codegen min-aggregates, map-side partial min). */
+  /** MinHash signature table: (id, m0..m7), one row per doc — ZERO
+    * shuffle: the 8 permutation minima are a pure per-row function of the
+    * doc's own shingles, computed by the scan-local
+    * [[graft.functions.MinhashSig]] kernel (guide §2.4 — the former
+    * explode + groupBy(id) shape shuffled every (id, shingle-hash) row of
+    * the corpus to aggregate a row-local value). Docs with fewer than n
+    * tokens yield NULL and are filtered — exactly the rows the exploded
+    * form never produced. Values bit-identical (same md5-prefix base
+    * hash, same permutations; min is duplicate- and order-free). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3): DataFrame =
-    signaturesFromShingleRows(shingles(docs, idCol, textCol, n), idCol)
+                        n: Int = 3): DataFrame = {
+    val sig = graft.functions.MinhashExprs.minhashSig(
+      split(lower(col(textCol)), "\\W+"), n, MinhashA, MinhashB, MinhashP)
+    docs.select(col(idCol), sig.as("_sig"))
+      .filter(col("_sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until MinhashA.length).map(i =>
+          element_at(col("_sig"), i + 1).as(s"m$i")): _*)
+  }
 
   /** Signature table from an ALREADY-BUILT (id, shingle) row table — lets
     * a caller that also needs the shingle rows (e.g. [[containmentPairs]])

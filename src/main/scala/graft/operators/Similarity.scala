@@ -144,30 +144,22 @@ object Similarity {
    */
   def sqCodes(emb: DataFrame, idCol: String, vecCol: String,
               params: DataFrame): DataFrame =
+    // native fused kernel (graft.functions.SqEncode — clamp included):
+    // the former per-dim transform(sequence)+element_at chain was
+    // CodegenFallback, an interpreted lambda frame per component per row
     emb.crossJoin(broadcast(params))
       .select(col(idCol),
-        transform(sequence(lit(1), size(col(vecCol))), i => {
-          val lo = element_at(col("los"), i)
-          val hi = element_at(col("his"), i)
-          // clamp: a QUERY vector quantized with corpus-trained params
-          // can fall outside the corpus per-dim range — codes must stay
-          // int8-representable
-          when(hi === lo, 0.0).otherwise(
-            greatest(lit(0.0), least(lit(255.0),
-              floor((element_at(col(vecCol), i) - lo) / (hi - lo) * 255.0
-                + 0.5))))
-        }).cast("array<long>").as("code"))
+        graft.functions.VectorExprs.sqEncode(col(vecCol), col("los"),
+          col("his")).as("code"))
 
-  /** Midpoint reconstruction x̂ from SQ8 codes (see [[sqCodes]]). */
+  /** Midpoint reconstruction x̂ from SQ8 codes (see [[sqCodes]]) —
+    * fused decode kernel (graft.functions.SqDecode), same arithmetic. */
   def sqReconstruct(codes: DataFrame, idCol: String,
                     params: DataFrame): DataFrame =
     codes.crossJoin(broadcast(params))
       .select(col(idCol),
-        transform(sequence(lit(1), size(col("code"))), i => {
-          val lo = element_at(col("los"), i)
-          val hi = element_at(col("his"), i)
-          lo + element_at(col("code"), i).cast("double") * (hi - lo) / 255.0
-        }).as("vhat"))
+        graft.functions.VectorExprs.sqDecode(col("code"), col("los"),
+          col("his")).as("vhat"))
 
   /**
    * ANN top-k over the QUANTIZED corpus: both query and corpus vectors

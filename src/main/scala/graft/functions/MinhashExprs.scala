@@ -116,6 +116,80 @@ object MinhashSig {
   }
 }
 
+/**
+ * Scan-local SimHash integer — bit j−1 (worth 2^(j−1)) is set iff
+ * strictly more than half of the doc's DISTINCT tokens have an odd hex
+ * digit at position j of md5(token). Replaces
+ * [[graft.operators.Dedup.simhashIntRows]]' explode + groupBy(id) with
+ * 32 sum-aggregates: the signature is a pure per-row function (guide
+ * §2.4), so the corpus-sized token exchange is removed. ±1 weights over
+ * the distinct-token set and the strict majority test are verbatim; a
+ * hex digit's parity is its nibble's low bit. Zero distinct tokens →
+ * NULL (the doc had no rows in the exploded form; callers filter).
+ */
+case class SimhashInt(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 32, "md5 hex positions support up to 32 bits")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash_int"
+
+  override def nullSafeEval(v: Any): Any =
+    SimhashInt.build(v.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_b = graft.functions.SimhashInt.build($c, $bits);
+      ${ev.isNull} = ${ev.value}_b == null;
+      ${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_b.longValue();""")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimhashInt {
+  def build(ts: ArrayData, bits: Int): java.lang.Long = {
+    // distinct tokens of the cleaned array — the ±1 sums run over the SET
+    val toks = WordNgrams.cleanTokens(ts)
+    if (toks.length == 0) return null
+    val seen = new java.util.HashSet[UTF8String](toks.length * 2)
+    val sums = new Array[Int](bits)
+    var nDistinct = 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      if (seen.add(toks(i))) {
+        nDistinct += 1
+        md.reset()
+        val d = md.digest(toks(i).getBytes)
+        var j = 0
+        while (j < bits) {
+          // hex digit j+1 of the digest: high nibble of byte j/2 for even
+          // j (1-based odd positions), low nibble otherwise
+          val nib =
+            if ((j & 1) == 0) (d(j >> 1) >> 4) & 0xf else d(j >> 1) & 0xf
+          sums(j) += (if ((nib & 1) == 1) 1 else -1)
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var v = 0L
+    var j = 0
+    while (j < bits) {
+      if (sums(j) > 0) v |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(v)
+  }
+}
+
 object MinhashExprs {
   /** The 8 permutation minima of a doc's word n-gram shingles, scan-local
     * (null when the doc has fewer than n tokens). */
@@ -123,4 +197,8 @@ object MinhashExprs {
                  as: Seq[Long], bs: Seq[Long], p: Long): Column =
     GraftBridge.column(MinhashSig(GraftBridge.expression(tokens), n,
       as, bs, p))
+  /** Scan-local SimHash integer over the doc's distinct tokens (null for
+    * token-less docs). */
+  def simhashInt(tokens: Column, bits: Int): Column =
+    GraftBridge.column(SimhashInt(GraftBridge.expression(tokens), bits))
 }

@@ -311,6 +311,67 @@ object TokenChunks {
   }
 }
 
+/**
+ * Per-document n-gram term frequencies — (gram, tf) structs computed
+ * WITHIN the row, first-occurrence order. Replaces the
+ * `gramRows → groupBy(id, gram).count()` shape wherever the count is
+ * per-document: a doc's gram counts are a pure per-row function, so the
+ * corpus-sized (id, gram) exchange the groupBy paid is simply removed
+ * (guide §2.4); the exploded output rows are already unique per
+ * (id, gram). Empty/short docs → empty array.
+ */
+case class GramCounts(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "gram_counts"
+
+  override def nullSafeEval(v: Any): Any =
+    GramCounts.build(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramCounts.build($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramCounts {
+  def build(ts: ArrayData, n: Int): ArrayData = {
+    val toks = WordNgrams.cleanTokens(ts)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val counts = new java.util.LinkedHashMap[UTF8String, java.lang.Long](m * 2)
+    var i = 0
+    while (i < m) {
+      val g = WordNgrams.gram(toks, i, n)
+      val c = counts.get(g)
+      counts.put(g, if (c == null) java.lang.Long.valueOf(1L)
+        else java.lang.Long.valueOf(c.longValue() + 1L))
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = new GenericInternalRow(
+        Array[Any](e.getKey, e.getValue.longValue())): InternalRow
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object NgramExprs {
   /** Distinct word n-grams (first-occurrence order) over a token array. */
   def shingleTokens(tokens: Column, n: Int): Column =
@@ -330,4 +391,7 @@ object NgramExprs {
   def tokenChunks(tokens: Column, chunkSize: Int, overlap: Int): Column =
     GraftBridge.column(TokenChunks(GraftBridge.expression(tokens),
       chunkSize, overlap))
+  /** Per-row (gram, tf) term frequencies, one pass. */
+  def gramCounts(tokens: Column, n: Int): Column =
+    GraftBridge.column(GramCounts(GraftBridge.expression(tokens), n))
 }

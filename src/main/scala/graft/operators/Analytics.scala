@@ -53,6 +53,10 @@ object Analytics {
    */
   def textRankIdf(docs: DataFrame, idCol: String, textCol: String,
                   queryText: String): DataFrame = {
+    // shape kept deliberately (round 6 measured the scan-local
+    // size(toks) − size(array_remove(toks, t)) variant SLOWER: it copies
+    // the token array per query token, while the explode's isin filter
+    // drops non-query tokens before the tiny (id, gram) count)
     val tokens: Seq[Any] =
       queryText.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
     val toks = Curation.gramRows(docs, idCol, textCol, n = 1)
@@ -256,8 +260,14 @@ object Analytics {
     require(nBuckets > 0, "nBuckets must be positive")
     val withDl = docs.select(col(idCol), col(textCol),
       size(TextAnalysis.toks(col(textCol))).cast("long").as("dl"))
-    Curation.gramRows(withDl, idCol, textCol, n = 1)
-      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
+    // per-row (gram, tf) kernel (graft.functions.GramCounts): a doc's
+    // term counts are a per-row function, so the former corpus-sized
+    // (id, gram) count exchange is gone — the exploded rows are already
+    // unique per (id, gram)
+    withDl.select(col(idCol),
+        explode(graft.functions.NgramExprs.gramCounts(
+          split(lower(col(textCol)), "\\W+"), 1)).as("_g"))
+      .select(col(idCol), col("_g.gram").as("gram"), col("_g.tf").as("tf"))
       .withColumn("tbucket",
         pmod(conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"),
           lit(nBuckets.toLong)))

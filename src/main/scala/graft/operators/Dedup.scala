@@ -479,32 +479,19 @@ object Dedup {
    * now derived from this integer ([[simhashBitsRows]]).
    */
   def simhashIntRows(docs: DataFrame, idCol: String, textCol: String,
-                     bits: Int = 16): DataFrame = {
-    // the md5 hex prefix packed into 8-digit longs, then each position's
-    // odd/even bit read with shift/AND integer ops: a hex digit is odd
-    // iff its low nibble bit is set, so ±1 = 2·bit − 1 — value-identical
-    // to the former per-position `substring(h, j, 1).isin('1','3',…)`
-    // test, without 32 substring allocations + 8-way IN compares per
-    // token row (the whole aggregate input is now integer arithmetic)
-    val tok = docs.select(col(idCol),
-      explode(tokensOf(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val nQuads = (bits + 7) / 8
-    val quads = (0 until nQuads).map { q =>
-      conv(substring(col("h"), q * 8 + 1, 8), 16, 10).cast("long").as(s"q$q")
-    }
-    val packed = tok.select(col(idCol) +: quads: _*)
-    val weights = (1 to bits).map { j =>
-      val q = (j - 1) / 8
-      val shift = 4 * (7 - (j - 1) % 8)
-      sum(shiftright(col(s"q$q"), shift).bitwiseAND(lit(1L)) * 2 - 1)
-        .as(s"s$j")
-    }
-    packed.groupBy(col(idCol)).agg(weights.head, weights.tail: _*)
-      .select(col(idCol),
-        (1 to bits).map(j => when(col(s"s$j") > 0, lit(1L << (j - 1))).otherwise(0L))
-          .reduce(_ + _).as("simhash_int"))
-  }
+                     bits: Int = 16): DataFrame =
+    // scan-local kernel (graft.functions.SimhashInt — guide §2.4): the
+    // signature is a pure per-row function of the doc's distinct token
+    // set, so the former explode + groupBy(id)-with-32-sums shape
+    // shuffled corpus token rows to aggregate a row-local value; the
+    // kernel computes the same strict-majority bits in one codegen pass
+    // (±1 over distinct tokens, nibble parity == the odd-hex-digit test).
+    // Token-less docs yield NULL and are filtered — exactly the rows the
+    // exploded form never produced.
+    docs.select(col(idCol),
+        graft.functions.MinhashExprs.simhashInt(
+          split(lower(col(textCol)), "\\W+"), bits).as("simhash_int"))
+      .filter(col("simhash_int").isNotNull)
 
   /**
    * SimHash signature as a bit STRING (char j = bit j), derived from the

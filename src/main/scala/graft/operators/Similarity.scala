@@ -911,10 +911,14 @@ object Similarity {
   def tfidfAllPairs(docs: DataFrame, idCol: String, textCol: String,
                     blockCol: String, threshold: Double = 0.5,
                     maxDfFrac: Double = 0.25): DataFrame = {
+    // per-row (tok, tf) kernel (graft.functions.GramCounts, n = 1): the
+    // former explode + (id, blk, tok) count exchange aggregated a
+    // per-row value — the kernel's rows are already unique per key
     val tf = docs.select(col(idCol), col(blockCol),
-        explode(graft.operators.TextAnalysis.toks(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col(blockCol), col("tok"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+        explode(graft.functions.NgramExprs.gramCounts(
+          split(lower(col(textCol)), "\\W+"), 1)).as("_g"))
+      .select(col(idCol), col(blockCol), col("_g.gram").as("tok"),
+        col("_g.tf").cast("double").as("tf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     // one (tok, blk)-keyed shuffle: postings bounded by the BLOCK
     val perBlk = tf.groupBy(col("tok"), col(blockCol).as("blk"))

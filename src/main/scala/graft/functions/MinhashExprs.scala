@@ -190,6 +190,85 @@ object SimhashInt {
   }
 }
 
+/**
+ * Scan-local hashed bag-of-words features — per-row (bucket, weight)
+ * pairs over the doc's tokens, bucket = first 15 md5 hex chars of the
+ * token as a long mod `dim`; weight = signed sum (16th hex digit ≥ 8 →
+ * −1, else +1, the [[graft.operators.Curation.hashFeaturize]] recipe)
+ * when `signed`, plain occurrence count otherwise (the DSIR docBuckets
+ * recipe). Replaces the explode + groupBy(id, bucket) exchange: the
+ * per-doc feature vector is a pure per-row function (guide §2.4). A
+ * bucket row is emitted iff ≥ 1 token touched it — signed sums that
+ * cancel to 0 still emit, exactly like the former aggregate.
+ */
+case class HashedBagFeatures(child: Expression, dim: Int, signed: Boolean)
+    extends UnaryExpression {
+  require(dim > 0, "dim must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("bucket", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("weight", LongType,
+        nullable = false))), containsNull = false)
+  override def prettyName: String = "hashed_bag_features"
+
+  override def nullSafeEval(v: Any): Any =
+    HashedBagFeatures.build(v.asInstanceOf[ArrayData], dim, signed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedBagFeatures.build($c, $dim, $signed);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedBagFeatures {
+  def build(ts: ArrayData, dim: Int,
+            signed: Boolean): ArrayData = {
+    val toks = WordNgrams.cleanTokens(ts)
+    val sums = new Array[Long](dim)
+    val touched = new Array[Boolean](dim)
+    var nTouched = 0
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes)
+      // first 15 hex chars as a 60-bit long (non-negative) mod dim
+      var v = 0L
+      var j = 0
+      while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      v = (v << 4) | ((d(7) & 0xf0L) >> 4)
+      val b = (v % dim).toInt
+      // 16th hex char = low nibble of byte 7; ≥ 8 → −1
+      val s = if (signed && (d(7) & 0x08) != 0) -1L else 1L
+      if (!touched(b)) { touched(b) = true; nTouched += 1 }
+      sums(b) += s
+      i += 1
+    }
+    val out = new Array[Any](nTouched)
+    var o = 0
+    var b = 0
+    while (b < dim) {
+      if (touched(b)) {
+        out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](b.toLong, sums(b))): org.apache.spark.sql.catalyst.InternalRow
+        o += 1
+      }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MinhashExprs {
   /** The 8 permutation minima of a doc's word n-gram shingles, scan-local
     * (null when the doc has fewer than n tokens). */
@@ -201,4 +280,8 @@ object MinhashExprs {
     * token-less docs). */
   def simhashInt(tokens: Column, bits: Int): Column =
     GraftBridge.column(SimhashInt(GraftBridge.expression(tokens), bits))
+  /** Scan-local hashed (bucket, weight) features — signed sum or count. */
+  def hashedBagFeatures(tokens: Column, dim: Int, signed: Boolean): Column =
+    GraftBridge.column(HashedBagFeatures(GraftBridge.expression(tokens),
+      dim, signed))
 }

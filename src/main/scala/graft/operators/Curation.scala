@@ -967,14 +967,14 @@ object Curation {
   def hashFeaturize(docs: DataFrame, idCol: String, textCol: String,
                     dim: Int): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val toks = TextAnalysis.toks(col(textCol))
-    val h = md5(col("tok"))
-    docs.select(col(idCol), explode(toks).as("tok"))
-      .select(col(idCol),
-        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"),
-        when(substring(h, 16, 1) >= "8", -1L).otherwise(1L).as("sgn"))
-      .groupBy(col(idCol), col("bucket"))
-      .agg(sum(col("sgn")).as("weight"))
+    // scan-local kernel (graft.functions.HashedBagFeatures — guide §2.4):
+    // the per-doc signed bucket sums are a pure per-row function; the
+    // former explode + groupBy(id, bucket) shuffled every token row
+    docs.select(col(idCol),
+        explode(graft.functions.MinhashExprs.hashedBagFeatures(
+          split(lower(col(textCol)), "\\W+"), dim, signed = true)).as("_f"))
+      .select(col(idCol), col("_f.bucket").as("bucket"),
+        col("_f.weight").as("weight"))
   }
 
   /**
@@ -1207,14 +1207,15 @@ object Curation {
   def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
                   isTarget: Column, dim: Int = 64): DataFrame = {
     require(dim > 0, "dim must be positive")
-    val h = md5(col("tok"))
+    // scan-local kernel (graft.functions.HashedBagFeatures, count mode):
+    // per-doc bucket counts are a per-row function — the former explode +
+    // groupBy(id, is_target, bucket) shuffled every token row (guide §2.4)
     val docBuckets = docs
       .select(col(idCol), isTarget.as("is_target"),
-        explode(TextAnalysis.toks(col(textCol))).as("tok"))
+        explode(graft.functions.MinhashExprs.hashedBagFeatures(
+          split(lower(col(textCol)), "\\W+"), dim, signed = false)).as("_f"))
       .select(col(idCol), col("is_target"),
-        (conv(substring(h, 1, 15), 16, 10).cast("long") % dim).as("bucket"))
-      .groupBy(col(idCol), col("is_target"), col("bucket"))
-      .agg(count(lit(1)).as("n"))
+        col("_f.bucket").as("bucket"), col("_f.weight").as("n"))
       .localCheckpoint() // one scan feeds both models AND the doc scores
     val raw = docBuckets.groupBy(col("bucket")).agg(sum(col("n")).as("cr"))
     val tgt = docBuckets.filter(col("is_target"))

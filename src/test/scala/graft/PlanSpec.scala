@@ -141,12 +141,16 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange SinglePartition"), p)
   }
 
-  test("feature hashing: explode + one partial-agg shuffle, no join, " +
-    "no window") {
+  test("feature hashing: scan-local kernel — no join, no window, and " +
+    "ZERO exchanges (the per-doc feature vector never shuffles)") {
     val p = planOf(Curation.hashFeaturize(docs, "doc_id", "text", 32))
     assert(!p.contains("Join") && !p.contains("Window"), p)
-    assert("(?s).*HashAggregate.*HashAggregate.*".r.matches(p),
-      "signed counts must partial-aggregate map-side\n" + p)
+    // round 6: the former explode + groupBy(id, bucket) partial-agg
+    // shuffle is gone — the signed sums come from the HashedBagFeatures
+    // kernel inside the scan, so the plan must carry no Exchange at all
+    assert(!p.contains("Exchange"),
+      "per-row bucket weights must not shuffle\n" + p)
+    assert(p.contains("hashed_bag_features"), p)
   }
 
   test("BPE pair top-k: array-local pair build, partial-agg shuffle, " +

@@ -526,7 +526,11 @@ object Dedup {
     val widths = Seq(base + (if (bits % 3 > 0) 1 else 0),
       base + (if (bits % 3 > 1) 1 else 0), base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val sh = simhashIntRows(docs, idCol, textCol, bits)
+    // materialize the (id, simhash_int) table once: the three chunk
+    // projections would otherwise inline the scan-local signature kernel
+    // (CollapseProject) and re-hash every doc per chunk column — the
+    // staged table is two narrow columns, trivially checkpointable
+    val sh = simhashIntRows(docs, idCol, textCol, bits).localCheckpoint()
     val chunkCols = (0 until 3).map { i =>
       shiftright(col("simhash_int"), offsets(i))
         .bitwiseAND(lit((1L << widths(i)) - 1))

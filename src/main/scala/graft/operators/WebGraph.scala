@@ -28,20 +28,23 @@ object WebGraph {
    * string — no DOM. `carryCols` ride along on the single scan so
    * callers never re-join the pages table to recover their own columns.
    */
-  private[operators] val AnchorRe =
+  private[graft] val AnchorRe =
     "(?i)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>([^<]*)</a>"
 
   def extractLinks(pages: DataFrame, idCol: String, htmlCol: String,
                    carryCols: String*): DataFrame = {
     val s = col(htmlCol).cast("string")
+    // ONE matcher pass per page emitting both capture groups
+    // (graft.functions.RegexCapturePairs — same java.util.regex engine and
+    // pattern as the former arrays_zip(regexp_extract_all(g1),
+    // regexp_extract_all(g2)), which ran the anchor automaton over the
+    // html twice; pair equality pinned in PropertySpec)
     pages.select(col(idCol) +: carryCols.map(col) :+
-        arrays_zip(regexp_extract_all(s, lit(AnchorRe), lit(1)),
-          regexp_extract_all(s, lit(AnchorRe), lit(2))).as("_z"): _*)
+        explode(graft.functions.AnchorExprs.capturePairs(s, AnchorRe,
+          "href", "anchor")).as("_l"): _*)
       .select(col(idCol) +: carryCols.map(col) :+
-        explode(col("_z")).as("_l"): _*)
-      .select(col(idCol) +: carryCols.map(col) :+
-        col("_l").getField("0").as("href") :+
-        col("_l").getField("1").as("anchor"): _*)
+        col("_l").getField("href").as("href") :+
+        col("_l").getField("anchor").as("anchor"): _*)
   }
 
   /**
@@ -140,11 +143,20 @@ object WebGraph {
    */
   def pagerank(edges: DataFrame, iters: Int,
                damping: Double = 0.85): DataFrame = {
-    require(iters >= 1, "iters must be >= 1")
-    // materialize the edge table ONCE: its lineage is typically the HTML
-    // link-extraction scan, which the two derivative checkpoints below
-    // would otherwise each re-run (guide §2.4 — don't recompute what you
-    // can stage; the edge table is sublinear in the corpus)
+    val (withOut, doms) = rankStage(edges)
+    pagerankLoop(withOut, doms, iters, damping)
+  }
+
+  /**
+   * Stage the three tables every fixed-horizon rank loop reads each
+   * round — the checkpointed edge table's out-weight join and the domain
+   * universe (guide §2.4: the edge lineage is typically the HTML
+   * link-extraction scan, which the derivative checkpoints would
+   * otherwise each re-run; the edge table is sublinear in the corpus).
+   * Factored out so [[spamMass]] stages them ONCE for both of its rank
+   * chains instead of paying the three checkpoints per chain.
+   */
+  private def rankStage(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.localCheckpoint()
     val withOut = e
       .join(e.groupBy(col("src_domain"))
@@ -153,19 +165,28 @@ object WebGraph {
     val doms = e.select(col("src_domain").as("domain"))
       .union(e.select(col("dst_domain").as("domain"))).distinct()
       .localCheckpoint()
+    (withOut, doms)
+  }
+
+  private def pagerankLoop(withOut: DataFrame, doms: DataFrame, iters: Int,
+                           damping: Double): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
     var pr = doms.withColumn("pr", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = withOut
         .join(pr.withColumnRenamed("domain", "src_domain"),
           Seq("src_domain"))
         .select(col("dst_domain").as("domain"),
           (col("pr") * col("n_links").cast("double") / col("outw")).as("c"))
         .groupBy(col("domain")).agg(sum(col("c")).as("inflow"))
-      pr = doms.join(inflow, Seq("domain"), "left")
+      val next = doms.join(inflow, Seq("domain"), "left")
         .select(col("domain"),
           (lit(1.0 - damping) +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("pr"))
-        .localCheckpoint()
+      // constant-depth lineage between rounds; the LAST round stays lazy —
+      // its table is consumed exactly once downstream, so a checkpoint
+      // would materialize it only to read it back (one dead job)
+      pr = if (i < iters) next.localCheckpoint() else next
     }
     pr.select(col("domain"), pround4(col("pr")).as("pr"))
   }
@@ -185,31 +206,31 @@ object WebGraph {
    */
   def trustrank(edges: DataFrame, seeds: Seq[String], iters: Int,
                 damping: Double = 0.85): DataFrame = {
+    val (withOut, doms) = rankStage(edges)
+    trustrankLoop(withOut, doms, seeds, iters, damping)
+  }
+
+  private def trustrankLoop(withOut: DataFrame, doms: DataFrame,
+                            seeds: Seq[String], iters: Int,
+                            damping: Double): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(seeds.nonEmpty, "TrustRank needs a non-empty seed set")
-    val e = edges.localCheckpoint() // one extraction scan (see pagerank)
-    val withOut = e
-      .join(e.groupBy(col("src_domain"))
-        .agg(sum(col("n_links")).as("outw")), Seq("src_domain"))
-      .localCheckpoint()
-    val doms = e.select(col("src_domain").as("domain"))
-      .union(e.select(col("dst_domain").as("domain"))).distinct()
-      .localCheckpoint()
     val tele = when(col("domain").isin(seeds.map(x => x: Any): _*),
       lit(1.0 / seeds.size)).otherwise(lit(0.0))
     var tr = doms.withColumn("tr", tele)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = withOut
         .join(tr.withColumnRenamed("domain", "src_domain"),
           Seq("src_domain"))
         .select(col("dst_domain").as("domain"),
           (col("tr") * col("n_links").cast("double") / col("outw")).as("c"))
         .groupBy(col("domain")).agg(sum(col("c")).as("inflow"))
-      tr = doms.join(inflow, Seq("domain"), "left")
+      val next = doms.join(inflow, Seq("domain"), "left")
         .select(col("domain"),
           (lit(1.0 - damping) * tele +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("tr"))
-        .localCheckpoint()
+      // last round lazy, consumed once (see pagerankLoop)
+      tr = if (i < iters) next.localCheckpoint() else next
     }
     tr.select(col("domain"), pround4(col("tr")).as("tr"))
   }
@@ -234,10 +255,21 @@ object WebGraph {
   def frontierRank(pages: DataFrame, srcCol: String, idCol: String,
                    htmlCol: String, seenUrls: DataFrame, iters: Int = 3,
                    mBits: Int = 8192, kHashes: Int = 4,
-                   topK: Int = 20): DataFrame = {
+                   topK: Int = 20): DataFrame =
     // ONE link-extraction scan feeds BOTH the rank edges and the candidate
     // URLs (the former shape ran the regexp extraction twice)
-    val links = extractLinks(pages, idCol, htmlCol, srcCol).localCheckpoint()
+    frontierRankFromLinks(
+      extractLinks(pages, idCol, htmlCol, srcCol).localCheckpoint(),
+      srcCol, seenUrls, iters, mBits, kHashes, topK)
+
+  /** [[frontierRank]] from an ALREADY-STAGED [[extractLinks]] table —
+    * the seam for callers whose seen-set derivation reads the same
+    * extraction (q_frontier): one staged scan feeds candidates, edges
+    * AND the caller's seen set instead of re-running the anchor regex. */
+  def frontierRankFromLinks(links: DataFrame, srcCol: String,
+                            seenUrls: DataFrame, iters: Int = 3,
+                            mBits: Int = 8192, kHashes: Int = 4,
+                            topK: Int = 20): DataFrame = {
     val edges = links
       .select(col(srcCol).as("src_domain"), hostOf(col("href")).as("dst_domain"))
       .filter(col("dst_domain").isNotNull &&
@@ -283,12 +315,15 @@ object WebGraph {
    */
   def spamMass(edges: DataFrame, seeds: Seq[String], iters: Int,
                damping: Double = 0.85): DataFrame = {
-    // ONE extraction scan feeds both rank chains (each would otherwise
-    // checkpoint its own copy of the edge lineage)
-    val e = edges.localCheckpoint()
-    val pr = pagerank(e, iters, damping)
-    val tr = trustrank(e, seeds, iters, damping)
-    val nDoms = pr.count().toDouble // domain count — model-sized driver scalar
+    // ONE staged edge/out-weight/domain set feeds BOTH rank chains (each
+    // public entry would otherwise pay its own three rankStage checkpoints
+    // over the identical tables)
+    val (withOut, doms) = rankStage(edges)
+    val pr = pagerankLoop(withOut, doms, iters, damping)
+    val tr = trustrankLoop(withOut, doms, seeds, iters, damping)
+    // domain count — model-sized driver scalar; read from the staged
+    // domain checkpoint (pr has exactly one row per domain)
+    val nDoms = doms.count().toDouble
     pr.join(tr, Seq("domain"))
       .select(col("domain"), col("pr"), col("tr"),
         pround4((col("pr") - lit(nDoms) * col("tr")) / col("pr"))
@@ -323,7 +358,7 @@ object WebGraph {
       .localCheckpoint()
     val nDoms = doms.count().toDouble // model-sized driver scalar
     var pr = doms.withColumn("pr", lit(1.0))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val inflow = withOut
         .join(pr.withColumnRenamed("domain", "src_domain"),
           Seq("src_domain"))
@@ -333,12 +368,13 @@ object WebGraph {
       // the round's dangling mass: one row, broadcast into the update
       val dm = pr.join(dangling, Seq("domain"), "left_semi")
         .agg(coalesce(sum(col("pr")), lit(0.0)).as("dmass"))
-      pr = doms.join(inflow, Seq("domain"), "left")
+      val next = doms.join(inflow, Seq("domain"), "left")
         .crossJoin(broadcast(dm))
         .select(col("domain"),
           (lit(1.0 - damping) + lit(damping) *
             (coalesce(col("inflow"), lit(0.0)) + col("dmass") / nDoms)).as("pr"))
-        .localCheckpoint()
+      // last round lazy, consumed once (see pagerankLoop)
+      pr = if (i < iters) next.localCheckpoint() else next
     }
     pr.select(col("domain"), pround4(col("pr")).as("pr"))
   }

@@ -112,6 +112,39 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: RegexCapturePairs equals the two-pass " +
+    "arrays_zip(regexp_extract_all g1, g2) form on generated html") {
+    val rnd = new scala.util.Random(41)
+    // generated anchors + malformed fragments + noise, mixed per page
+    val frag: () => String = () => rnd.nextInt(6) match {
+      case 0 => s"""<a class=x href="u${rnd.nextInt(50)}/p?q=${rnd.nextInt(9)}" id=y>anchor ${rnd.nextInt(20)} text</a>"""
+      case 1 => s"""<A HREF="HTTPS://EX${rnd.nextInt(9)}.COM/${rnd.nextInt(99)}">Mixed Case</A>"""
+      case 2 => s"""<a href=unquoted${rnd.nextInt(9)}>dropped</a>"""
+      case 3 => s"""<a href="">empty${rnd.nextInt(9)}</a>"""
+      case 4 => s"""<a href="nested${rnd.nextInt(9)}"><b>tagged</b></a>"""
+      case _ => s"""plain text ${rnd.nextInt(100)} <div>noise</div> "quoted" """
+    }
+    val pages = (1 to 150).map { i =>
+      (i.toLong, (1 to rnd.nextInt(8)).map(_ => frag()).mkString(" "))
+    }
+    val re = graft.operators.WebGraph.AnchorRe
+    val df = pages.toDF("id", "html")
+    val kernel = df.select($"id",
+      graft.functions.AnchorExprs.capturePairs($"html", re, "href", "anchor")
+        .as("ps"))
+      .select($"id", expr("transform(ps, p -> struct(p.href, p.anchor))")
+        .as("ps"))
+      .as[(Long, Seq[(String, String)])].collect().toMap
+    val twoPass = df.select($"id",
+      arrays_zip(regexp_extract_all($"html", lit(re), lit(1)),
+        regexp_extract_all($"html", lit(re), lit(2))).as("z"))
+      .select($"id", expr("transform(z, p -> struct(p.`0`, p.`1`))").as("z"))
+      .as[(Long, Seq[(String, String)])].collect().toMap
+    pages.foreach { case (i, _) =>
+      assert(kernel(i) == twoPass(i), s"page $i diverged")
+    }
+  }
+
   test("property: weightedPairCombos equals the nested-loop reference on " +
     "random weighted postings (id1<id2, w_i*w_j, once per i<j)") {
     val rnd = new scala.util.Random(29)

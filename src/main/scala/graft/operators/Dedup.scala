@@ -293,9 +293,14 @@ object Dedup {
    * Deterministic: min is order- and partitioning-independent.
    */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id1"), col("id2"))
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint()
+    // stage the PAIR table once and keep the symmetrization LAZY over the
+    // checkpoint: the former shape checkpointed the 2|E| union, whose two
+    // branches each embedded the full candidate-generation lineage (the
+    // LSH build ran twice inside one materialization job), and wrote twice
+    // the bytes; re-projecting checkpointed rows per round is pure CPU
+    val base = pairs.select(col("id1"), col("id2")).localCheckpoint()
+    val edges = base
+      .union(base.select(col("id2").as("id1"), col("id1").as("id2")))
     var labels = edges.select(col("id1").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint()
@@ -443,9 +448,15 @@ object Dedup {
    */
   def clusterKeepers(clusters: DataFrame, quality: DataFrame,
                      idCol: String, qualityCol: String): DataFrame = {
+    // members feeds TWO plan branches (the keeper join's stream side and
+    // the max-quality aggregate); stage it once — its quality input is
+    // typically a corpus-wide scoring scan, which the unmaterialized
+    // diamond would run twice (the table itself is cluster-member-sized,
+    // bounded by the LSH pair volume)
     val members = clusters
       .join(quality.select(col(idCol).as("id"), col(qualityCol).as("q")),
         Seq("id"))
+      .localCheckpoint()
     // two co-partitioned aggregates on cluster instead of max(struct(q,
     // -id)): arithmetic negation only exists for numeric ids — crawl
     // pipelines routinely key on URL/UUID strings, where "-id" casts to
@@ -1030,7 +1041,13 @@ object Dedup {
         sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).head()
       (r.getLong(0), String.valueOf(r.get(1)))
     }
-    var edges = pairs.select(col("id1").as("u"), col("id2").as("v"))
+    // ONE staged copy of the pair table feeds BOTH the edge seed and the
+    // node universe below — `pairs`' lineage is typically the full LSH
+    // candidate build, which the former shape executed a SECOND time for
+    // the final `nodes` union
+    val base = pairs.select(col("id1").as("u"), col("id2").as("v"))
+      .localCheckpoint()
+    var edges = base
       .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var prev = gate(edges)
     var iter = 0
@@ -1055,8 +1072,8 @@ object Dedup {
         s"guaranteed component minima; raise maxIters")
     val mapping = edges.groupBy(col("u").as("id"))
       .agg(min(col("v")).as("cluster"))
-    val nodes = pairs.select(col("id1").as("id"))
-      .union(pairs.select(col("id2").as("id"))).distinct()
+    val nodes = base.select(col("u").as("id"))
+      .union(base.select(col("v").as("id"))).distinct()
     nodes.join(mapping, Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }

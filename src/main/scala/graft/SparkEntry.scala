@@ -248,10 +248,17 @@ object SparkEntry {
     // curation composition — quality gate → exact-dedup keepers →
     // stratified sample → per-source stats, one lazy plan end to end
     "q_curation_pipeline" -> ((s, dir) => {
+      // scored table staged ONCE (text-free columns): it feeds the keeper
+      // aggregate AND the join's stream side — the unmaterialized diamond
+      // ran the quality+md5 corpus scan twice; filtering BEHIND the
+      // checkpoint also keeps qualityScore out of FilterExec (no
+      // subexpression elimination there — the pushed-down predicate
+      // re-evaluated the score ahead of the projection's own copy)
       val q = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextAnalysis.qualityScore(col("text")).as("quality"),
           md5(col("text")).as("h"))
+        .localCheckpoint()
         .filter(col("quality") >= 0.5)
       val keep = q.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
       val sampled = q.join(keep, Seq("h", "doc_id"))
@@ -1526,14 +1533,18 @@ object SparkEntry {
     "q_frontier" -> ((s, dir) => {
       val pages = t(s, dir, "documents").select(col("doc_id"), col("source"),
         plantedHtml.cast("binary").as("html"))
+      // ONE staged extraction feeds the seen-set derivation AND the
+      // frontier composition (the former shape ran the anchor regex twice:
+      // once here for cand/seen, once inside frontierRank)
+      val links = WebGraph.extractLinks(pages, "doc_id", "html", "source")
+        .localCheckpoint()
       // host-filtered like the oracle's cand CTE (regexp_extract <> '') —
       // a host-less/relative href must not set extra Bloom bits Spark-side
-      val cand = WebGraph.extractLinks(pages, "doc_id", "html")
-        .select(col("href").as("url")).distinct()
+      val cand = links.select(col("href").as("url")).distinct()
         .filter(WebGraph.hostOf(col("url")).isNotNull)
       val seen = cand.filter(col("url").endsWith("/q") ||
         substring(col("url"), -1, 1).isin("0", "2", "4", "6", "8"))
-      WebGraph.frontierRank(pages, "source", "doc_id", "html",
+      WebGraph.frontierRankFromLinks(links, "source",
         seen.select(col("url")), iters = 3, mBits = 8192, kHashes = 4,
         topK = 20)
     }),
@@ -2043,7 +2054,14 @@ object SparkEntry {
       val lm = Curation.unigramLmScore(d, "doc_id", "text", minCount = 2L)
       val g = d.join(lm, "doc_id")
         .filter(col("lm_score") >= 3.39 && col("lm_score") <= 3.41)
-      val fp = g.withColumn("f", TextAnalysis.fingerprint(col("text")))
+      // fingerprinted band table staged ONCE, projected text-free: it
+      // feeds the keeper aggregate AND the join's stream side — the
+      // unmaterialized diamond re-ran the LM corpus aggregate + band join
+      // + fingerprint chain twice (different join keys, so exchange reuse
+      // never applied)
+      val fp = g.select(col("doc_id"), col("source"), col("n_tokens"),
+          col("lm_score"), TextAnalysis.fingerprint(col("text")).as("f"))
+        .localCheckpoint()
       val keep = fp.groupBy(col("f")).agg(min(col("doc_id")).as("doc_id"))
       fp.join(keep, Seq("f", "doc_id"))
         .groupBy(col("source"))
@@ -2069,10 +2087,17 @@ object SparkEntry {
       // pass and the budget join) — stage the DECISION once as an id set
       // (guide §8: the checkpoint carries ids, not corpus text bytes; each
       // consumer re-attaches text via a column-pruned parquet scan + hash
-      // join instead of reading a text-sized checkpoint copy)
-      val gatedIds = d.filter(keep &&
-        TextAnalysis.qualityScore(col("text")) >= 0.45)
-        .select(col("doc_id")).localCheckpoint()
+      // join instead of reading a text-sized checkpoint copy).
+      // The gate is evaluated in a PROJECTION and filtered BEHIND the
+      // checkpoint barrier: FilterExec does no subexpression elimination,
+      // so filtering on the raw predicate re-ran the shared
+      // split(lower(text)) subtrees ~6x per row (CurationProbe: 2.6 s
+      // filter vs 0.9 s projection for the identical gate at sf0.1)
+      val gatedIds = d.select(col("doc_id"),
+          (keep && TextAnalysis.qualityScore(col("text")) >= 0.45)
+            .as("_keep"))
+        .localCheckpoint()
+        .filter(col("_keep")).select(col("doc_id"))
       val gated = d.join(gatedIds, Seq("doc_id"))
       val para = Curation.paragraphDedup(gated, "doc_id", "text", 8)
         .filter(col("kept_frac") >= 0.5).select("doc_id")

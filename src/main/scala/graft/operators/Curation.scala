@@ -262,8 +262,12 @@ object Curation {
     val meanLen = when(ntok === 0, 0.0).otherwise(pround4(
       length(array_join(toks, "")).cast("long")
         .cast("double") / ntok))
-    val nSym = (length(text) - length(regexp_replace(text, "#", ""))) +
-      (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3
+    // occurrence counts via regexp_count — equal by construction to the
+    // former length-difference-after-replace (greedy leftmost
+    // non-overlapping matches in both; "..." removes exactly 3 chars per
+    // match) without allocating a replaced copy of the text per pattern
+    val nSym = regexp_count(text, lit("#")) +
+      regexp_count(text, lit("\\.\\.\\."))
     val symRatio = when(ntok === 0, 0.0)
       .otherwise(pround4(nSym.cast("double") / ntok))
     // tokens are maximal [a-z0-9_]+ runs of lower(text), so "token contains

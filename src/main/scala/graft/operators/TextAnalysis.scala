@@ -68,8 +68,11 @@ object TextAnalysis {
 
   /** Ratio of non-alphanumeric-non-space chars to length (0 for empty). */
   def punctRatio(text: Column): Column =
+    // regexp_count of the complement class == length after deleting
+    // [\w\s] (one char per match, same ASCII \w), without allocating the
+    // replaced copy per row
     when(length(text) === 0, 0.0).otherwise(
-      pround4(length(regexp_replace(text, "[\\w\\s]", "")).cast("double")
+      pround4(regexp_count(text, lit("[^\\w\\s]")).cast("double")
         / length(text)))
 
   /** Ratio of tokens that are English stopwords. Counted with one

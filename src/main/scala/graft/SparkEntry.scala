@@ -346,10 +346,17 @@ object SparkEntry {
 
     // H3 — high-confidence alert gate (exclusive 0.7 boundary)
     "q_alert_gate" -> ((s, dir) =>
+      // scored columns evaluated in a PROJECTION and filtered BEHIND a
+      // checkpoint barrier: predicate pushdown otherwise inlines the full
+      // scorer tree into the gate (score + confidence + isAnomaly copies),
+      // and FilterExec does no subexpression elimination — the feature
+      // CASE chain ran ~5x per row (the q_curation_v2 gate pattern; the
+      // staged table is three narrow columns)
       t(s, dir, "events").select(
         col("event_id"),
         Score.anomalyScore(synthMsg, level).as("anomaly_score"))
         .withColumn("confidence", Score.confidence(col("anomaly_score")))
+        .localCheckpoint()
         .filter(Score.alertGate(Score.isAnomaly(col("anomaly_score")), col("confidence")))
         .select(col("event_id"), col("anomaly_score"), col("confidence"))
         .orderBy("event_id")),

@@ -505,8 +505,11 @@ object Analytics {
       anoms.filter(col("detected_at") > lit(after))
         .orderBy(col("detected_at").desc, col("log_id"))
 
+    // conjunct order: the cheap timestamp range short-circuits ahead of
+    // is_anomaly, whose upstream is typically the full scorer tree
+    // (Kleene AND is commutative — identical rows either way)
     def anomalousInRange(anoms: DataFrame, start: Timestamp, end: Timestamp): DataFrame =
-      anoms.filter(col("is_anomaly") && col("detected_at").between(lit(start), lit(end)))
+      anoms.filter(col("detected_at").between(lit(start), lit(end)) && col("is_anomaly"))
         .orderBy(col("detected_at").desc, col("log_id"))
 
     def highConfidence(anoms: DataFrame, threshold: Double): DataFrame =
@@ -514,7 +517,7 @@ object Analytics {
         .orderBy(col("confidence").desc, col("detected_at").desc, col("log_id"))
 
     def countInRange(anoms: DataFrame, start: Timestamp, end: Timestamp): Long =
-      anoms.filter(col("is_anomaly") && col("detected_at").between(lit(start), lit(end)))
+      anoms.filter(col("detected_at").between(lit(start), lit(end)) && col("is_anomaly"))
         .count()
   }
 }

@@ -1559,7 +1559,11 @@ object Curation {
   def kmvPairJaccard(sketch: DataFrame, grpCol: String,
                      k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val s = sketch.select(col(grpCol).as("g"), col("hv"))
+    // the sketch table feeds THREE branches (group list + both pair
+    // sides); it is ≤ groups·k rows by construction, but its lineage is
+    // the corpus tokenize/distinct/bottom-k — stage it once instead of
+    // re-running that scan per branch
+    val s = sketch.select(col(grpCol).as("g"), col("hv")).localCheckpoint()
     val gs = s.select(col("g")).distinct()
     val pairs = gs.select(col("g").as("source_a"))
       .join(gs.select(col("g").as("source_b")),

@@ -719,26 +719,20 @@ object Dedup {
                        k: Int = 16, w: Int = 8): DataFrame = {
     require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
     val toks = array_remove(split(col(textCol), "\\s+"), "")
-    // both the token array AND the hash array are lambda-bound via the
-    // array()/element_at trick — interpreted HOFs do no CSE, and an
-    // unbound `hs` inside the selection lambdas would rebuild the whole
-    // O(n·k) hash array once per window
-    def selOf(hs: Column): Column = {
-      val sel = array_distinct(transform(
-        sequence(lit(1), size(hs) - (w - 1)),
-        s => {
-          val sub = slice(hs, s, lit(w))
-          s - 1 + array_position(sub, array_min(sub))
-        }))
-      transform(sel, p => element_at(hs, p.cast("int")))
-    }
-    def hsOf(ts: Column): Column =
-      transform(sequence(lit(1), size(ts) - (k - 1)),
-        p => md5(concat_ws(" ", slice(ts, p, lit(k)))))
-    val fps = when(size(toks) >= k + w - 1,
-      element_at(transform(array(toks), ts =>
-        element_at(transform(array(hsOf(ts)), hs => selOf(hs)), 1)), 1))
-      .otherwise(array().cast("array<string>"))
+    // native fused kernel (graft.functions.WinnowMd5Windows) producing
+    // the IDENTICAL md5-window fingerprint sequence the relational
+    // recipe built — `md5(concat_ws(" ", slice(ts, p, k)))` per hash
+    // window, leftmost-min of each w-window of digests, position-level
+    // array_distinct. The former HOF chain (lambda-bound
+    // transform/slice/array_min/array_position) was CodegenFallback:
+    // a fresh w-slice + min + position scan per selection window and a
+    // k-slice + concat per hash window, all interpreted — the bench's
+    // compute tail. The oracle still replays the relational recipe
+    // verbatim; PropertySpec pins kernel == HOF on random docs. O(n·k)
+    // bytes still flow through md5 — the md5 recipe's documented price
+    // (the different-hash-family throughput twin is
+    // [[winnowedDupSpansFast]]).
+    val fps = graft.functions.WinnowExprs.winnowMd5Windows(toks, k, w)
     val full = docs.select(col(idCol), explode(fps).as("h"))
     val df = full.groupBy(col("h"))
       .agg(count_distinct(col(idCol)).as("df"))

@@ -112,6 +112,45 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: WinnowMd5Windows equals the relational HOF recipe " +
+    "(md5 per k-window, leftmost-min per w-window, position distinct)") {
+    val rnd = new scala.util.Random(53)
+    // small vocab so digest ties and repeated windows actually occur
+    val voc = Vector("a", "bb", "ccc", "merge", "x1", "tok")
+    val docs = (1 to 120).map { i =>
+      val n = rnd.nextInt(40) // includes < k+w-1 short docs
+      (i.toLong, (1 to n).map(_ => voc(rnd.nextInt(voc.size))).mkString(" "))
+    }
+    val (k, w) = (4, 3)
+    val df = docs.toDF("id", "text")
+    val toks = array_remove(split($"text", "\\s+"), "")
+    val kernel = df.select($"id",
+      graft.functions.WinnowExprs.winnowMd5Windows(toks, k, w).as("f"))
+      .as[(Long, Seq[String])].collect().toMap
+    // the former HOF formulation, verbatim
+    def selOf(hs: org.apache.spark.sql.Column) = {
+      val sel = array_distinct(transform(
+        sequence(lit(1), size(hs) - (w - 1)),
+        s => {
+          val sub = slice(hs, s, lit(w))
+          s - 1 + array_position(sub, array_min(sub))
+        }))
+      transform(sel, p => element_at(hs, p.cast("int")))
+    }
+    def hsOf(ts: org.apache.spark.sql.Column) =
+      transform(sequence(lit(1), size(ts) - (k - 1)),
+        p => md5(concat_ws(" ", slice(ts, p, lit(k)))))
+    val fpsHof = when(size(toks) >= k + w - 1,
+      element_at(transform(array(toks), ts =>
+        element_at(transform(array(hsOf(ts)), hs => selOf(hs)), 1)), 1))
+      .otherwise(array().cast("array<string>"))
+    val hof = df.select($"id", fpsHof.as("f"))
+      .as[(Long, Seq[String])].collect().toMap
+    docs.foreach { case (i, t) =>
+      assert(kernel(i) == hof(i), s"doc $i (${t.take(60)}...) diverged")
+    }
+  }
+
   test("property: RegexCapturePairs equals the two-pass " +
     "arrays_zip(regexp_extract_all g1, g2) form on generated html") {
     val rnd = new scala.util.Random(41)

@@ -340,13 +340,42 @@ object Dedup {
   def incrementalDedup(newDocs: DataFrame, seenDocs: DataFrame,
                        idCol: String, textCol: String,
                        n: Int = 3): DataFrame = {
-    val seenHashes = seenDocs.select(md5(col(textCol)).as("content_hash"))
-      .distinct()
-    val seenBands = bucketsFromSignatures(
-      minhashSignatures(seenDocs, idCol, textCol, n), idCol)
+    // ONE seen-side text scan feeds BOTH rejection channels (the former
+    // shape scanned seen text twice: once for content md5s, once for the
+    // MinHash signatures)
+    val seenKeys = stagedDedupKeys(seenDocs, idCol, textCol, n)
+    val seenHashes = seenKeys.select(col("content_hash")).distinct()
+    val seenBands = bucketsFromSignatures(sigColsFrom(seenKeys, idCol), idCol)
       .select(col("band"), col("band_key")).distinct()
     incrementalDedupCore(newDocs, seenHashes, seenBands, idCol, textCol, n)
   }
+
+  /** ONE text scan computing BOTH dedup keys per doc — the content md5
+    * and the MinHash signature struct (null for docs with < n tokens) —
+    * so the exact-hash channel and the band channel never re-read the
+    * text (guide §2.4). Short columns only. LAZY: callers stage it
+    * (localCheckpoint for lazy consumers; the index writers persist +
+    * unpersist around their two writes — no dedicated materialization
+    * job, the second write reads the cache). */
+  private def dedupKeys(docs: DataFrame, idCol: String,
+                        textCol: String, n: Int): DataFrame = {
+    val sig = graft.functions.MinhashExprs.minhashSig(
+      split(lower(col(textCol)), "\\W+"), n, MinhashA, MinhashB, MinhashP)
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"),
+      sig.as("_sig"))
+  }
+
+  private def stagedDedupKeys(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int): DataFrame =
+    dedupKeys(docs, idCol, textCol, n).localCheckpoint()
+
+  /** (id, m0..m7) signature view over a [[stagedDedupKeys]] table — the
+    * same rows [[minhashSignatures]] produces from the raw docs. */
+  private def sigColsFrom(keys: DataFrame, idCol: String): DataFrame =
+    keys.filter(col("_sig").isNotNull)
+      .select(col(idCol) +:
+        (0 until MinhashA.length).map(i =>
+          element_at(col("_sig"), i + 1).as(s"m$i")): _*)
 
   /** The anti-join core shared by the recompute-the-seen-side path above
     * and the stored-index path below. */
@@ -374,11 +403,19 @@ object Dedup {
    */
   def writeSignatureIndex(docs: DataFrame, idCol: String, textCol: String,
                           path: String, n: Int = 3): Unit = {
-    docs.select(md5(col(textCol)).as("content_hash")).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes")
-    bucketsFromSignatures(minhashSignatures(docs, idCol, textCol, n), idCol)
-      .select(col("band"), col("band_key")).distinct()
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    // ONE text scan feeds both artifact tables: persisted through the
+    // two writes (the first write populates the cache in its own job,
+    // the second reads it — no dedicated materialization job), released
+    // immediately after
+    val keys = dedupKeys(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      keys.select(col("content_hash")).distinct()
+        .write.mode("overwrite").parquet(s"$path/hashes")
+      bucketsFromSignatures(sigColsFrom(keys, idCol), idCol)
+        .select(col("band"), col("band_key")).distinct()
+        .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
+    } finally keys.unpersist(false)
     // the shingle width is part of the artifact's identity: band keys are
     // md5s over n-gram min-signatures, so probing with a different n
     // would match NOTHING and silently disable the near-dup channel
@@ -411,11 +448,17 @@ object Dedup {
       .head().getAs[Int]("shingle_n")
     require(storedN == n,
       s"signature index at $indexPath was built with n=$storedN, appended with n=$n")
-    newDocs.select(md5(col(textCol)).as("content_hash")).distinct()
-      .write.mode("append").parquet(s"$indexPath/hashes")
-    bucketsFromSignatures(minhashSignatures(newDocs, idCol, textCol, n), idCol)
-      .select(col("band"), col("band_key")).distinct()
-      .write.mode("append").partitionBy("band").parquet(s"$indexPath/bands")
+    // ONE text scan feeds both append channels (persist seam, see
+    // writeSignatureIndex)
+    val keys = dedupKeys(newDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      keys.select(col("content_hash")).distinct()
+        .write.mode("append").parquet(s"$indexPath/hashes")
+      bucketsFromSignatures(sigColsFrom(keys, idCol), idCol)
+        .select(col("band"), col("band_key")).distinct()
+        .write.mode("append").partitionBy("band").parquet(s"$indexPath/bands")
+    } finally keys.unpersist(false)
   }
 
   /** [[incrementalDedup]] against a STORED [[writeSignatureIndex]]

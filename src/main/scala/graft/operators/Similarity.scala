@@ -58,9 +58,13 @@ object Similarity {
    * share sign patterns on the leading components.
    */
   def signBucket(vec: Column, nBits: Int = 4): Column =
-    array_join(
-      transform(sequence(lit(1), lit(nBits)),
-        i => when(element_at(vec, i) > 0, "1").otherwise("0")), "")
+    // nBits is a compile-time constant — unrolled concat of the per-bit
+    // when()s (value-identical to the former array_join(transform(
+    // sequence...)): each bit is always "1"/"0", never null). The HOF
+    // form was CodegenFallback and broke the surrounding projection out
+    // of whole-stage codegen on every ANN/embedding scan that buckets.
+    concat((1 to nBits).map(i =>
+      when(element_at(vec, i) > 0, "1").otherwise("0")): _*)
 
   /**
    * ANN top-k: search only the query's sign bucket (probe-1 scale path).
@@ -845,10 +849,11 @@ object Similarity {
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    blockCol: String, threshold: Double,
                    bands: Int = 4, bitsPerBand: Int = 2): DataFrame = {
+    // constant band ranges — unrolled concat of per-bit when()s (see
+    // signBucket: value-identical to the former HOF, fully codegen)
     val bandBuckets = (0 until bands).map { i =>
-      array_join(
-        transform(sequence(lit(i * bitsPerBand + 1), lit((i + 1) * bitsPerBand)),
-          j => when(element_at(col(vecCol), j) > 0, "1").otherwise("0")), "")
+      concat((i * bitsPerBand + 1 to (i + 1) * bitsPerBand).map(j =>
+        when(element_at(col(vecCol), j) > 0, "1").otherwise("0")): _*)
     }
     val withB = emb.select(col(blockCol).as("blk"), col(idCol), col(vecCol),
       posexplode(array(bandBuckets: _*)))

@@ -191,20 +191,22 @@ object Analytics {
     val tokens: Seq[Any] =
       queryText.toLowerCase.split("\\W+").filter(_.nonEmpty).toSeq
     val dlCol = size(TextAnalysis.toks(col(textCol))).cast("long")
-    val withDl = docs.select(col(idCol), col(textCol), dlCol.as("dl"))
-    val toks = Curation.gramRows(withDl, idCol, textCol, n = 1)
+    val dls = docs.select(col(idCol), dlCol.as("dl"))
+    val toks = Curation.gramRows(docs, idCol, textCol, n = 1)
       .filter(col("gram").isin(tokens: _*))
     val tf = toks.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("tf"))
     val df_ = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    val avgdl = withDl.agg(avg(col("dl")).as("avgdl"))
+    // BOTH broadcast scalars from ONE corpus pass (count(dl rows) ==
+    // count(docs): one row per doc by construction) — the former shape
+    // counted N in its own separate corpus scan
+    val scal = dls.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
     val norm = col("tf") * (k1 + 1.0) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
-    tf.join(withDl.select(col(idCol), col("dl")), Seq(idCol))
+    tf.join(dls, Seq(idCol))
       .join(broadcast(df_), Seq("gram"))
-      .crossJoin(broadcast(n)).crossJoin(broadcast(avgdl))
+      .crossJoin(broadcast(scal))
       .groupBy(col(idCol))
       .agg(TextAnalysis.pround4(sum(idf * norm)).as("score"))
       .orderBy(col("score").desc, col(idCol))
